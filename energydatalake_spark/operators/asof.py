@@ -1,0 +1,283 @@
+"""Distributed as-of (nearest-key backward) join — SURVEY.md §2.4 J1.
+
+The reference performs this merge by collecting BOTH sides to the
+driver and running ``pd.merge_asof`` single-threaded
+(``PySpark Scripts/pyspark_ercot_merge_fm_load_latest_BQ_archive_csv.py:59-79``)
+— the one operator in the reference that cannot scale. This module
+re-expresses the same semantics as a Catalyst plan:
+
+    union both sides (right rows carry a struct of their payload)
+    → window per key ordered by (ts, side) with right-before-left ties
+    → ``last(payload, ignorenulls=True)`` running fill
+    → keep left rows.
+
+One shuffle (the window sort), no driver round-trip, no UDF — the fill
+is whole-stage-codegen'd. Semantics match ``pd.merge_asof``'s defaults:
+backward search, inclusive (a right row at exactly ``ts`` matches), and
+rows before the first right row get nulls (the reference then drops
+them via ``dropna``, merge:78 — callers use ``drop_nulls`` for parity).
+
+Scale notes (100 TB):
+- With a ``by`` key of reasonable cardinality the window partitions by
+  key and parallelizes perfectly; skewed keys are split by AQE.
+- With NO key (the reference's case: system-wide fuel-mix vs load) a
+  single window partition would serialize. ``asof_join`` then
+  range-partitions on the time axis and runs the same fill per range
+  bucket, fixing bucket boundaries with a broadcast of each bucket's
+  last right row — see ``_global_asof``.
+
+``asof_join_pandas`` is the per-key ``applyInPandas`` + ``merge_asof``
+parity oracle (SURVEY.md §7 Phase 2) used by tests to cross-check the
+native implementation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PAYLOAD = "__asof_payload"
+_SIDE = "__asof_is_left"
+_BUCKET = "__asof_bucket"
+
+
+def _right_payload_fields(right: DataFrame, on: str, by: Sequence[str]) -> list[str]:
+    skip = {on, *by}
+    return [c for c in right.columns if c not in skip]
+
+
+def _tagged_union(
+    left: DataFrame, right: DataFrame, on: str, by: Sequence[str], rvals: list[str]
+) -> tuple[DataFrame, T.StructType]:
+    """Union with right rows carrying their payload as ONE struct so the
+    running fill picks the latest right row atomically (a null inside a
+    right row's payload must be carried, not skipped)."""
+    payload_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in rvals]
+        + [T.StructField(on, right.schema[on].dataType)]
+    )
+    l2 = left.withColumn(_SIDE, F.lit(1)).withColumn(
+        _PAYLOAD, F.lit(None).cast(payload_type)
+    )
+    r2 = (
+        right.select(
+            *[F.col(k) for k in by],
+            F.col(on),
+            F.struct(*[F.col(c) for c in rvals], F.col(on).alias(on)).alias(_PAYLOAD),
+        )
+        .withColumn(_SIDE, F.lit(0))
+        .withColumns(
+            {
+                c: F.lit(None).cast(left.schema[c].dataType)
+                for c in left.columns
+                if c not in {on, *by}
+            }
+        )
+    )
+    return l2.unionByName(r2), payload_type
+
+
+def _fill_and_project(
+    unioned: DataFrame,
+    left_cols: list[str],
+    on: str,
+    rvals: list[str],
+    window,
+    tolerance_seconds: float | None,
+    right_ts_alias: str | None,
+) -> DataFrame:
+    filled = unioned.withColumn(
+        _PAYLOAD,
+        F.last(_PAYLOAD, ignorenulls=True).over(
+            window.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    out = filled.filter(F.col(_SIDE) == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col(on).cast("double") - F.col(f"{_PAYLOAD}.{on}").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        out = out.withColumn(
+            _PAYLOAD, F.when(in_tol, F.col(_PAYLOAD)).otherwise(F.lit(None))
+        )
+    proj = [F.col(c) for c in left_cols]
+    proj += [F.col(f"{_PAYLOAD}.{c}").alias(c) for c in rvals]
+    if right_ts_alias:
+        proj.append(F.col(f"{_PAYLOAD}.{on}").alias(right_ts_alias))
+    return out.select(*proj)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] | None = None,
+    tolerance_seconds: float | None = None,
+    right_ts_alias: str | None = None,
+    time_buckets: int = 64,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the most recent right row
+    with ``right.on <= left.on`` (within the same ``by`` key, if given).
+
+    Right payload columns must not collide with left column names
+    (rename before the call, as the reference's pipelines do with their
+    disjoint feed schemas). ``right_ts_alias`` additionally exposes the
+    matched right timestamp.
+    """
+    by = list(by or [])
+    rvals = _right_payload_fields(right, on, by)
+    overlap = set(rvals) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+    unioned, _ = _tagged_union(left, right, on, by, rvals)
+    if by:
+        w = Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+        return _fill_and_project(
+            unioned, left.columns, on, rvals, w, tolerance_seconds, right_ts_alias
+        )
+    return _global_asof(
+        unioned,
+        left.columns,
+        on,
+        rvals,
+        tolerance_seconds,
+        right_ts_alias,
+        time_buckets,
+    )
+
+
+def _global_asof(
+    unioned: DataFrame,
+    left_cols: list[str],
+    on: str,
+    rvals: list[str],
+    tolerance_seconds: float | None,
+    right_ts_alias: str | None,
+    time_buckets: int,
+) -> DataFrame:
+    """Keyless as-of without serializing into one window partition.
+
+    Buckets come from fixed-width division of the epoch range into
+    ``time_buckets`` slices between min and max (two passes: one tiny
+    min/max agg, then the fill). Each bucket fills locally; rows
+    whose nearest right row lives in an EARLIER bucket are fixed by
+    joining against the per-bucket "last right payload" table (tiny:
+    ``time_buckets`` rows, broadcast), made cumulative with a second
+    running fill over bucket index — so correctness holds even when some
+    buckets contain no right rows.
+    """
+    stats = unioned.agg(
+        F.min(F.col(on).cast("double")).alias("lo"),
+        F.max(F.col(on).cast("double")).alias("hi"),
+    )
+    bounds = stats.collect()[0]  # 1 row; cheap by construction
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None or hi is None or hi <= lo:
+        # Degenerate/empty input: single bucket is fine.
+        bucketed = unioned.withColumn(_BUCKET, F.lit(0))
+    else:
+        width = (hi - lo) / time_buckets
+        bucketed = unioned.withColumn(
+            _BUCKET,
+            F.least(
+                F.lit(time_buckets - 1),
+                F.floor((F.col(on).cast("double") - F.lit(lo)) / F.lit(width)).cast(
+                    "int"
+                ),
+            ),
+        )
+    # Per-bucket last right payload, then cumulative over bucket index so
+    # empty buckets inherit from their predecessors. time_buckets rows → tiny.
+    per_bucket_last = (
+        bucketed.filter(F.col(_SIDE) == 0)
+        .groupBy(_BUCKET)
+        .agg(F.max_by(_PAYLOAD, F.col(on)).alias("__last"))
+    )
+    # Carry over EVERY bucket id (not only buckets containing right rows):
+    # a left-only bucket must still inherit the latest earlier payload.
+    spark = unioned.sparkSession
+    all_buckets = spark.range(time_buckets).select(
+        F.col("id").cast("int").alias(_BUCKET)
+    )
+    w_buckets = Window.orderBy(_BUCKET).rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        all_buckets.join(per_bucket_last, _BUCKET, "left")
+        .select(
+            F.col(_BUCKET),
+            F.last("__last", ignorenulls=True).over(w_buckets).alias("__carry"),
+        )
+    )
+    # Seed each bucket's fill with the carried payload as a synthetic row
+    # ordered before everything in the bucket.
+    left_types = {f.name: f.dataType for f in bucketed.schema.fields}
+    seed = carry.filter(F.col("__carry").isNotNull()).select(
+        F.col(_BUCKET),
+        F.col("__carry").alias(_PAYLOAD),
+        F.lit(0).alias(_SIDE),
+        F.col(f"__carry.{on}").alias(on),
+        *[
+            F.lit(None).cast(left_types[c]).alias(c)
+            for c in left_cols
+            if c != on
+        ],
+    )
+    union_seeded = bucketed.unionByName(seed.select(bucketed.columns))
+    w = Window.partitionBy(_BUCKET).orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+    return _fill_and_project(
+        union_seeded, left_cols, on, rvals, w, tolerance_seconds, right_ts_alias
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] | None = None,
+    right_ts_alias: str | None = None,
+) -> DataFrame:
+    """Exact-parity oracle: per-key ``pd.merge_asof`` via applyInPandas.
+
+    Mirrors the reference's driver-side merge (merge:59-79) but runs it
+    per key group on executors. Used by tests to validate ``asof_join``;
+    not the production path (Arrow batch per group, Python worker cost).
+    """
+    import pandas as pd
+
+    by = list(by or [])
+    rvals = _right_payload_fields(right, on, by)
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [T.StructField(c, right.schema[c].dataType) for c in rvals]
+        + (
+            [T.StructField(right_ts_alias, right.schema[on].dataType)]
+            if right_ts_alias
+            else []
+        )
+    )
+    r_ts_tmp = "__right_ts"
+    left_cols = list(left.columns)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        lp = pdf[pdf["__side"] == 1][left_cols].sort_values(on)
+        rp = pdf[pdf["__side"] == 0][[on, *by, *rvals]].sort_values(on)
+        if right_ts_alias:
+            rp = rp.assign(**{r_ts_tmp: rp[on]})
+        merged = pd.merge_asof(lp, rp.drop(columns=by, errors="ignore"), on=on)
+        if right_ts_alias:
+            merged = merged.rename(columns={r_ts_tmp: right_ts_alias})
+        return merged
+
+    l2 = left.withColumn("__side", F.lit(1))
+    r2 = right.withColumn("__side", F.lit(0))
+    for c in left_cols:
+        if c not in r2.columns:
+            r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for c in rvals:
+        l2 = l2.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    cols = list(dict.fromkeys([*left_cols, *by, *rvals, "__side"]))
+    unioned = l2.select(cols).unionByName(r2.select(cols))
+    grouped = unioned.groupBy(*by) if by else unioned.groupBy(F.lit(1).alias("__g"))
+    return grouped.applyInPandas(merge, schema=out_schema)

@@ -1,0 +1,40 @@
+"""Cleaning / data-quality operators (SURVEY.md §2.3 F1-F2, §2.5 A2).
+
+- ``drop_nulls``: the reference drops any-null rows in every pipeline
+  (``...load_latest_BQ_archive_csv.py:69`` etc.).
+- ``dedup``: full-row ``dropDuplicates`` (``...merge...py:106``); at
+  scale prefer the keyed form — full-row dedup shuffles every byte of
+  every column, keyed dedup shuffles only the keys' hash.
+- ``null_profile``: the per-column null-count single-row aggregate the
+  reference logs for monitoring (``...merge...py:86-87``, README.md:118).
+  One pass, one row out — safe at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def drop_nulls(df: DataFrame, subset: Iterable[str] | None = None) -> DataFrame:
+    """F1: drop rows containing any null (optionally in ``subset``)."""
+    return df.na.drop(subset=list(subset) if subset is not None else None)
+
+
+def dedup(df: DataFrame, keys: Iterable[str] | None = None) -> DataFrame:
+    """F2: duplicate elimination. ``keys=None`` = full-row distinct
+    (reference semantics); with keys, keeps an arbitrary row per key
+    (Spark's dropDuplicates contract)."""
+    return df.dropDuplicates(list(keys)) if keys is not None else df.dropDuplicates()
+
+
+def null_profile(df: DataFrame) -> DataFrame:
+    """A2: single-row DataFrame of per-column null counts.
+
+    Uses one aggregate pass (the reference re-scans the source for it;
+    here callers can ``df.cache()`` or fold it into ``observe()``)."""
+    return df.select(
+        [F.sum(F.col(c).isNull().cast("int")).alias(c) for c in df.columns]
+    )

@@ -1,0 +1,468 @@
+"""Query registry: every operator from SURVEY.md §2 (plus the
+LLM-data-pipeline extensions) as a (PySpark builder, DuckDB oracle SQL)
+pair over the driver's synthetic tables.
+
+Cross-engine determinism rules (SURVEY.md §7 hard-parts 2-3):
+
+- **Counts / integer-valued sums** stay in doubles or bigints — exact.
+- **Money measures** are cast per-row to DECIMAL before SUM in BOTH
+  engines: decimal sums are exact, so the final cast-to-double is
+  bit-identical regardless of aggregation order.
+- **Rounding** uses ``floor(x * 10^n + 0.5) / 10^n`` in both engines.
+  Spark's ROUND (HALF_UP on the shortest decimal repr) and DuckDB's
+  (half-away-from-zero on the binary value) disagree on boundary
+  representations; floor/multiply/add are IEEE-identical everywhere.
+- **Timestamps** are emitted as epoch-millis BIGINT (the parquet files
+  are ns-precision; Spark truncates to µs while DuckDB keeps ns —
+  epoch-ms is stable in both).
+- Every computed column is aliased identically in the Spark plan and
+  the SQL (the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from energydatalake_spark.io.readers import read_table
+from energydatalake_spark.operators.asof import asof_join
+from energydatalake_spark.operators.band import band_join
+from energydatalake_spark.operators.clean import dedup, null_profile
+from energydatalake_spark.operators.setops import union_all
+from energydatalake_spark.operators.topk import top_k_per_group
+
+
+@dataclass(frozen=True)
+class Query:
+    """One registry entry. ``oracle`` is DuckDB-runnable SQL over the
+    pre-registered table views, or None for non-SQL-expressible ops
+    (driver then records a rows-only check)."""
+
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey_ops: str  # SURVEY.md §2 operator ids this query exercises
+
+
+def _r(col: Column, n: int) -> Column:
+    """Cross-engine-stable rounding (see module docstring)."""
+    p = float(10**n)
+    return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+def _dsum(col: Column, precision: int = 25, scale: int = 8) -> Column:
+    """Exact money sum: per-row decimal cast → decimal SUM → double.
+
+    Scale 8, not 2-4: products of 2-decimal inputs carry up to 6 exact
+    decimal digits, so a scale ≤6 cast hits exact rounding TIES where
+    Spark (HALF_UP on the shortest decimal repr) and DuckDB (nearest on
+    the binary value) legitimately disagree. At scale 8 every boundary
+    is ≥1e-8 away from the true value while the double error is ~1e-13,
+    so both engines recover the same exact decimal."""
+    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def _ms(col: Column) -> Column:
+    """Timestamp → epoch millis as BIGINT (cast via TimestampType; the
+    session timezone is pinned UTC so NTZ→TS is the identity)."""
+    return F.unix_millis(col.cast("timestamp")).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# Reference surface (SURVEY.md §2) over the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary (S1, P4, P8, A1, F-, O2).
+
+    The reference's analytics are all of this shape (grouped aggregates
+    over the merged fact table, ``Queries/*.sql``); this is the widest
+    single exercise of scan→project→hash-agg→sort. Scales as one
+    map-side-combined shuffle of 4-ish groups.
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,8))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,8))) AS DOUBLE) AS sum_charge,
+  SUM(l_quantity) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_avg_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: AVG by EXTRACT(MONTH) — ``Queries/Average Energy Consumption
+    by Month.sql:3-11`` re-targeted at lineitem (load → quantity)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(F.month("l_shipdate").cast("int").alias("month"))
+        .agg(
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_AVG_BY_MONTH = """
+SELECT CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS month,
+       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY month
+ORDER BY month
+"""
+
+
+def q_avg_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: AVG by EXTRACT(HOUR) — ``Queries/How does energy consumption
+    vary by time of day_.sql:1-9`` over the events stream table."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.hour("ts").cast("int").alias("hour"))
+        .agg(
+            (_dsum(F.col("value"), 18, 2) / F.count(F.lit(1))).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("hour")
+    )
+
+
+SQL_AVG_BY_HOUR = """
+SELECT CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY hour
+ORDER BY hour
+"""
+
+
+def q_mix_percentage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: one-row ratio-of-sums with rounding — ``Queries/Percentage
+    Distribution of Each Energy.sql:5-15``. Sources here are the three
+    return flags; denominator = sum of revenue over all rows, numerators
+    conditional — same ratio-of-sums shape as the reference."""
+    l = read_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(25,8)")
+
+    def pct(flag: str) -> Column:
+        num = F.sum(F.when(F.col("l_returnflag") == flag, price).otherwise(F.lit(0))).cast("double")
+        den = F.sum(price).cast("double")
+        return _r(num / den * 100, 2).alias(f"pct_{flag.lower()}")
+
+    return l.agg(pct("A"), pct("N"), pct("R"))
+
+
+SQL_MIX_PERCENTAGE = """
+SELECT
+  FLOOR(CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(25,8)) ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) * 100 * 100.0 + 0.5) / 100.0 AS pct_a,
+  FLOOR(CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(25,8)) ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) * 100 * 100.0 + 0.5) / 100.0 AS pct_n,
+  FLOOR(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(25,8)) ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) * 100 * 100.0 + 0.5) / 100.0 AS pct_r
+FROM lineitem
+"""
+
+
+def q_multikey_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (README.md:288-300): AVG rounded over composite keys, ordered
+    by the aggregate descending."""
+    l = read_table(spark, sf_dir, "lineitem")
+    avg_price = _dsum(F.col("l_extendedprice")) / F.count(F.lit(1))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(_r(avg_price, 2).alias("average_price"))
+        .orderBy(F.desc("average_price"))
+    )
+
+
+SQL_MULTIKEY_AVG = """
+SELECT l_returnflag, l_linestatus,
+       FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) / COUNT(*) * 100.0 + 0.5) / 100.0
+         AS average_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY average_price DESC
+"""
+
+
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 + P6 (merge:86-87): per-column null-count profile, one row.
+    The testdata has no nulls, so nulls are induced with nullif — which
+    also makes the check sensitive to real counting."""
+    l = read_table(spark, sf_dir, "lineitem").select(
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("discount_nz"),
+        F.nullif(F.col("l_tax"), F.lit(0.0)).alias("tax_nz"),
+        F.col("l_quantity").alias("quantity"),
+    )
+    prof = null_profile(l)
+    return prof.select(*[F.col(c).cast("bigint").alias(c) for c in prof.columns])
+
+
+SQL_NULL_PROFILE = """
+SELECT
+  CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS discount_nz,
+  CAST(SUM(CASE WHEN NULLIF(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tax_nz,
+  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS quantity
+FROM lineitem
+"""
+
+
+def q_drop_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (latest:69): na.drop over a frame with induced nulls; output
+    is the surviving row count + an exact checksum."""
+    l = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.nullif(F.col("l_discount"), F.lit(0.0)).alias("discount_nz"),
+            F.nullif(F.col("l_tax"), F.lit(0.0)).alias("tax_nz"),
+        )
+        .na.drop()
+    )
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("key_checksum"),
+    )
+
+
+SQL_DROP_NULLS = """
+SELECT COUNT(*) AS n_rows, SUM(l_orderkey) AS key_checksum
+FROM (
+  SELECT l_orderkey, NULLIF(l_discount, 0.0) AS d, NULLIF(l_tax, 0.0) AS t
+  FROM lineitem
+)
+WHERE d IS NOT NULL AND t IS NOT NULL
+"""
+
+
+def q_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (merge:106): full-row dropDuplicates on a projection that
+    actually contains duplicates."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    return dedup(o)
+
+
+SQL_DEDUP_ROWS = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set1 (mhw:42-44): schema-aligned UNION ALL of two scans."""
+    e = read_table(spark, sf_dir, "events")
+    early = e.filter(F.hour("ts") < 2).select("event_id", "event_type", "user_id")
+    late = e.filter(F.hour("ts") >= 22).select("event_id", "event_type", "user_id")
+    return union_all(early, late)
+
+
+SQL_UNION_ALL = """
+SELECT event_id, event_type, user_id FROM events WHERE EXTRACT(HOUR FROM ts) < 2
+UNION ALL
+SELECT event_id, event_type, user_id FROM events WHERE EXTRACT(HOUR FROM ts) >= 22
+"""
+
+
+def q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (spp:54-59): point-in-interval join — lineitems shipped within
+    60 days of their order's date, aggregated per priority. The equi key
+    is high-cardinality here so no bucket column is needed; the 4-zone
+    ERCOT variant (bucketed) is exercised in the pipeline tests."""
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("o_window_end"),
+        F.col("o_orderpriority"),
+    )
+    joined = band_join(
+        l, o, left_ts="l_shipdate", right_start="o_orderdate",
+        right_end="o_window_end", on=["l_orderkey"],
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_shipped_60d"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_BAND_JOIN = """
+SELECT o.o_orderpriority, COUNT(*) AS n_shipped_60d
+FROM lineitem l
+JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 60 DAY
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (merge:59-79): distributed as-of join — for each click event,
+    the most recent purchase by the same user at-or-before its
+    timestamp. DuckDB's native ASOF JOIN (backward, inclusive) is the
+    oracle; the reference's pd.merge_asof has identical semantics."""
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(
+        clicks, purchases, on="ts", by=["user_id"], right_ts_alias="purchase_ts"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        _ms(F.col("ts")).alias("click_ts_ms"),
+        F.col("purchase_value"),
+        _ms(F.col("purchase_ts")).alias("purchase_ts_ms"),
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT c.event_id,
+       c.user_id,
+       CAST(epoch_ms(c.ts) AS BIGINT) AS click_ts_ms,
+       p.value AS purchase_value,
+       CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ts_ms
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 generalized: top-3 parts by retail price per brand (rank via
+    window; WindowGroupLimit keeps it a partial sort, no global sort)."""
+    p = read_table(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_retailprice")
+    out = top_k_per_group(
+        p, ["p_brand"], [F.desc("p_retailprice"), F.asc("p_partkey")], k=3
+    )
+    return out.select(
+        "p_brand", "p_partkey", "p_retailprice", F.col("rn").cast("int").alias("rn")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT p_brand, p_partkey, p_retailprice, rn
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
+  FROM part
+)
+WHERE rn <= 3
+"""
+
+
+def q_decimal_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 + P8 (merge:96-99): decimal(10,2) enforcement round-trip."""
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(10,2)").cast("double").alias("price_2dp"),
+        (F.col("l_discount").cast("decimal(10,2)") * 100).cast("double").alias("discount_pct"),
+    )
+
+
+SQL_DECIMAL_CAST = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(10,2)) AS DOUBLE) AS price_2dp,
+       CAST(CAST(l_discount AS DECIMAL(10,2)) * 100 AS DOUBLE) AS discount_pct
+FROM lineitem
+WHERE l_orderkey < 1000
+"""
+
+
+def q_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (spp:49-51): string→timestamp parse (the reference's CSV feeds
+    arrive stringly); formatted out and parsed back, emitted as epoch ms."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    as_str = F.date_format(F.col("o_orderdate").cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+    return o.select(
+        "o_orderkey",
+        as_str.alias("orderdate_str"),
+        _ms(F.to_timestamp(as_str, "yyyy-MM-dd HH:mm:ss")).alias("orderdate_ms"),
+    )
+
+
+SQL_TIMESTAMP_PARSE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate_str,
+       CAST(epoch_ms(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')) AS BIGINT)
+         AS orderdate_ms
+FROM orders
+WHERE o_orderkey < 2000
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry assembly
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Query] = {}
+
+
+def _register(name: str, build, oracle: str | None, survey_ops: str) -> None:
+    QUERIES[name] = Query(name=name, build=build, oracle=oracle, survey_ops=survey_ops)
+
+
+_register("pricing_summary", q_pricing_summary, SQL_PRICING_SUMMARY, "S1 P4 P8 A1 O2")
+_register("avg_by_month", q_avg_by_month, SQL_AVG_BY_MONTH, "A4 O2")
+_register("avg_by_hour", q_avg_by_hour, SQL_AVG_BY_HOUR, "A5 O2")
+_register("mix_percentage", q_mix_percentage, SQL_MIX_PERCENTAGE, "A6 P8")
+_register("multikey_avg", q_multikey_avg, SQL_MULTIKEY_AVG, "A7 O3 P8")
+_register("null_profile", q_null_profile, SQL_NULL_PROFILE, "A2 P6")
+_register("drop_nulls", q_drop_nulls, SQL_DROP_NULLS, "F1")
+_register("dedup_rows", q_dedup_rows, SQL_DEDUP_ROWS, "F2")
+_register("union_all", q_union_all, SQL_UNION_ALL, "Set1")
+_register("band_join", q_band_join, SQL_BAND_JOIN, "J2")
+_register("asof_join", q_asof_join, SQL_ASOF_JOIN, "J1")
+_register("topk_per_group", q_topk_per_group, SQL_TOPK_PER_GROUP, "O3")
+_register("decimal_cast", q_decimal_cast, SQL_DECIMAL_CAST, "P4 P8")
+_register("timestamp_parse", q_timestamp_parse, SQL_TIMESTAMP_PARSE, "P3")
+
+
+def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver smoke entry: the flagship pricing summary."""
+    return q_pricing_summary(spark, sf_dir)
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

@@ -1,0 +1,71 @@
+"""SparkSession factory.
+
+The reference creates bare sessions per script (e.g.
+``PySpark Scripts/pyspark_ercot_merge_fm_load_latest_BQ_archive_csv.py:10-15``)
+with only a BigQuery connector jar configured. Here the session is
+centralized and tuned for the Catalyst/Tungsten execution model:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB the
+  static shuffle-partition guess is always wrong somewhere; AQE fixes
+  it per-stage from runtime statistics.
+- Arrow on — any pandas interop (``applyInPandas`` oracles, pandas
+  UDFs in the multimodal path) moves columnar batches, not rows.
+- Session timezone pinned to UTC — the reference mixes UTC, ``-05:00``
+  offsets and America/Chicago (SURVEY.md §7 hard-part 3); pinning makes
+  timestamp semantics explicit per column instead of ambient.
+- ``spark.sql.shuffle.partitions`` sized from the available cores for
+  local runs; a real cluster would size it from executor count × cores
+  (AQE coalescing makes over-provisioning cheap).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Shuffle-partition default: driver env override, else cpu count."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return max(1, os.cpu_count() or 8)
+
+
+def get_spark(
+    app_name: str = "energydatalake_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[N]`` with N from ``SPARK_GRAFT_CPUS``
+    (falls back to all cores). On a real cluster, pass ``master=None``
+    with ``MASTER`` set by the submitter and this is a no-op.
+    """
+    cores = default_parallelism()
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    n_shuffle = shuffle_partitions if shuffle_partitions is not None else cores
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Files: pack many small files into tasks; split big ones at 128 MiB.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,107 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every registry query on Spark and its oracle SQL on DuckDB over
+the same parquet tables, then compares row count, column names, and an
+order-insensitive value multiset (exact string compare after a
+normalization mirroring what a value-hash would see). Exit code 0 only
+if every declared pair matches.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from decimal import Decimal
+
+sys.path.insert(0, "/root/repo")
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # shortest round-trip repr — exposes any ULP drift
+    if isinstance(v, Decimal):
+        return str(v)
+    return str(v)
+
+
+def _norm_rows(cols: list[str], rows) -> list[str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(",".join(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    from energydatalake_spark.plans.registry import QUERIES
+    from energydatalake_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = 0
+    for name, q in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.build(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = sdf.collect()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if q.oracle is None:
+            print(f"ok*   {name}: rows-only ({len(s_rows)} rows, "
+                  f"{time.time()-t0:.1f}s) — no oracle declared")
+            continue
+        try:
+            rel = con.sql(q.oracle)
+            d_cols = list(rel.columns)
+            d_rows = rel.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+
+        msgs = []
+        if len(s_rows) != len(d_rows):
+            msgs.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            msgs.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if not msgs:
+            ns, nd = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)
+            if ns != nd:
+                diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
+                msgs.append(f"values differ; first diffs: {diff}")
+        if msgs:
+            failures += 1
+            print(f"FAIL  {name}: " + "; ".join(msgs))
+        else:
+            print(f"OK    {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
