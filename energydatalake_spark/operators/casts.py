@@ -22,9 +22,17 @@ def cast_timestamps(
     df: DataFrame, cols: Iterable[str], fmt: str | None = None
 ) -> DataFrame:
     """P3. ``fmt=None`` matches the reference's bare ``to_timestamp``;
-    pass ``"yyyy-MM-dd HH:mm:ssXXX"`` for the offset-aware SPP feed."""
+    pass ``"yyyy-MM-dd HH:mm:ssXXX"`` for the offset-aware SPP feed.
+
+    ``try_to_timestamp``, not ``to_timestamp``: under ANSI mode (Spark 4
+    default) the latter throws on malformed input, while the reference's
+    pipelines rely on unparseable→null→dropped (P3+F1 interaction)."""
     exprs = {
-        c: (F.to_timestamp(F.col(c), fmt) if fmt else F.to_timestamp(F.col(c)))
+        c: (
+            F.try_to_timestamp(F.col(c), F.lit(fmt))
+            if fmt
+            else F.try_to_timestamp(F.col(c))
+        )
         for c in cols
     }
     return df.withColumns(exprs)

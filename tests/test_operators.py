@@ -1,0 +1,157 @@
+"""Unit tests for the §2 operator library on tiny in-memory frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from energydatalake_spark.operators.band import band_join
+from energydatalake_spark.operators.casts import (
+    cast_decimal,
+    cast_float,
+    cast_timestamps,
+)
+from energydatalake_spark.operators.clean import dedup, drop_nulls, null_profile
+from energydatalake_spark.operators.normalize import normalize_columns, normalize_name
+from energydatalake_spark.operators.setops import union_all
+from energydatalake_spark.operators.topk import top_k_per_group
+from energydatalake_spark.operators.aggregates import (
+    avg_by_hour,
+    avg_by_month,
+    mix_percentage,
+    multikey_avg_desc,
+)
+
+
+def test_normalize_name():
+    assert normalize_name("Interval Start") == "interval_start"
+    assert normalize_name("  Wind Speed ") == "wind_speed"
+    assert normalize_name("A  B") == "a_b"
+
+
+def test_normalize_columns(spark):
+    df = spark.createDataFrame([(1, 2)], ["Interval Start", "Load MW"])
+    assert normalize_columns(df).columns == ["interval_start", "load_mw"]
+
+
+def test_casts(spark):
+    df = spark.createDataFrame(
+        [("2024-01-02 03:04:05", "12.345", "9.87")], ["t", "d", "f"]
+    )
+    out = cast_float(cast_decimal(cast_timestamps(df, ["t"]), ["d"]), ["f"]).collect()[0]
+    assert out.t == dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert out.d == Decimal("12.35")  # HALF_UP to 2dp, reference README.md:115
+    assert abs(out.f - 9.87) < 1e-5
+
+
+def test_cast_timestamp_offset_pattern(spark):
+    df = spark.createDataFrame([("2024-01-02 03:04:05-05:00",)], ["t"])
+    out = cast_timestamps(df, ["t"], fmt="yyyy-MM-dd HH:mm:ssXXX").collect()[0]
+    assert out.t == dt.datetime(2024, 1, 2, 8, 4, 5)  # session tz UTC
+
+
+def test_unparseable_timestamp_yields_null(spark):
+    df = spark.createDataFrame([("not a time",), ("2024-01-01 00:00:00",)], ["t"])
+    out = cast_timestamps(df, ["t"]).collect()
+    assert sum(r.t is None for r in out) == 1
+
+
+def test_drop_nulls_and_profile(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 3.0), (None, None)], "a int, b double"
+    )
+    prof = null_profile(df).collect()[0]
+    assert (prof.a, prof.b) == (1, 2)
+    assert drop_nulls(df).count() == 1
+    assert drop_nulls(df, subset=["a"]).count() == 2
+
+
+def test_dedup(spark):
+    df = spark.createDataFrame([(1, "x"), (1, "x"), (1, "y")], "a int, b string")
+    assert dedup(df).count() == 2
+    assert dedup(df, keys=["a"]).count() == 1
+    # idempotence
+    assert dedup(dedup(df)).count() == dedup(df).count()
+
+
+def test_union_all_by_name(spark):
+    a = spark.createDataFrame([(1, "x")], "i int, s string")
+    b = spark.createDataFrame([("y", 2)], "s string, i int")  # swapped order
+    out = union_all(a, b).collect()
+    assert sorted((r.i, r.s) for r in out) == [(1, "x"), (2, "y")]
+
+
+def test_band_join_inclusive_bounds(spark):
+    obs = spark.createDataFrame(
+        [("z1", dt.datetime(2024, 1, 1, 0, 0)), ("z1", dt.datetime(2024, 1, 1, 0, 15)),
+         ("z1", dt.datetime(2024, 1, 1, 0, 16)), ("z2", dt.datetime(2024, 1, 1, 0, 5))],
+        "zone string, t timestamp",
+    )
+    iv = spark.createDataFrame(
+        [("z1", dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 0, 15), 10.0)],
+        "zone string, start timestamp, end timestamp, price double",
+    )
+    out = band_join(
+        obs, iv, left_ts="t", right_start="start", right_end="end", on=["zone"]
+    ).collect()
+    # start and end both inclusive; 0:16 out; z2 same-time different zone out.
+    assert sorted(r.t.minute for r in out) == [0, 15]
+
+
+def test_band_join_bucketed_equals_plain(spark):
+    obs = spark.createDataFrame(
+        [("z1", dt.datetime(2024, 1, 1, h, m)) for h in range(3) for m in (0, 20, 40)],
+        "zone string, t timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            ("z1", dt.datetime(2024, 1, 1, 0, 30), dt.datetime(2024, 1, 1, 1, 30), 1.0),
+            ("z1", dt.datetime(2024, 1, 1, 2, 0), dt.datetime(2024, 1, 1, 2, 20), 2.0),
+        ],
+        "zone string, start timestamp, end timestamp, price double",
+    )
+    plain = band_join(obs, iv, "t", "start", "end", on=["zone"]).collect()
+    bucketed = band_join(obs, iv, "t", "start", "end", on=["zone"], bucket="hour").collect()
+    key = lambda r: (r.zone, r.t, r.price)  # noqa: E731
+    assert sorted(map(key, plain)) == sorted(map(key, bucketed))
+    assert len(plain) == 5  # 0:30-1:30 covers 0:40,1:00,1:20 ; 2:00-2:20 covers 2:00,2:20
+
+
+def test_band_join_ambiguous_raises(spark):
+    a = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], "x int, t timestamp")
+    b = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))],
+        "x int, s timestamp, e timestamp",
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        band_join(a, b, "t", "s", "e")
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i % 3)) for i in range(9)], "g string, i int, v double"
+    )
+    out = top_k_per_group(df, ["g"], [F.desc("v"), F.asc("i")], k=2).collect()
+    assert [(r.i, r.rn) for r in sorted(out, key=lambda r: r.rn)] == [(2, 1), (5, 2)]
+
+
+def test_aggregate_builders(spark):
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 5), 10.0, 2.0, 8.0, "x", "u"),
+            (dt.datetime(2024, 2, 1, 5), 20.0, 2.0, 18.0, "x", "u"),
+            (dt.datetime(2024, 2, 1, 7), 30.0, 10.0, 20.0, "y", "u"),
+        ],
+        "t timestamp, load double, solar double, wind double, a string, b string",
+    )
+    months = {r.month: r.avg_value for r in avg_by_month(df, "t", "load").collect()}
+    assert months == {1: 10.0, 2: 25.0}
+    hours = {r.hour: r.avg_value for r in avg_by_hour(df, "t", "load").collect()}
+    assert hours == {5: 15.0, 7: 30.0}
+    mix = mix_percentage(df, ["solar", "wind"]).collect()[0]
+    assert float(mix.solar_percent) + float(mix.wind_percent) == pytest.approx(100.0)
+    top = multikey_avg_desc(df, ["a", "b"], "load").collect()
+    assert top[0].a == "y" and float(top[0].average_price) == 30.0
