@@ -1,0 +1,348 @@
+"""LLM-data-pipeline queries + generated DuckDB oracle SQL.
+
+The portable hash primitive — first 8 hex chars of md5 cast to bigint —
+is identical in Spark (``conv(substr(md5(x),1,8),16,10)``) and DuckDB
+(``('0x'||substr(md5(x),1,8))::BIGINT``), which lets even MinHash LSH
+and SimHash carry full value-hash oracles instead of rows-only checks.
+
+Floats follow the registry's determinism rules: ratios are divisions of
+identical integers (bit-exact), cosines are rounded at 1e-6 where the
+cross-engine summation drift is ~1e-15.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from energydatalake_spark.io.readers import read_table
+from energydatalake_spark.plans.registry import _r
+from energydatalake_spark.similarity.search import cosine_topk, lsh_topk
+from energydatalake_spark.text.dedup import (
+    exact_dedup,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from energydatalake_spark.text.stats import STOPWORDS, language_id, fingerprints, text_stats
+
+# ---------------------------------------------------------------- text stats
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(read_table(spark, sf_dir, "documents"))
+
+
+def _sql_in_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+SQL_TEXT_STATS = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS nc
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         nc,
+         len(toks) AS nt,
+         len(list_distinct(toks)) AS nu,
+         len(list_filter(toks, x -> x IN ({_sql_in_list(STOPWORDS["en"])}))) AS nstop,
+         nc - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS npunct
+  FROM t
+)
+SELECT doc_id,
+       CAST(nc AS BIGINT) AS n_chars,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CAST(nu AS BIGINT) AS n_uniq_tokens,
+       CAST(nstop AS BIGINT) AS n_stopwords,
+       CAST(nu AS DOUBLE) / nt AS uniq_ratio,
+       CAST(npunct AS DOUBLE) / nc AS punct_ratio,
+       CAST(nstop AS DOUBLE) / nt AS stop_ratio,
+       least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.25
+         + (1 - CAST(npunct AS DOUBLE) / nc) * 0.25
+         + (CAST(nu AS DOUBLE) / nt) * 0.25
+         + least((CAST(nstop AS DOUBLE) / nt) * 10.0, 1.0) * 0.25 AS quality_score
+FROM m
+"""
+
+# ---------------------------------------------------------------- language id
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(read_table(spark, sf_dir, "documents"))
+
+
+def _sql_lang_id() -> str:
+    hit_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x IN ({_sql_in_list(ws)}))) AS hits_{lang}"
+        for lang, ws in sorted(STOPWORDS.items())
+    )
+    langs = sorted(STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = " ".join(
+        f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in langs
+    )
+    hits_out = ",\n       ".join(f"CAST(hits_{lg} AS BIGINT) AS hits_{lg}" for lg in langs)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+         {hit_cols}
+  FROM t
+)
+SELECT doc_id,
+       {hits_out},
+       CASE WHEN {best} <= 0 THEN 'und' {case} ELSE 'und' END AS pred_lang
+FROM h
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+# ---------------------------------------------------------------- fingerprints
+
+FP_N = 5
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(read_table(spark, sf_dir, "documents"), n=FP_N)
+
+
+SQL_FINGERPRINTS = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {FP_N} THEN
+           list_distinct(list_transform(range(1, len(toks) - {FP_N} + 2),
+                                        i -> array_to_string(toks[i:i+{FP_N - 1}], ' ')))
+         ELSE [] END AS sh
+  FROM t
+)
+SELECT t.doc_id,
+       md5(t.text) AS md5_fp,
+       CAST(list_min(list_transform(s.sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS BIGINT)
+         AS min_shingle_fp
+FROM t JOIN s USING (doc_id)
+"""
+
+# ---------------------------------------------------------------- exact dedup
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(read_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+# ---------------------------------------------------------------- minhash LSH
+
+MH_N, MH_BANDS, MH_ROWS, MH_THRESHOLD = 3, 16, 2, 0.5
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = minhash_pairs(
+        read_table(spark, sf_dir, "documents"),
+        n=MH_N,
+        bands=MH_BANDS,
+        rows=MH_ROWS,
+        threshold=MH_THRESHOLD,
+    )
+    return out.select("id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def _sql_minhash() -> str:
+    k = MH_BANDS * MH_ROWS
+    mins = ",\n         ".join(
+        f"MIN(('0x' || substr(md5('{i}:' || shingle), 1, 8))::BIGINT) AS m{i}"
+        for i in range(k)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"m{i}" for i in range(b * MH_ROWS, (b + 1) * MH_ROWS))
+        + ")) AS bh FROM mh"
+        for b in range(MH_BANDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - {MH_N} + 2),
+                                      i -> array_to_string(toks[i:i+{MH_N - 1}], ' '))) AS s
+  FROM t WHERE len(toks) >= {MH_N}
+),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, len(s) AS ns FROM sh),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN ex e1 ON e1.doc_id = c.id_a
+  JOIN ex e2 ON e2.doc_id = c.id_b AND e2.shingle = e1.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       FLOOR(CAST(i.ni AS DOUBLE) / (sa.ns + sb.ns - i.ni) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.ni AS DOUBLE) / (sa.ns + sb.ns - i.ni) >= {MH_THRESHOLD}
+"""
+
+
+SQL_MINHASH_PAIRS = _sql_minhash()
+
+# ------------------------------------------------------------- ngram jaccard
+
+NJ_N, NJ_THRESHOLD = 3, 0.5
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), n=NJ_N, threshold=NJ_THRESHOLD
+    )
+    return out.select("id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - {NJ_N} + 2),
+                                      i -> array_to_string(toks[i:i+{NJ_N - 1}], ' '))) AS s
+  FROM t WHERE len(toks) >= {NJ_N}
+),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(s) AS ns FROM sh),
+inter AS (
+  SELECT e1.doc_id AS id_a, e2.doc_id AS id_b, COUNT(*) AS ni
+  FROM ex e1 JOIN ex e2 ON e1.shingle = e2.shingle AND e1.doc_id < e2.doc_id
+  GROUP BY e1.doc_id, e2.doc_id
+)
+SELECT i.id_a, i.id_b,
+       FLOOR(CAST(i.ni AS DOUBLE) / (sa.ns + sb.ns - i.ni) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.ni AS DOUBLE) / (sa.ns + sb.ns - i.ni) >= {NJ_THRESHOLD}
+"""
+
+# -------------------------------------------------------------------- simhash
+
+SH_BITS = 32
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(read_table(spark, sf_dir, "documents"), bits=SH_BITS)
+
+
+def _sql_simhash() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SH_BITS)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SH_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM votes
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Hamming-banded near-dup pairs (pigeonhole candidate
+    generation is set logic; declared without an oracle to keep the SQL
+    surface honest — simhash values themselves are oracle-checked)."""
+    return simhash_pairs(
+        read_table(spark, sf_dir, "documents"), bits=SH_BITS, max_hamming=3
+    )
+
+
+# ------------------------------------------------------------- similarity
+
+TOPK_K, TOPK_NQ = 10, 5
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=TOPK_K)
+    return out.select(
+        "query_id", "vec_id", _r(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+SQL_SIMILARITY_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {TOPK_NQ}
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+qn AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
+cn AS (SELECT vec_id, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM c),
+scored AS (
+  SELECT query_id, vec_id, list_dot_product(qv, cv) / (qnorm * cnorm) AS cos_raw
+  FROM qn, cn WHERE vec_id != query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id,
+       FLOOR(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+       rank
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: sign-LSH ANN with Hamming-1 multiprobe + exact rerank.
+    The hyperplanes are seeded driver literals — deterministic across
+    runs, but not reasonably expressible as SQL text."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, k=TOPK_K, n_planes=4, dim=64)
+    return out.select(
+        "query_id", "vec_id", _r(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
+    ("text_stats", q_text_stats, SQL_TEXT_STATS, "ext:text-stats"),
+    ("lang_id", q_lang_id, SQL_LANG_ID, "ext:lang-id"),
+    ("doc_fingerprint", q_fingerprints, SQL_FINGERPRINTS, "ext:fingerprint"),
+    ("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, "ext:dedup-exact"),
+    ("minhash_pairs", q_minhash_pairs, SQL_MINHASH_PAIRS, "ext:dedup-minhash-lsh"),
+    ("ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD, "ext:dedup-ngram-jaccard"),
+    ("simhash", q_simhash, SQL_SIMHASH, "ext:dedup-simhash"),
+    ("simhash_pairs", q_simhash_pairs, None, "ext:dedup-simhash-pairs"),
+    ("similarity_topk", q_similarity_topk, SQL_SIMILARITY_TOPK, "ext:ann-bruteforce"),
+    ("similarity_lsh", q_similarity_lsh, None, "ext:ann-lsh"),
+]

@@ -459,6 +459,14 @@ _register("decimal_cast", q_decimal_cast, SQL_DECIMAL_CAST, "P4 P8")
 _register("timestamp_parse", q_timestamp_parse, SQL_TIMESTAMP_PARSE, "P3")
 
 
+# LLM-data-pipeline extension queries (imported late: llm_ops imports
+# helpers from this module).
+from energydatalake_spark.plans import llm_ops  # noqa: E402
+
+for _name, _build, _oracle, _ops in llm_ops.LLM_QUERIES:
+    _register(_name, _build, _oracle, _ops)
+
+
 def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke entry: the flagship pricing summary."""
     return q_pricing_summary(spark, sf_dir)

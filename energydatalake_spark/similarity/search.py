@@ -1,0 +1,163 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two paths, per the standard ANN playbook:
+
+- ``cosine_topk`` — exact brute force: broadcast the (small) query set,
+  score every corpus vector with JVM-side ``zip_with``/``aggregate``
+  (no Python, no UDF), rank per query with a window. At 100 TB this is
+  the per-partition scoring primitive; wall-clock scales with corpus ×
+  queries, so it's the baseline and the rerank stage.
+- ``lsh_topk`` — random-hyperplane LSH: H deterministic hyperplanes
+  (seeded, driver-generated literals) → sign bits → bucket key; probe
+  joins only same-bucket vectors, then exact-cosine rerank. Sub-linear
+  candidate sets at the cost of recall; multi-probe (Hamming-1 buckets)
+  recovers most of it.
+
+Norms are precomputed once per side (``with_norm``) rather than inside
+the pair loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_norm(
+    df: DataFrame, vec_col: str = "embedding", norm_col: str = "norm"
+) -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return df.withColumn(vec_col, v).withColumn(norm_col, F.sqrt(dot(v, v)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, vec_id, cosine, rank), rank 1..k
+    per query, ties broken by corpus id. ``queries`` carries
+    ``query_id_col`` + ``vec_col``; self-matches (same id) are excluded."""
+    c = with_norm(corpus, vec_col, "c_norm").select(
+        F.col(id_col), F.col(vec_col).alias("c_vec"), F.col("c_norm")
+    )
+    q = with_norm(queries, vec_col, "q_norm").select(
+        F.col(query_id_col), F.col(vec_col).alias("q_vec"), F.col("q_norm")
+    )
+    pairs = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+    cos = (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+        "cosine"
+    )
+    scored = pairs.select(F.col(query_id_col), F.col(id_col), cos)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side literals —
+    tiny: n_planes × dim doubles, broadcast with the plan)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _bucket(vec: Column, planes: list[list[float]]) -> Column:
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        for p in planes
+    ]
+    key: Column = F.lit(0).cast("bigint")
+    for i, b in enumerate(bits):
+        key = key + (b.cast("bigint") * F.lit(1 << i))
+    return key
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH bucketing + exact rerank inside the
+    probed buckets. ``multiprobe`` additionally probes all Hamming-1
+    neighbor buckets of each query (n_planes extra probes) — standard
+    recall recovery."""
+    planes = _hyperplanes(dim, n_planes)
+    c = with_norm(corpus, vec_col, "c_norm").select(
+        F.col(id_col),
+        F.col(vec_col).alias("c_vec"),
+        F.col("c_norm"),
+        _bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = with_norm(queries, vec_col, "q_norm").select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("q_vec"),
+        F.col("q_norm"),
+        _bucket(F.col(vec_col), planes).alias("q_bucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("q_bucket"),
+            *[
+                F.col("q_bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    else:
+        q = q.withColumn("bucket", F.col("q_bucket"))
+    pairs = c.join(F.broadcast(q.drop("q_bucket")), "bucket").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    cos = (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+        "cosine"
+    )
+    scored = pairs.select(F.col(query_id_col), F.col(id_col), cos).dropDuplicates(
+        [query_id_col, id_col]
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1,0 +1,261 @@
+"""Deduplication operators for LLM-data pipelines: exact, MinHash+LSH,
+SimHash, and n-gram-Jaccard near-dup detection.
+
+Scale design (the whole point of these ops is the 100 TB corpus):
+
+- **exact_dedup** shuffles only (md5, doc_id) pairs — a 48-byte row per
+  document regardless of document size, thanks to pre-hashing.
+- **minhash_pairs** is the classic shingle→MinHash→band→bucket-join
+  pipeline: signatures are fixed-size (k longs) per doc; the LSH
+  self-join joins on (band index, band hash), so candidate generation
+  never compares non-colliding documents. Verification computes exact
+  shingle Jaccard only for candidates.
+- **simhash** reduces each document to one 32-bit value via bit votes;
+  near-dup buckets come from Hamming distance (bit_count of xor).
+
+Everything is built-in expressions (md5/conv/explode/groupBy) — the
+hash primitive ``first-8-hex-of-md5 → bigint`` is portable to the
+DuckDB oracle, so even these ops get full value-hash correctness
+checks, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from energydatalake_spark.text.stats import shingles
+
+
+def _hash_long(col: Column) -> Column:
+    return F.conv(F.substring(col, 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups: md5-hash the text, keep the minimum id
+    per group as canonical. One shuffle of (hash, id) pairs."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+) -> DataFrame:
+    """k-permutation MinHash signature per document over word n-gram
+    shingles: sig[i] = min over shingles of H(i || ':' || shingle)."""
+    ex = _exploded_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(_hash_long(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))).alias(
+            f"m{i}"
+        )
+        for i in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 16,
+    rows: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH + exact-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥
+    threshold, jaccard computed exactly on distinct shingle sets for
+    LSH candidates only.
+    """
+    k = bands * rows
+    sig = minhash_signatures(df, text_col, id_col, n=n, k=k)
+    # One row per (doc, band) with the band's hash — the LSH bucket key.
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"m{i}").cast("string") for i in range(b * rows, (b + 1) * rows)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    ex = _exploded_shingles(df, text_col, id_col, n)
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    ea = ex.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    eb = ex.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("id_a", "id_b", "jaccard")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, candidates = any shared
+    shingle. Exact (no LSH recall loss) but the shared-shingle join can
+    blow up on boilerplate-heavy corpora — prefer minhash_pairs at
+    scale; this is the precision baseline."""
+    ex = _exploded_shingles(df, text_col, id_col, n)
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    ea = ex.select(F.col(id_col).alias("id_a"), "shingle")
+    eb = ex.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        ea.join(eb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash: per-token portable 32-bit hash, per-bit ±1 votes summed
+    over the token multiset, sign of each vote = fingerprint bit.
+    Near-dup = small Hamming distance (see simhash_pairs)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    h = toks.select(F.col(id_col), _hash_long(F.md5(F.col("tok"))).alias("hv"))
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    fp: Column = F.lit(0).cast("bigint")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation uses the pigeonhole trick: split the
+    fingerprint into bits/band_bits bands; any pair within distance d <
+    #bands must agree exactly on ≥1 band, so the self-join runs on
+    (band index, band value), never all-pairs."""
+    fps = simhash(df, text_col, id_col, bits)
+    nb = bits // band_bits
+    mask = (1 << band_bits) - 1
+    bands = None
+    for b in range(nb):
+        part = fps.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

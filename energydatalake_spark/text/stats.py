@@ -1,0 +1,131 @@
+"""Text-analysis operators for LLM-data pipelines (BASELINE.json
+north-star extension; not present in the reference, which is pure
+energy telemetry).
+
+All expressions are JVM-side built-ins (split/transform/filter/
+aggregate) — no Python UDFs — so they whole-stage-codegen and scale
+linearly with no shuffle (per-row ops) or one map-side-combined
+shuffle (the grouped ones).
+
+Cross-engine notes: token counts and ratios are integer arithmetic +
+one division (bit-identical in DuckDB); fingerprints use md5, which is
+identical everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deterministic and small on purpose: the operator contract is "score
+# languages by stopword hit-rate, argmax with lexicographic tie-break".
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def tokens(text_col: str | Column) -> Column:
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(col, " ")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: char/token counts, average token length,
+    unique-token ratio, punctuation ratio, English-stopword ratio, and
+    a composite quality score in [0,1]."""
+    toks = tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^a-z0-9 ]", ""))
+    stop_list = STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop_list)))
+    uniq_ratio = n_uniq.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_tokens
+    # Composite quality: long enough, low punctuation noise, diverse
+    # vocabulary, some stopword mass (fluent text has function words).
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.25
+        + (1 - punct_ratio) * 0.25
+        + uniq_ratio * 0.25
+        + F.least(stop_ratio * F.lit(10.0), F.lit(1.0)) * 0.25
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_uniq.cast("bigint").alias("n_uniq_tokens"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        uniq_ratio.alias("uniq_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit-rate language ID. Emits per-language hit counts and
+    the argmax prediction ('und' when nothing hits); ties break by
+    lexicographic language code, deterministically in both engines."""
+    toks = tokens(text_col)
+
+    def hit_filter(words):
+        # Closure, not a default arg: PySpark derives lambda arity from
+        # the signature, so an extra defaulted param breaks it.
+        return lambda t: t.isin(*words)
+
+    hits = {
+        lang: F.size(F.filter(toks, hit_filter(words)))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
+    out = [F.col(id_col)]
+    out += [hits[lang].cast("bigint").alias(f"hits_{lang}") for lang in sorted(STOPWORDS)]
+    out.append(pred.alias("pred_lang"))
+    return df.select(*out)
+
+
+def _hex8_to_long(col: Column) -> Column:
+    """First 8 hex chars of an md5 → bigint — the engine-portable hash
+    primitive (DuckDB: ``('0x'||substr(md5(x),1,8))::BIGINT``)."""
+    return F.conv(F.substring(col, 1, 8), 16, 10).cast("bigint")
+
+
+def shingles(text_col: str, n: int) -> Column:
+    """Distinct word n-gram shingles of the named column. Documents
+    shorter than n words yield an empty array (callers filter)."""
+    t = f"split({text_col}, ' ')"
+    # CASE guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0],
+    # so short docs must short-circuit to an empty array instead.
+    return F.expr(
+        f"CASE WHEN size({t}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({t}) - {n} + 1),"
+        f" i -> concat_ws(' ', slice({t}, i, {n})))) "
+        f"ELSE array() END"
+    )
+
+
+def fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """Document fingerprints: full-text md5 plus a winnowing-style
+    min-shingle-hash (the minimum portable hash over word n-gram
+    shingles — robust to local edits, the 1-permutation MinHash)."""
+    sh = shingles(text_col, n)
+    min_shingle = F.array_min(
+        F.transform(sh, lambda s: _hex8_to_long(F.md5(s)))
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("md5_fp"),
+        min_shingle.cast("bigint").alias("min_shingle_fp"),
+    )

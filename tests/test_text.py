@@ -1,0 +1,100 @@
+"""Known-answer tests for the text-analysis / dedup operators."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from energydatalake_spark.text.dedup import (
+    exact_dedup,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from energydatalake_spark.text.stats import fingerprints, language_id, text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and the dog ran"),
+        (2, "the cat sat on the mat and the dog walked"),  # near-dup of 1
+        (3, "completely different words here nothing shared at all today"),
+        (4, "the cat sat on the mat and the dog ran"),  # exact dup of 1
+        (5, "le chat est sur le tapis et le chien"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_text_stats_known(spark, docs):
+    r = {x.doc_id: x for x in text_stats(docs).collect()}
+    d1 = r[1]
+    assert d1.n_tokens == 10
+    assert d1.n_chars == len("the cat sat on the mat and the dog ran")
+    assert d1.n_stopwords == 4  # 'the' ×3 + 'and'
+    assert d1.n_uniq_tokens == 8
+    assert d1.punct_ratio == 0.0
+    assert 0.0 < d1.quality_score <= 1.0
+
+
+def test_language_id(spark, docs):
+    pred = {x.doc_id: x.pred_lang for x in language_id(docs).collect()}
+    assert pred[1] == "en"
+    assert pred[5] == "fr"
+    assert pred[3] == "und"  # no stopwords at all
+
+
+def test_fingerprints(spark, docs):
+    fp = {x.doc_id: x for x in fingerprints(docs, n=5).collect()}
+    expect = hashlib.md5(b"the cat sat on the mat and the dog ran").hexdigest()
+    assert fp[1].md5_fp == expect
+    assert fp[1].md5_fp == fp[4].md5_fp
+    assert fp[1].min_shingle_fp is not None
+    # identical docs → identical rolling fingerprint
+    assert fp[1].min_shingle_fp == fp[4].min_shingle_fp
+
+
+def test_fingerprint_short_doc_null(spark):
+    df = spark.createDataFrame([(1, "too short")], "doc_id bigint, text string")
+    row = fingerprints(df, n=5).collect()[0]
+    assert row.min_shingle_fp is None
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r.canonical_id: r.n_copies for r in exact_dedup(docs).collect()}
+    assert groups[1] == 2  # docs 1 and 4
+    assert groups[2] == 1
+    assert len(groups) == 4
+
+
+def test_minhash_finds_near_dup(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs  # near dup shares most shingles
+    assert all({a, b} != {1, 3} for a, b in pairs)  # unrelated not paired
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert 0.3 <= pairs[(1, 2)] < 1.0
+
+
+def test_simhash_identity_and_pairs(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sh[1] == sh[4]
+    assert 0 <= sh[1] < (1 << 32)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(docs, max_hamming=8).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs  # near-dup within hamming 8
