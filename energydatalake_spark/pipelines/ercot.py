@@ -1,0 +1,246 @@
+"""The six reference pipelines, re-expressed as config-driven Spark
+jobs over local/warehouse directories (SURVEY.md §3).
+
+Parity map (reference script → function here):
+
+- ``pyspark_ercot_load_latest_BQ_archive_csv.py``      → ``load_latest``
+- ``ercot_pyspark_load_historical_BQ_archive_csv.py``  → ``load_historical``
+- ``pyspark_ercot_load_forecast_BQ_archive_csv.py``    → ``load_forecast``
+- ``pyspark_ercot_merge_fm_load_latest_BQ_archive_csv.py`` → ``fm_load_merge``
+  (the driver-side pandas merge_asof, merge:59-79, becomes the
+  distributed as-of join — the main scalability fix)
+- ``test_pyspark_merge_spp_weather.py``                → ``spp_weather_merge``
+- ``mergeHistoricalWeather.py``                        → ``merge_historical_weather``
+  (per-file union loop, mhw:33-44, becomes one directory scan)
+
+Differences by design, all flagged in SURVEY.md:
+empty source = clean no-op (not NameError); dedup applied uniformly
+(reference skips it in load_latest only); single pass per source
+(cache) instead of 4 rescans; sinks are partitioned Parquet/Delta.
+
+Each function returns a small report dict (row counts, null profile)
+— the reference logs the same numbers to stdout for monitoring.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from energydatalake_spark.io.archive import archive_folder
+from energydatalake_spark.io.readers import read_csv_folder
+from energydatalake_spark.io.writers import append_table, overwrite_table, write_csv
+from energydatalake_spark.operators.asof import asof_join
+from energydatalake_spark.operators.band import band_join
+from energydatalake_spark.operators.casts import cast_decimal, cast_float, cast_timestamps
+from energydatalake_spark.operators.clean import dedup, drop_nulls, null_profile
+from energydatalake_spark.operators.normalize import normalize_columns
+
+SPP_TS_FMT = "yyyy-MM-dd HH:mm:ssXXX"  # offset-aware (spp:49-51)
+
+
+@dataclass
+class PipelineConfig:
+    """Local-dir analogue of the reference's GCS-prefix wiring."""
+
+    source_dir: str
+    sink_path: str
+    archive_dir: str
+    source2_dir: str | None = None
+    archive2_dir: str | None = None
+
+
+def _report(df: DataFrame) -> dict:
+    profile = null_profile(df).collect()[0].asDict()
+    return {"rows": df.count(), "null_profile": profile}
+
+
+def _standard_load(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    ts_cols: list[str],
+    dec_cols: list[str],
+    deduplicate: bool,
+) -> dict | None:
+    raw = read_csv_folder(spark, cfg.source_dir)
+    if raw is None:
+        return None  # empty-source no-op (fixes merge:35-51 NameError)
+    df = normalize_columns(raw)
+    df = cast_timestamps(df, ts_cols)
+    df = cast_decimal(df, dec_cols)
+    df = drop_nulls(df)
+    if deduplicate:
+        df = dedup(df)
+    df.cache()  # one materialization feeds report + sink (vs 4 rescans)
+    rep = _report(df)
+    append_table(df, cfg.sink_path, partition_date_col=ts_cols[0])
+    rep["archived"] = archive_folder(cfg.source_dir, cfg.archive_dir)
+    df.unpersist()
+    return rep
+
+
+def load_latest(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
+    """latest:27-117 — scan, normalize, cast (time/interval_start/
+    interval_end + load), clean, append, archive."""
+    return _standard_load(
+        spark,
+        cfg,
+        ts_cols=["time", "interval_start", "interval_end"],
+        dec_cols=["load"],
+        deduplicate=True,  # reference omits dedup here; normalized in rebuild
+    )
+
+
+def load_historical(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
+    """hist:25-117 — same shape + dropDuplicates (hist:69)."""
+    return _standard_load(
+        spark,
+        cfg,
+        ts_cols=["time", "interval_start", "interval_end"],
+        dec_cols=["load"],
+        deduplicate=True,
+    )
+
+
+def load_forecast(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
+    """fcst:26-128 — adds publish_time and the 5 zone measures."""
+    return _standard_load(
+        spark,
+        cfg,
+        ts_cols=["time", "interval_start", "interval_end", "publish_time"],
+        dec_cols=["north", "south", "west", "houston", "system_total"],
+        deduplicate=True,
+    )
+
+
+FM_SOURCE_COLS = [
+    "coal_and_lignite",
+    "hydro",
+    "nuclear",
+    "power_storage",
+    "solar",
+    "wind",
+    "natural_gas",
+    "other",
+]
+
+
+def fm_load_merge(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
+    """merge:29-161 — fuel_mix ⨝asof load on time, then clean + sink.
+
+    The reference collects both feeds to the driver and runs
+    pd.merge_asof single-threaded (merge:59-79). Here the same
+    semantics (backward, inclusive, unmatched-then-dropped) run as a
+    distributed plan via ``asof_join``; everything else is unchanged.
+    """
+    fm_raw = read_csv_folder(spark, cfg.source_dir)
+    load_raw = read_csv_folder(spark, cfg.source2_dir)
+    if fm_raw is None or load_raw is None:
+        return None
+    fm = cast_decimal(
+        cast_timestamps(normalize_columns(fm_raw), ["time"]), FM_SOURCE_COLS
+    ).drop("interval_start", "interval_end")
+    load = cast_decimal(
+        cast_timestamps(normalize_columns(load_raw), ["time"]), ["load"]
+    ).select("time", "load")
+    # Unparseable timestamps became null (P3); drop before the join —
+    # pandas sort_values would have pushed NaT rows to the end, merge_asof
+    # rejects them; the reference's data never hits this path because its
+    # dropna runs after the merge (merge:78). Nulls on the join key are
+    # meaningless either way.
+    fm = fm.filter(F.col("time").isNotNull())
+    load = load.filter(F.col("time").isNotNull())
+    merged = asof_join(fm, load, on="time")
+    merged = dedup(drop_nulls(merged))
+    merged.cache()
+    rep = _report(merged)
+    append_table(merged, cfg.sink_path, partition_date_col="time")
+    rep["archived"] = archive_folder(cfg.source_dir, cfg.archive_dir)
+    rep["archived2"] = archive_folder(cfg.source2_dir, cfg.archive2_dir)
+    merged.unpersist()
+    return rep
+
+
+def spp_weather_merge(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
+    """spp:26-134 — weather observations ⨝band SPP intervals per zone.
+
+    Join condition (spp:54-59): same Location AND weather.Date BETWEEN
+    Interval_Start AND Interval_End, then the typed 12-column projection
+    (spp:62-75) and dedup. The 4-zone equi key is low-cardinality, so
+    ``band_join`` adds an hourly time bucket to the shuffle key — at
+    100 TB that's the difference between 4 streams and 4×N_hours.
+    """
+    spp_raw = read_csv_folder(spark, cfg.source_dir)
+    w_raw = read_csv_folder(spark, cfg.source2_dir)
+    if spp_raw is None or w_raw is None:
+        return None
+    spp = normalize_columns(spp_raw)
+    spp = cast_timestamps(spp, ["time", "interval_start", "interval_end"], SPP_TS_FMT)
+    spp = cast_float(spp, ["spp"]).withColumnRenamed("time", "price_time")
+    weather = normalize_columns(w_raw)
+    weather = cast_timestamps(weather, ["date"], SPP_TS_FMT)
+    weather = cast_float(
+        weather,
+        ["temperature", "temp_min", "temp_max", "pressure", "humidity", "wind_speed"],
+    )
+    joined = band_join(
+        weather,
+        spp,
+        left_ts="date",
+        right_start="interval_start",
+        right_end="interval_end",
+        on=["location"],
+        bucket="hour",
+    )
+    # Typed projection, spp:62-75 (12 output columns).
+    out = joined.select(
+        F.col("location"),
+        F.col("date").alias("weather_time"),
+        "temperature",
+        "temp_min",
+        "temp_max",
+        "pressure",
+        "humidity",
+        "wind_speed",
+        "price_time",
+        "interval_start",
+        "interval_end",
+        "spp",
+    )
+    out = dedup(out)
+    out.cache()
+    rep = _report(out)
+    append_table(out, cfg.sink_path, partition_date_col="weather_time")
+    rep["archived"] = archive_folder(cfg.source_dir, cfg.archive_dir)
+    rep["archived2"] = archive_folder(cfg.source2_dir, cfg.archive2_dir)
+    out.unpersist()
+    return rep
+
+
+def merge_historical_weather(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
+    """mhw:16-105 — merge per-zone weather CSVs, cast date, clean,
+    group-count zones, export CSV + overwrite warehouse table.
+
+    The reference reads each file into its own DataFrame and unions
+    them on the driver (mhw:33-44); a directory scan is the same
+    logical UNION ALL executed as one parallel job.
+    """
+    raw = read_csv_folder(spark, cfg.source_dir)
+    if raw is None:
+        return None
+    df = normalize_columns(raw)
+    df = df.withColumn("date", F.col("date").cast("timestamp"))  # mhw:53
+    df = drop_nulls(df)
+    df.cache()
+    rep = _report(df)
+    rep["zone_counts"] = {
+        r["zone"]: r["count"] for r in df.groupBy("zone").count().collect()
+    }  # mhw:56-58
+    write_csv(df, os.path.join(cfg.sink_path + "_csv"))  # mhw:62-66
+    overwrite_table(df, cfg.sink_path)  # mhw:100-105
+    rep["archived"] = archive_folder(cfg.source_dir, cfg.archive_dir)
+    df.unpersist()
+    return rep

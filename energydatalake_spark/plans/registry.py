@@ -467,6 +467,59 @@ for _name, _build, _oracle, _ops in llm_ops.LLM_QUERIES:
     _register(_name, _build, _oracle, _ops)
 
 
+# ----------------------------------------------------------------- streaming
+
+_STREAM_SEQ = [0]
+
+
+def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming variant of A5 (SURVEY.md §2.9): the events
+    table replayed through a file-source stream into a watermarked
+    1-hour tumbling-window aggregate, driven to completion via a memory
+    sink. Complete mode keeps every window, so the static-replay result
+    equals the batch GROUP BY — which is exactly what the oracle
+    asserts."""
+    import os
+
+    from energydatalake_spark.streaming.windows import (
+        hourly_rollup,
+        run_stream_to_memory,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(path + "*")
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    roll = hourly_rollup(stream, "ts", "value", keys=["event_type"])
+    _STREAM_SEQ[0] += 1
+    result = run_stream_to_memory(
+        spark, roll, f"stream_hourly_{_STREAM_SEQ[0]}", "complete"
+    )
+    return result.select(
+        _ms(F.col("hour_start")).alias("hour_ms"),
+        F.col("event_type"),
+        F.col("n_rows"),
+        _r(F.col("sum_value"), 4).alias("sum_value"),
+        _r(F.col("avg_value"), 4).alias("avg_value"),
+    )
+
+
+SQL_STREAMING_HOURLY = """
+SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
+       event_type,
+       COUNT(*) AS n_rows,
+       FLOOR(SUM(value) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+       FLOOR(AVG(value) * 10000.0 + 0.5) / 10000.0 AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+_register(
+    "streaming_hourly", q_streaming_hourly, SQL_STREAMING_HOURLY, "§2.9 A5 streaming"
+)
+
+
 def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke entry: the flagship pricing summary."""
     return q_pricing_summary(spark, sf_dir)

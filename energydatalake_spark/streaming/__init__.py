@@ -1,1 +1,4 @@
+from energydatalake_spark.streaming.file_queue import stream_folder_to_table
+from energydatalake_spark.streaming.windows import hourly_rollup, run_stream_to_memory
 
+__all__ = ["stream_folder_to_table", "hourly_rollup", "run_stream_to_memory"]

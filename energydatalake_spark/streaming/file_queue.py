@@ -1,0 +1,73 @@
+"""Streaming replacement for the reference's cron + archive file queue
+(SURVEY.md §2.9).
+
+The reference gets incremental processing by cron-firing a batch job
+that reads ALL files under a prefix, appends to the warehouse, then
+copies each file to an archive folder and deletes the original
+(merge:125-161) — write-then-archive, so a crash between the two means
+a duplicate append (at-least-once).
+
+Structured Streaming's file source is the built-in 1:1 replacement:
+the checkpoint records exactly which files each batch consumed
+(exactly-once at the file level even across crashes), and
+``cleanSource=archive`` performs the reference's copy+delete natively.
+``Trigger.AvailableNow`` reproduces "process everything present, then
+stop" — i.e. one cron tick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def stream_folder_to_table(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType | str,
+    sink_path: str,
+    checkpoint_dir: str,
+    archive_dir: str | None = None,
+    transform=None,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """One AvailableNow pass: CSV folder → (transform) → parquet append.
+
+    Returns the number of batches executed. Re-running with the same
+    checkpoint is a no-op for already-seen files — the exactly-once
+    upgrade over the reference's archive loop.
+
+    Archival caveat: Spark's file-source cleaner moves a batch's files
+    when a LATER batch starts, so the last batch of a pass leaves its
+    files in place until the next pass processes something. Bound batch
+    size with ``max_files_per_trigger`` to keep the queue draining.
+    """
+    reader = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if archive_dir is not None:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    stream = reader.csv(source_dir)
+    if transform is not None:
+        stream = transform(stream)
+
+    n_batches = 0
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        batch_df.write.mode("append").parquet(sink_path)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches
