@@ -25,7 +25,17 @@ from energydatalake_spark.text.dedup import (
     simhash,
     simhash_pairs,
 )
-from energydatalake_spark.text.stats import STOPWORDS, language_id, fingerprints, text_stats
+from energydatalake_spark.multimodal.media import attach_fake_media, decode_media
+from energydatalake_spark.similarity.neardup import embedding_near_dup
+from energydatalake_spark.text.stats import (
+    BPE_PATTERN,
+    STOPWORDS,
+    SUBWORD_CHUNK,
+    language_id,
+    fingerprints,
+    text_stats,
+    token_counts,
+)
 
 # ---------------------------------------------------------------- text stats
 
@@ -97,6 +107,29 @@ FROM h
 
 
 SQL_LANG_ID = _sql_lang_id()
+
+# ---------------------------------------------------------------- token count
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(read_table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS ws,
+         regexp_extract_all(text, '{BPE_PATTERN}') AS re_toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+       CAST(len(re_toks) AS BIGINT) AS n_re_tokens,
+       CAST(len(list_distinct(re_toks)) AS BIGINT) AS n_uniq_re_tokens,
+       CAST(COALESCE(list_sum(list_transform(re_toks,
+              x -> CAST(ceil(length(x) / {SUBWORD_CHUNK}.0) AS BIGINT))), 0) AS BIGINT)
+         AS n_subword_est
+FROM t
+"""
 
 # ---------------------------------------------------------------- fingerprints
 
@@ -334,8 +367,68 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- embedding near-dup
+
+ND_THRESHOLD = 0.4
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = embedding_near_dup(
+        read_table(spark, sf_dir, "embeddings"), threshold=ND_THRESHOLD
+    )
+    return out.select("id_a", "id_b", _r(F.col("cosine"), 6).alias("cosine"))
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH m AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       FLOOR(list_dot_product(a.v, b.v) / (a.nm * b.nm) * 1000000.0 + 0.5) / 1000000.0
+         AS cosine
+FROM m a JOIN m b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= {ND_THRESHOLD}
+"""
+
+# ------------------------------------------------------------- multimodal
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline end-to-end: synthesize deterministic media
+    bytes per document, run the mapInPandas decode (Arrow-batched stub
+    codec), emit the typed feature row. The whole chain — encode,
+    binary column, Python batch decode — is value-checked against the
+    oracle recomputing the same md5-derived features in SQL."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = attach_fake_media(docs, "media_id")
+    return decode_media(media)
+
+
+SQL_MULTIMODAL_DECODE = """
+WITH c AS (
+  SELECT doc_id AS media_id,
+         md5('MEDIA:' || md5(CAST(doc_id AS VARCHAR)) || ':' || md5(CAST(doc_id AS VARCHAR)))
+           AS d
+  FROM documents
+)
+SELECT media_id,
+       'image/png' AS mime,
+       CAST(('0x' || substr(d, 1, 4))::BIGINT % 1920 + 1 AS INTEGER) AS width,
+       CAST(('0x' || substr(d, 5, 4))::BIGINT % 1080 + 1 AS INTEGER) AS height,
+       ('0x' || substr(d, 9, 4))::BIGINT / 65535.0 AS mean_luma,
+       substr(d, 1, 8) AS sha_prefix
+FROM c
+"""
+
+
 LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("text_stats", q_text_stats, SQL_TEXT_STATS, "ext:text-stats"),
+    ("token_count", q_token_count, SQL_TOKEN_COUNT, "ext:token-count"),
+    ("dedup_embedding", q_dedup_embedding, SQL_DEDUP_EMBEDDING, "ext:dedup-embedding"),
+    ("multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, "ext:multimodal"),
     ("lang_id", q_lang_id, SQL_LANG_ID, "ext:lang-id"),
     ("doc_fingerprint", q_fingerprints, SQL_FINGERPRINTS, "ext:fingerprint"),
     ("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, "ext:dedup-exact"),

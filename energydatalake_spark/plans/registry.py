@@ -432,6 +432,113 @@ WHERE o_orderkey < 2000
 """
 
 
+def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (mhw:56-58): plain group-count — the reference's zone
+    cardinality check, over the events entity key."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("event_type")
+    )
+
+
+SQL_GROUP_COUNT = """
+SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (merge:76, the commented-out fallback): FULL OUTER equi-join
+    on a time key — daily order counts vs daily shipment counts; days
+    present on only one side survive with a zero on the other."""
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    od = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    ld = l.groupBy(F.col("l_shipdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_shipments")
+    )
+    j = od.join(ld, "day", "outer")
+    return j.select(
+        _ms(F.col("day")).alias("day_ms"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("n_shipments"), F.lit(0)).alias("n_shipments"),
+    )
+
+
+SQL_OUTER_JOIN = """
+SELECT CAST(epoch_ms(COALESCE(od.day, ld.day)) AS BIGINT) AS day_ms,
+       COALESCE(od.n_orders, 0) AS n_orders,
+       COALESCE(ld.n_shipments, 0) AS n_shipments
+FROM (SELECT o_orderdate AS day, COUNT(*) AS n_orders FROM orders GROUP BY 1) od
+FULL OUTER JOIN (SELECT l_shipdate AS day, COUNT(*) AS n_shipments FROM lineitem GROUP BY 1) ld
+  ON od.day = ld.day
+"""
+
+
+def q_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 (open_weather_live_data.py:66): UTC → America/Chicago wall
+    time, DST-aware via the IANA database in both engines."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    chi = F.from_utc_timestamp(F.col("ts"), "America/Chicago")
+    return e.select(
+        "event_id",
+        _ms(F.col("ts")).alias("utc_ms"),
+        F.date_format(chi, "yyyy-MM-dd HH:mm:ss").alias("chicago_wall"),
+        F.hour(chi).cast("int").alias("chicago_hour"),
+    )
+
+
+SQL_TZ_CONVERT = """
+SELECT event_id,
+       CAST(epoch_ms(ts) AS BIGINT) AS utc_ms,
+       strftime(timezone('America/Chicago', timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S')
+         AS chicago_wall,
+       CAST(EXTRACT(HOUR FROM timezone('America/Chicago', timezone('UTC', ts))) AS INTEGER)
+         AS chicago_hour
+FROM events
+WHERE event_id < 5000
+"""
+
+
+def q_normalize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (hist:39, merge:63-64): header normalization ' '→'_' +
+    lowercase. The spaced/cased headers are induced (testdata arrives
+    clean), normalized with ``normalize_columns`` (pure metadata — no
+    projection node), then aggregated under the normalized names."""
+    from energydatalake_spark.operators.normalize import normalize_columns
+
+    e = read_table(spark, sf_dir, "events")
+    spaced = e.select(
+        F.col("event_id").alias("Event Id"),
+        F.col("event_type").alias("Event TYPE"),
+        F.col("user_id").alias("User  Id"),
+    )
+    n = normalize_columns(spaced)  # -> event_id, event_type, user_id
+    return (
+        n.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("id_checksum"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_NORMALIZE_NAMES = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       SUM(event_id) AS id_checksum,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry assembly
 # --------------------------------------------------------------------------
@@ -457,6 +564,10 @@ _register("asof_join", q_asof_join, SQL_ASOF_JOIN, "J1")
 _register("topk_per_group", q_topk_per_group, SQL_TOPK_PER_GROUP, "O3")
 _register("decimal_cast", q_decimal_cast, SQL_DECIMAL_CAST, "P4 P8")
 _register("timestamp_parse", q_timestamp_parse, SQL_TIMESTAMP_PARSE, "P3")
+_register("group_count", q_group_count, SQL_GROUP_COUNT, "A3 O2")
+_register("outer_join", q_outer_join, SQL_OUTER_JOIN, "J3")
+_register("tz_convert", q_tz_convert, SQL_TZ_CONVERT, "P7")
+_register("normalize_names", q_normalize_names, SQL_NORMALIZE_NAMES, "P1")
 
 
 # LLM-data-pipeline extension queries (imported late: llm_ops imports

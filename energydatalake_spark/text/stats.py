@@ -94,6 +94,36 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(*out)
 
 
+# BPE-ish lexer: letter runs, digit runs, single punctuation marks —
+# the pre-tokenization regex shape GPT-2-family BPEs apply before
+# merges. RE2 (DuckDB) and Java regex (Spark) agree on this subset.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+SUBWORD_CHUNK = 4  # crude merge-table stand-in: ≤4-char subword pieces
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting two ways (whitespace + BPE-ish regex) plus a
+    subword estimate (ceil(len/4) pieces per regex token — a
+    deterministic proxy for a merge-table BPE's token count). All
+    JVM-side built-ins: regexp_extract_all / transform / aggregate."""
+    ws = F.split(F.col(text_col), " ")
+    re_toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    n_subword = F.aggregate(
+        F.transform(re_toks, lambda t: F.ceil(F.length(t) / F.lit(float(SUBWORD_CHUNK)))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        F.size(re_toks).cast("bigint").alias("n_re_tokens"),
+        F.size(F.array_distinct(re_toks)).cast("bigint").alias("n_uniq_re_tokens"),
+        n_subword.cast("bigint").alias("n_subword_est"),
+    )
+
+
 def _hex8_to_long(col: Column) -> Column:
     """First 8 hex chars of an md5 → bigint — the engine-portable hash
     primitive (DuckDB: ``('0x'||substr(md5(x),1,8))::BIGINT``)."""

@@ -1,0 +1,68 @@
+"""Embedding near-dup + BPE-ish token counting unit tests."""
+
+from __future__ import annotations
+
+import math
+
+from energydatalake_spark.similarity.neardup import embedding_near_dup
+from energydatalake_spark.text.stats import token_counts
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b): r.cosine for r in df.collect()}
+
+
+def test_embedding_near_dup_known(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [2.0, 0.0]),      # same direction as 1 -> cosine 1.0
+            (3, [1.0, 1.0]),      # 45 degrees  -> cosine ~0.7071
+            (4, [0.0, 1.0]),      # orthogonal to 1/2
+            (5, [-1.0, 0.0]),     # opposite
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = _pairs(embedding_near_dup(emb, threshold=0.7))
+    assert set(got) == {(1, 2), (1, 3), (2, 3), (3, 4)}
+    assert math.isclose(got[(1, 2)], 1.0, abs_tol=1e-12)
+    assert math.isclose(got[(1, 3)], math.sqrt(0.5), abs_tol=1e-12)
+
+
+def test_embedding_near_dup_partition_invariance(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    one = _pairs(embedding_near_dup(emb.coalesce(1), threshold=0.9))
+    many = _pairs(embedding_near_dup(emb.repartition(8), threshold=0.9))
+    assert one == many
+    assert len(one) > 0
+    assert all(a < b for (a, b) in one)
+
+
+def test_embedding_near_dup_zero_vector(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = _pairs(embedding_near_dup(emb, threshold=0.5))
+    assert set(got) == {(2, 3)}  # zero vector matches nothing
+
+
+def test_token_counts_known(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat, sat 42 times!"), (2, ""), (3, "abcdefgh")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in token_counts(df).collect()}
+    # "the cat, sat 42 times!" -> ws: 5 tokens
+    # regex: the, cat, ',', sat, 42, times, '!'  -> 7 tokens, all unique
+    r1 = rows[1]
+    assert r1.n_ws_tokens == 5
+    assert r1.n_re_tokens == 7
+    assert r1.n_uniq_re_tokens == 7
+    # subword ceil(len/4): 1+1+1+1+1+2+1 = 8
+    assert r1.n_subword_est == 8
+    assert rows[2].n_re_tokens == 0 and rows[2].n_subword_est == 0
+    assert rows[3].n_re_tokens == 1 and rows[3].n_subword_est == 2
