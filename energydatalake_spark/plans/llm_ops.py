@@ -186,9 +186,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash() -> str:
+    from energydatalake_spark.text.dedup import PERM_MASK, _perm_constants
+
     k = MH_BANDS * MH_ROWS
+    perm_a, perm_b = _perm_constants(k)
     mins = ",\n         ".join(
-        f"MIN(('0x' || substr(md5('{i}:' || shingle), 1, 8))::BIGINT) AS m{i}"
+        f"MIN(({perm_a[i]} * h0 + {perm_b[i]}) & {PERM_MASK}) AS m{i}"
         for i in range(k)
     )
     band_selects = "\n  UNION ALL\n  ".join(
@@ -209,7 +212,8 @@ ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
 mh AS (
   SELECT doc_id,
          {mins}
-  FROM ex GROUP BY doc_id
+  FROM (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h0 FROM ex)
+  GROUP BY doc_id
 ),
 bands AS (
   {band_selects}

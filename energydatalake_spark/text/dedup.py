@@ -31,6 +31,23 @@ def _hash_long(col: Column) -> Column:
     return F.conv(F.substring(col, 1, 8), 16, 10).cast("bigint")
 
 
+def _perm_constants(k: int, seed: int = 7) -> tuple[list[int], list[int]]:
+    """Deterministic multiply-shift permutation constants for MinHash:
+    h_i(x) = (a_i * x + b_i) mod 2^32, a_i odd < 2^29 (keeps a_i * x
+    < 2^61 — no BIGINT overflow in either engine). One md5 per shingle
+    plus k integer ops replaces k md5 calls per shingle (~k× less
+    hashing on the scan side)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = (rng.integers(1, 1 << 28, size=k) * 2 + 1).tolist()
+    b = rng.integers(0, 1 << 32, size=k).tolist()
+    return [int(x) for x in a], [int(x) for x in b]
+
+
+PERM_MASK = (1 << 32) - 1
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -62,12 +79,18 @@ def minhash_signatures(
     k: int = 32,
 ) -> DataFrame:
     """k-permutation MinHash signature per document over word n-gram
-    shingles: sig[i] = min over shingles of H(i || ':' || shingle)."""
-    ex = _exploded_shingles(df, text_col, id_col, n)
+    shingles: sig[i] = min over shingles of (a_i * md5_32(shingle) + b_i)
+    mod 2^32 — one md5 per shingle, k multiply-shift permutations."""
+    perm_a, perm_b = _perm_constants(k)
+    ex = _exploded_shingles(df, text_col, id_col, n).select(
+        F.col(id_col), _hash_long(F.md5(F.col("shingle"))).alias("h0")
+    )
     aggs = [
-        F.min(_hash_long(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))).alias(
-            f"m{i}"
-        )
+        F.min(
+            (F.lit(perm_a[i]) * F.col("h0") + F.lit(perm_b[i])).bitwiseAND(
+                F.lit(PERM_MASK)
+            )
+        ).alias(f"m{i}")
         for i in range(k)
     ]
     return ex.groupBy(id_col).agg(*aggs)
@@ -89,21 +112,52 @@ def minhash_pairs(
     LSH candidates only.
     """
     k = bands * rows
-    sig = minhash_signatures(df, text_col, id_col, n=n, k=k)
+    perm_a, perm_b = _perm_constants(k)
+    # Explode + shingle-string building is the expensive scan-side work
+    # and is reused by three downstream stages (signatures, set sizes,
+    # exact verify) — persist it instead of recomputing the lineage.
+    # At cluster scale the same role is played by a checkpoint/shuffle
+    # reuse; MEMORY_AND_DISK spills instead of OOMing.
+    from pyspark.storagelevel import StorageLevel
+
+    ex = _exploded_shingles(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hashed = ex.select(
+        F.col(id_col), _hash_long(F.md5(F.col("shingle"))).alias("h0")
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(perm_a[i]) * F.col("h0") + F.lit(perm_b[i])).bitwiseAND(
+                    F.lit(PERM_MASK)
+                )
+            ).alias(f"m{i}")
+            for i in range(k)
+        ]
+    )
     # One row per (doc, band) with the band's hash — the LSH bucket key.
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"m{i}").cast("string") for i in range(b * rows, (b + 1) * rows)]
-        band_rows.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
-            )
+    # A single generator expression, NOT a bands-way union: a union of N
+    # selects over the same aggregate makes Catalyst plan the upstream N
+    # times (exchange reuse is best-effort), an N× scan at scale.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{i}").cast("string")
+                        for i in range(b * rows, (b + 1) * rows)
+                    ],
+                )
+            ).alias("band_hash"),
         )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bh")
+    ).select(F.col(id_col), F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     cand = (
@@ -118,7 +172,6 @@ def minhash_pairs(
         )
         .distinct()
     )
-    ex = _exploded_shingles(df, text_col, id_col, n)
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     ea = ex.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     eb = ex.select(F.col(id_col).alias("id_b"), F.col("shingle"))
@@ -157,7 +210,11 @@ def ngram_jaccard_pairs(
     shingle. Exact (no LSH recall loss) but the shared-shingle join can
     blow up on boilerplate-heavy corpora — prefer minhash_pairs at
     scale; this is the precision baseline."""
-    ex = _exploded_shingles(df, text_col, id_col, n)
+    from pyspark.storagelevel import StorageLevel
+
+    ex = _exploded_shingles(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     ea = ex.select(F.col(id_col).alias("id_a"), "shingle")
     eb = ex.select(F.col(id_col).alias("id_b"), "shingle")
@@ -226,17 +283,25 @@ def simhash_pairs(
     fps = simhash(df, text_col, id_col, bits)
     nb = bits // band_bits
     mask = (1 << band_bits) - 1
-    bands = None
-    for b in range(nb):
-        part = fps.select(
-            F.col(id_col),
-            F.col("simhash"),
+    # Single generator explode (see minhash_pairs: an nb-way union would
+    # re-plan the vote aggregation nb times).
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band"),
             F.shiftright(F.col("simhash"), b * band_bits)
             .bitwiseAND(F.lit(mask))
             .alias("band_val"),
         )
-        bands = part if bands is None else bands.unionByName(part)
+        for b in range(nb)
+    ]
+    bands = fps.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bv")
+    ).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("bv.band").alias("band"),
+        F.col("bv.band_val").alias("band_val"),
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     cand = (
