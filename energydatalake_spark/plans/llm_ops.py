@@ -371,6 +371,73 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS, IVF_PROBE = 16, 4
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a deterministic codebook (first IVF_CELLS vectors),
+    so the whole algorithm — assignment, probing, rerank — is
+    re-expressible in SQL and value-checked, not just rows-counted."""
+    from energydatalake_spark.similarity.search import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=TOPK_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE)
+    return out.select(
+        "query_id", "vec_id", _r(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+SQL_SIMILARITY_IVF = f"""
+WITH m AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cell_id, v AS cv, nm AS cnm FROM m WHERE vec_id < {IVF_CELLS}),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT m.vec_id, cent.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY m.vec_id
+             ORDER BY list_dot_product(m.v, cent.cv) / (m.nm * cent.cnm) DESC, cent.cell_id
+           ) AS rn
+    FROM m, cent
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.vec_id AS query_id, cent.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, cent.cv) / (q.nm * cent.cnm) DESC, cent.cell_id
+           ) AS rn
+    FROM m q, cent WHERE q.vec_id < {TOPK_NQ}
+  ) WHERE rn <= {IVF_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(qm.v, cm.v) / (qm.nm * cm.nm) AS cos_raw
+  FROM probes p
+  JOIN assign a USING (cell_id)
+  JOIN m qm ON qm.vec_id = p.query_id
+  JOIN m cm ON cm.vec_id = a.vec_id
+  WHERE a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id,
+       FLOOR(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+       rank
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
 # ----------------------------------------------------- embedding near-dup
 
 ND_THRESHOLD = 0.4
@@ -442,4 +509,5 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("simhash_pairs", q_simhash_pairs, None, "ext:dedup-simhash-pairs"),
     ("similarity_topk", q_similarity_topk, SQL_SIMILARITY_TOPK, "ext:ann-bruteforce"),
     ("similarity_lsh", q_similarity_lsh, None, "ext:ann-lsh"),
+    ("similarity_ivf", q_similarity_ivf, SQL_SIMILARITY_IVF, "ext:ann-ivf"),
 ]

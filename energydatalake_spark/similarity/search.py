@@ -78,6 +78,86 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
+    probe each query's n_probe nearest cells, exact-rerank inside them.
+
+    ``centroids`` defaults to the first ``n_cells`` corpus vectors by id
+    — a deterministic stand-in for a k-means codebook (swap in trained
+    centroids without touching the flow). Scale shape: the centroid set
+    is broadcast (tiny), cell assignment is a map-side argmax (no
+    shuffle of the corpus beyond the final cell-id equi-join), and the
+    candidate join fans each query out to n_probe/n_cells of the corpus
+    — the classic IVF sub-linear probe. Everything is JVM-side
+    (``aggregate``/``zip_with`` folds + windows), no Python in the path.
+    """
+    from pyspark.sql import Window
+
+    c = with_norm(corpus, vec_col, "c_norm").select(
+        F.col(id_col), F.col(vec_col).alias("c_vec"), F.col("c_norm")
+    )
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_cells)
+    cent = with_norm(centroids, vec_col, "k_norm").select(
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).alias("k_vec"),
+        F.col("k_norm"),
+    )
+    cent_cos = dot(F.col("c_vec"), F.col("k_vec")) / (F.col("c_norm") * F.col("k_norm"))
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc("cent_cos"), F.asc("cell_id")
+    )
+    assigned = (
+        c.join(F.broadcast(cent), how="cross")
+        .withColumn("cent_cos", cent_cos)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("c_vec"), F.col("c_norm"), F.col("cell_id"))
+    )
+    q = with_norm(queries, vec_col, "q_norm").select(
+        F.col(query_id_col), F.col(vec_col).alias("q_vec"), F.col("q_norm")
+    )
+    probe_cos = dot(F.col("q_vec"), F.col("k_vec")) / (F.col("q_norm") * F.col("k_norm"))
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.desc("probe_cos"), F.asc("cell_id")
+    )
+    probes = (
+        q.join(F.broadcast(cent), how="cross")
+        .withColumn("probe_cos", probe_cos)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col(query_id_col), F.col("q_vec"), F.col("q_norm"), F.col("cell_id"))
+    )
+    pairs = assigned.join(F.broadcast(probes), "cell_id").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    cos = (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+        "cosine"
+    )
+    scored = pairs.select(F.col(query_id_col), F.col(id_col), cos)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (driver-side literals —
     tiny: n_planes × dim doubles, broadcast with the plan)."""

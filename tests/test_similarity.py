@@ -55,3 +55,42 @@ def test_lsh_recall_vs_exact(spark):
     for r in approx:
         if (r.query_id, r.vec_id) in exact_cos:
             assert abs(r.cosine - exact_cos[(r.query_id, r.vec_id)]) < 1e-9
+
+
+def test_ivf_recall_vs_exact(spark):
+    from energydatalake_spark.similarity.search import ivf_topk
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = ivf_topk(emb, queries, k=10, n_cells=8, n_probe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # probing half the cells: expect decent but not perfect recall
+    assert sum(recalls) / len(recalls) >= 0.3
+    # every approx hit's cosine must equal the exact pair cosine
+    exact_cos = {(r.query_id, r.vec_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact_cos:
+            assert abs(r.cosine - exact_cos[(r.query_id, r.vec_id)]) < 1e-9
+
+
+def test_ivf_partition_invariance(spark):
+    from energydatalake_spark.similarity.search import ivf_topk
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    one = {(r.query_id, r.vec_id, r.rank) for r in ivf_topk(emb.coalesce(1), queries, k=5).collect()}
+    many = {(r.query_id, r.vec_id, r.rank) for r in ivf_topk(emb.repartition(7), queries, k=5).collect()}
+    assert one == many and len(one) > 0
