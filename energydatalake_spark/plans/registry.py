@@ -631,6 +631,38 @@ _register(
 )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch form; the stateful streaming
+    twin — applyInPandasWithState — is exercised in tests, same
+    semantics)."""
+    from energydatalake_spark.streaming.sessions import sessionize
+
+    e = read_table(spark, sf_dir, "events")
+    out = sessionize(e, gap_minutes=240)
+    return out.select(
+        "user_id",
+        "session_idx",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        _r(F.col("sum_value"), 4).alias("sum_value"),
+    )
+
+
+def _sessionize_oracle() -> str:
+    from energydatalake_spark.streaming.sessions import sessionize_sql
+
+    inner = sessionize_sql(gap_minutes=240)
+    return f"""
+SELECT user_id, session_idx, session_start_us, session_end_us, n_events,
+       FLOOR(sum_value * 10000.0 + 0.5) / 10000.0 AS sum_value
+FROM ({inner})
+"""
+
+
+_register("sessionize", q_sessionize, _sessionize_oracle(), "ext:sessionize")
+
+
 def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke entry: the flagship pricing summary."""
     return q_pricing_summary(spark, sf_dir)

@@ -1,4 +1,16 @@
 from energydatalake_spark.streaming.file_queue import stream_folder_to_table
+from energydatalake_spark.streaming.sessions import (
+    sessionize,
+    sessionize_sql,
+    sessionize_stream,
+)
 from energydatalake_spark.streaming.windows import hourly_rollup, run_stream_to_memory
 
-__all__ = ["stream_folder_to_table", "hourly_rollup", "run_stream_to_memory"]
+__all__ = [
+    "stream_folder_to_table",
+    "hourly_rollup",
+    "run_stream_to_memory",
+    "sessionize",
+    "sessionize_sql",
+    "sessionize_stream",
+]

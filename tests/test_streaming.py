@@ -101,3 +101,96 @@ def test_hourly_rollup_matches_batch(spark):
     expect = {(r.hour_start, r.event_type): r.n_rows for r in batch}
     actual = {(r.hour_start, r.event_type): r.n_rows for r in got.collect()}
     assert actual == expect and len(actual) > 100
+
+
+def _write_session_batch(path, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # parquet TIMESTAMP(MICROS)
+    pdf.to_parquet(path)
+
+
+def test_sessionize_stream_cross_batch_state(spark, tmp_path):
+    """State must carry across micro-batches: events within the gap in a
+    later batch extend the session; a gap-exceeding event closes it and
+    the closed session is emitted with merged counts."""
+    import pandas as pd
+
+    from energydatalake_spark.streaming.sessions import sessionize_stream
+
+    src = tmp_path / "sessions_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    # batch 1: user 1 has two events 1h apart (gap=4h -> same session)
+    _write_session_batch(
+        src / "b1.parquet",
+        [(1, t0, 1.0), (1, t0 + h, 2.0), (2, t0, 5.0)],
+    )
+    # batch 2: user 1 event 2h later (extends session), then one 10h
+    # later (closes it); user 2 event 20h later (closes user 2's).
+    _write_session_batch(
+        src / "b2.parquet",
+        [
+            (1, t0 + 3 * h, 3.0),
+            (1, t0 + 13 * h, 4.0),
+            (2, t0 + 20 * h, 6.0),
+        ],
+    )
+    schema = "user_id bigint, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = sessionize_stream(stream, gap_minutes=240)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r.user_id, r.session_start_us): (r.n_events, r.sum_value)
+        for r in spark.table("t_sessions").collect()
+    }
+    us = lambda t: int(t.value // 1000)
+    # user 1's first session: 3 events (2 from batch 1 + 1 from batch 2)
+    assert rows[(1, us(t0))] == (3, 6.0)
+    # user 2's first session closed by the 20h-later event
+    assert rows[(2, us(t0))] == (1, 5.0)
+    # user 1's @13h session closed by EVENT-TIME TIMEOUT: the watermark
+    # (20h - 1h) passed its gap deadline (13h + 4h)
+    assert rows[(1, us(t0 + 13 * h))] == (1, 4.0)
+    # user 2's @20h session still open: deadline 24h > watermark 19h
+    assert len(rows) == 3
+
+
+def test_sessionize_batch_matches_duckdb(spark):
+    import duckdb
+
+    from energydatalake_spark.streaming.sessions import sessionize, sessionize_sql
+
+    e = read_table(spark, SF_SMOKE, "events")
+    got = {
+        (r.user_id, r.session_idx): (
+            r.session_start_us,
+            r.session_end_us,
+            r.n_events,
+        )
+        for r in sessionize(e, gap_minutes=240).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    expect = {
+        (u, sid): (s0, s1, n)
+        for u, sid, s0, s1, n, _ in con.sql(sessionize_sql(240)).fetchall()
+    }
+    assert got == expect and len(got) > 10
