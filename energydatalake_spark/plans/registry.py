@@ -432,6 +432,48 @@ WHERE o_orderkey < 2000
 """
 
 
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join with broadcast dimensions: lineitem ⨝ orders ⨝
+    customer ⨝ nation, revenue per nation. The fact-fact join (lineitem
+    × orders) shuffles on the high-cardinality orderkey; customer and
+    nation are dimension-sized and broadcast (nation explicitly —
+    25 rows at any scale factor; AQE converts customer). This is the
+    join topology every analytics query at 100 TB reduces to: shuffle
+    the two facts once, broadcast everything else."""
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,8))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+"""
+
+
 def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 (mhw:56-58): plain group-count — the reference's zone
     cardinality check, over the events entity key."""
@@ -564,6 +606,9 @@ _register("asof_join", q_asof_join, SQL_ASOF_JOIN, "J1")
 _register("topk_per_group", q_topk_per_group, SQL_TOPK_PER_GROUP, "O3")
 _register("decimal_cast", q_decimal_cast, SQL_DECIMAL_CAST, "P4 P8")
 _register("timestamp_parse", q_timestamp_parse, SQL_TIMESTAMP_PARSE, "P3")
+_register(
+    "revenue_by_nation", q_revenue_by_nation, SQL_REVENUE_BY_NATION, "J-multiway A6 O3"
+)
 _register("group_count", q_group_count, SQL_GROUP_COUNT, "A3 O2")
 _register("outer_join", q_outer_join, SQL_OUTER_JOIN, "J3")
 _register("tz_convert", q_tz_convert, SQL_TZ_CONVERT, "P7")

@@ -81,3 +81,9 @@ def test_dedup_exact_single_shuffle_of_hashes(spark):
     assert plan.count("Exchange (") == 1
     assert "partial_min" in plan or "partial_count" in plan
     assert "hashpartitioning(text_md5" in plan
+
+
+def test_multiway_join_broadcasts_dimensions(spark):
+    plan = plan_str(_q("revenue_by_nation")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
