@@ -159,7 +159,11 @@ def fm_load_merge(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
     rep = _report(merged)
     append_table(merged, cfg.sink_path, partition_date_col="time")
     rep["archived"] = archive_folder(cfg.source_dir, cfg.archive_dir)
-    rep["archived2"] = archive_folder(cfg.source2_dir, cfg.archive2_dir)
+    # archive2_dir=None → shared queue: another pipeline owns the load
+    # folder's lifecycle (the CLI wires it this way; the reference's two
+    # crons race on the same GCS prefix, README.md:143-148).
+    if cfg.archive2_dir is not None:
+        rep["archived2"] = archive_folder(cfg.source2_dir, cfg.archive2_dir)
     merged.unpersist()
     return rep
 

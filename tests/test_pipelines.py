@@ -128,3 +128,39 @@ def test_merge_historical_weather(spark, env):
     # csv export + parquet sink both present
     assert os.path.isdir(cfg.sink_path + "_csv")
     assert spark.read.parquet(cfg.sink_path).count() == rep["rows"]
+
+
+def test_cli_runner_end_to_end(spark, tmp_path, monkeypatch):
+    """python -m energydatalake_spark --base ... --fixtures: all five
+    pipelines run, warehouse tables exist, rerun is a clean no-op."""
+    import sys
+
+    from energydatalake_spark import __main__ as cli
+    from energydatalake_spark.pipelines.fixtures import generate_all
+
+    base = str(tmp_path / "lake")
+    generate_all(base)
+    configs = cli.build_configs(base)
+    from energydatalake_spark.pipelines import ercot as jobs
+
+    for name in [
+        "fm_load_merge",
+        "load_latest",
+        "load_forecast",
+        "spp_weather_merge",
+        "merge_historical_weather",
+    ]:
+        rep = getattr(jobs, name)(spark, configs[name])
+        assert rep is not None and rep["rows"] > 0, name
+        # second run: queue drained -> no-op
+        assert getattr(jobs, name)(spark, configs[name]) is None, name
+    import os
+
+    assert sorted(os.listdir(os.path.join(base, "warehouse"))) == [
+        "ercot_fm_load_merged",
+        "ercot_load_forecast",
+        "ercot_load_latest",
+        "ercot_spp_weather_merged",
+        "historical_weather_data",
+        "historical_weather_data_csv",
+    ]
