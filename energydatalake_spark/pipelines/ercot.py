@@ -15,8 +15,9 @@ Parity map (reference script → function here):
 
 Differences by design, all flagged in SURVEY.md:
 empty source = clean no-op (not NameError); dedup applied uniformly
-(reference skips it in load_latest only); single pass per source
-(cache) instead of 4 rescans; sinks are partitioned Parquet/Delta.
+(reference skips it in load_latest only); ONE pass per source — metrics
+ride the sink write via ``df.observe`` instead of the reference's 4
+rescans; sinks are partitioned Parquet/Delta.
 
 Each function returns a small report dict (row counts, null profile)
 — the reference logs the same numbers to stdout for monitoring.
@@ -36,7 +37,7 @@ from energydatalake_spark.io.writers import append_table, overwrite_table, write
 from energydatalake_spark.operators.asof import asof_join
 from energydatalake_spark.operators.band import band_join
 from energydatalake_spark.operators.casts import cast_decimal, cast_float, cast_timestamps
-from energydatalake_spark.operators.clean import dedup, drop_nulls, null_profile
+from energydatalake_spark.operators.clean import dedup, drop_nulls
 from energydatalake_spark.operators.normalize import normalize_columns
 
 SPP_TS_FMT = "yyyy-MM-dd HH:mm:ssXXX"  # offset-aware (spp:49-51)
@@ -53,9 +54,28 @@ class PipelineConfig:
     archive2_dir: str | None = None
 
 
-def _report(df: DataFrame) -> dict:
-    profile = null_profile(df).collect()[0].asDict()
-    return {"rows": df.count(), "null_profile": profile}
+def _observed(df: DataFrame) -> tuple[DataFrame, "Observation"]:
+    """Attach row-count + per-column null-count metrics via
+    ``df.observe`` — the reference re-scans its source once per metric
+    (count latest:44, null profile latest:52, SURVEY.md §4 caching row);
+    observed metrics ride along the ONE sink-write action for free."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    metrics = [F.count(F.lit(1)).alias("rows")] + [
+        F.sum(F.col(c).isNull().cast("int")).alias(f"null__{c}") for c in df.columns
+    ]
+    return df.observe(obs, *metrics), obs
+
+
+def _obs_report(obs) -> dict:
+    got = obs.get
+    return {
+        "rows": got["rows"],
+        "null_profile": {
+            k[len("null__"):]: v for k, v in got.items() if k.startswith("null__")
+        },
+    }
 
 
 def _standard_load(
@@ -74,11 +94,10 @@ def _standard_load(
     df = drop_nulls(df)
     if deduplicate:
         df = dedup(df)
-    df.cache()  # one materialization feeds report + sink (vs 4 rescans)
-    rep = _report(df)
+    df, obs = _observed(df)
     append_table(df, cfg.sink_path, partition_date_col=ts_cols[0])
+    rep = _obs_report(obs)  # metrics from the write action — no rescan
     rep["archived"] = archive_folder(cfg.source_dir, cfg.archive_dir)
-    df.unpersist()
     return rep
 
 
@@ -155,16 +174,15 @@ def fm_load_merge(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
     load = load.filter(F.col("time").isNotNull())
     merged = asof_join(fm, load, on="time")
     merged = dedup(drop_nulls(merged))
-    merged.cache()
-    rep = _report(merged)
+    merged, obs = _observed(merged)
     append_table(merged, cfg.sink_path, partition_date_col="time")
+    rep = _obs_report(obs)
     rep["archived"] = archive_folder(cfg.source_dir, cfg.archive_dir)
     # archive2_dir=None → shared queue: another pipeline owns the load
     # folder's lifecycle (the CLI wires it this way; the reference's two
     # crons race on the same GCS prefix, README.md:143-148).
     if cfg.archive2_dir is not None:
         rep["archived2"] = archive_folder(cfg.source2_dir, cfg.archive2_dir)
-    merged.unpersist()
     return rep
 
 
@@ -215,12 +233,11 @@ def spp_weather_merge(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
         "spp",
     )
     out = dedup(out)
-    out.cache()
-    rep = _report(out)
+    out, obs = _observed(out)
     append_table(out, cfg.sink_path, partition_date_col="weather_time")
+    rep = _obs_report(obs)
     rep["archived"] = archive_folder(cfg.source_dir, cfg.archive_dir)
     rep["archived2"] = archive_folder(cfg.source2_dir, cfg.archive2_dir)
-    out.unpersist()
     return rep
 
 
@@ -238,12 +255,15 @@ def merge_historical_weather(spark: SparkSession, cfg: PipelineConfig) -> dict |
     df = normalize_columns(raw)
     df = df.withColumn("date", F.col("date").cast("timestamp"))  # mhw:53
     df = drop_nulls(df)
+    # Three consumers here (zone counts, CSV export, warehouse) — cache
+    # IS the right tool when several actions share one input.
     df.cache()
-    rep = _report(df)
+    df, obs = _observed(df)
+    write_csv(df, os.path.join(cfg.sink_path + "_csv"))  # mhw:62-66
+    rep = _obs_report(obs)
     rep["zone_counts"] = {
         r["zone"]: r["count"] for r in df.groupBy("zone").count().collect()
     }  # mhw:56-58
-    write_csv(df, os.path.join(cfg.sink_path + "_csv"))  # mhw:62-66
     overwrite_table(df, cfg.sink_path)  # mhw:100-105
     rep["archived"] = archive_folder(cfg.source_dir, cfg.archive_dir)
     df.unpersist()
