@@ -36,6 +36,8 @@ PAIR_SCHEMA = T.StructType(
 
 def _normalized_matrix(rows_ids, rows_vecs) -> tuple[np.ndarray, np.ndarray]:
     ids = np.asarray(rows_ids, dtype=np.int64)
+    if len(ids) == 0:
+        return ids, np.zeros((0, 0))
     m = np.asarray([np.asarray(v, dtype=np.float64) for v in rows_vecs])
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0.0] = 1.0  # zero vectors match nothing at any t > 0
@@ -59,7 +61,7 @@ def embedding_near_dup(
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = bc.value
         for pdf in batches:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or len(all_ids) == 0:
                 continue
             ids, block = _normalized_matrix(pdf[id_col].values, pdf[vec_col])
             sims = block @ all_mat.T  # (batch, corpus)

@@ -66,3 +66,8 @@ def test_token_counts_known(spark):
     assert r1.n_subword_est == 8
     assert rows[2].n_re_tokens == 0 and rows[2].n_subword_est == 0
     assert rows[3].n_re_tokens == 1 and rows[3].n_subword_est == 2
+
+
+def test_embedding_near_dup_empty_input(spark):
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert embedding_near_dup(emb, threshold=0.5).count() == 0
