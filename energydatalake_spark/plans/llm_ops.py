@@ -495,6 +495,68 @@ FROM c
 """
 
 
+# ------------------------------------------------------------- corpus prep
+
+CP_MIN_QUALITY = 0.5
+CP_LANG = "en"
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline the individual operators
+    exist for: exact-dedup (keep canonical doc per text hash) →
+    quality-score filter → language filter → surviving corpus with its
+    stats. One scan feeds the dedup aggregate; the survivors join back
+    to stats on doc_id. This is the end-to-end shape of a 100 TB
+    corpus-prep job: every stage is a hash shuffle on a compact key,
+    the text bodies never shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    canonical = exact_dedup(docs).select("canonical_id", "n_copies")
+    stats = text_stats(docs)
+    lang = language_id(docs).select("doc_id", "pred_lang")
+    return (
+        canonical.join(
+            stats, canonical.canonical_id == stats.doc_id
+        )
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("quality_score") >= CP_MIN_QUALITY)
+            & (F.col("pred_lang") == CP_LANG)
+        )
+        .select(
+            "doc_id",
+            "n_copies",
+            "n_tokens",
+            _r(F.col("quality_score"), 6).alias("quality_score"),
+            "pred_lang",
+        )
+    )
+
+
+def _sql_corpus_prep() -> str:
+    lang_sql = SQL_LANG_ID.strip().rstrip(";")
+    stats_sql = SQL_TEXT_STATS.strip()
+    return f"""
+WITH canonical AS (
+  SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+  FROM documents GROUP BY md5(text)
+),
+stats AS ({stats_sql}),
+lang AS ({lang_sql})
+SELECT s.doc_id,
+       c.n_copies,
+       s.n_tokens,
+       FLOOR(s.quality_score * 1000000.0 + 0.5) / 1000000.0 AS quality_score,
+       l.pred_lang
+FROM canonical c
+JOIN stats s ON s.doc_id = c.canonical_id
+JOIN lang l ON l.doc_id = s.doc_id
+WHERE s.quality_score >= {CP_MIN_QUALITY} AND l.pred_lang = '{CP_LANG}'
+"""
+
+
+SQL_CORPUS_PREP = _sql_corpus_prep()
+
+
 LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("text_stats", q_text_stats, SQL_TEXT_STATS, "ext:text-stats"),
     ("token_count", q_token_count, SQL_TOKEN_COUNT, "ext:token-count"),
@@ -510,4 +572,5 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("similarity_topk", q_similarity_topk, SQL_SIMILARITY_TOPK, "ext:ann-bruteforce"),
     ("similarity_lsh", q_similarity_lsh, None, "ext:ann-lsh"),
     ("similarity_ivf", q_similarity_ivf, SQL_SIMILARITY_IVF, "ext:ann-ivf"),
+    ("corpus_prep", q_corpus_prep, SQL_CORPUS_PREP, "ext:corpus-prep composition"),
 ]

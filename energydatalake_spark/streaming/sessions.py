@@ -3,9 +3,10 @@ streaming.
 
 Batch (``sessionize``): the classic windowed formulation — per-key
 lag, boundary flag when the gap is exceeded, running sum of boundaries
-as the session index, then one grouped aggregate per session. Two
-shuffles total (both on the entity key), order-invariant under
-timestamp ties, and expressible 1:1 in ANSI SQL for the oracle.
+as the session index, then one grouped aggregate per session. ONE
+shuffle total: the windows and the final (key, sid) aggregate all
+reuse the same key hash partitioning (audited in tests/test_plans.py).
+Order-invariant under timestamp ties, expressible 1:1 in ANSI SQL.
 
 Streaming (``sessionize_stream``): the same semantics as a custom
 stateful operator over ``applyInPandasWithState`` — per-key state

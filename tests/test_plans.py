@@ -87,3 +87,23 @@ def test_multiway_join_broadcasts_dimensions(spark):
     plan = plan_str(_q("revenue_by_nation")(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    # windows (lag, running sum) and the final (key, sid) aggregate all
+    # reuse one hash partitioning on the entity key
+    plan = plan_str(_q("sessionize")(spark, SF_SMOKE))
+    assert plan.count("Exchange (") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_outer_join_is_sort_merge(spark):
+    plan = plan_str(_q("outer_join")(spark, SF_SMOKE))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_prep_no_cartesian(spark):
+    plan = plan_str(_q("corpus_prep")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
