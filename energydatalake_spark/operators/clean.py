@@ -30,6 +30,32 @@ def dedup(df: DataFrame, keys: Iterable[str] | None = None) -> DataFrame:
     return df.dropDuplicates(list(keys)) if keys is not None else df.dropDuplicates()
 
 
+def dedup_latest(
+    df: DataFrame,
+    keys: Iterable[str],
+    order_col: str,
+    tiebreak: Iterable[str] = (),
+) -> DataFrame:
+    """Keyed dedup keeping the LATEST row per key by ``order_col`` (the
+    CDC / re-ingested-feed shape: the reference's at-least-once archive
+    loop can append the same interval twice; this keeps one
+    deterministic winner). ``tiebreak`` columns break order ties
+    ascending — with them, fully deterministic.
+
+    One shuffle on the keys; ``row_number`` is planned as a
+    WindowGroupLimit (per-partition top-1, no global sort)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def null_profile(df: DataFrame) -> DataFrame:
     """A2: single-row DataFrame of per-column null counts.
 

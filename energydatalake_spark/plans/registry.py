@@ -474,6 +474,30 @@ ORDER BY revenue DESC, n.n_name
 """
 
 
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 at-scale variant: keyed dedup keeping the latest row per key
+    (re-ingest/CDC shape). One shuffle on the key; window planned as a
+    per-partition top-1 (WindowGroupLimit), no global sort."""
+    from energydatalake_spark.operators.clean import dedup_latest
+
+    e = read_table(spark, sf_dir, "events")
+    out = dedup_latest(e, keys=["user_id"], order_col="ts", tiebreak=["event_id"])
+    return out.select(
+        "user_id", "event_id", _ms(F.col("ts")).alias("ts_ms"), "value"
+    )
+
+
+SQL_DEDUP_LATEST = """
+SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id
+  ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 (mhw:56-58): plain group-count — the reference's zone
     cardinality check, over the events entity key."""
@@ -600,6 +624,7 @@ _register("multikey_avg", q_multikey_avg, SQL_MULTIKEY_AVG, "A7 O3 P8")
 _register("null_profile", q_null_profile, SQL_NULL_PROFILE, "A2 P6")
 _register("drop_nulls", q_drop_nulls, SQL_DROP_NULLS, "F1")
 _register("dedup_rows", q_dedup_rows, SQL_DEDUP_ROWS, "F2")
+_register("dedup_latest", q_dedup_latest, SQL_DEDUP_LATEST, "F2-keyed")
 _register("union_all", q_union_all, SQL_UNION_ALL, "Set1")
 _register("band_join", q_band_join, SQL_BAND_JOIN, "J2")
 _register("asof_join", q_asof_join, SQL_ASOF_JOIN, "J1")
