@@ -134,7 +134,15 @@ def asof_join(
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
     unioned, _ = _tagged_union(left, right, on, by, rvals)
     if by:
-        w = Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+        # Trailing payload sort key: when several right rows share a
+        # timestamp (re-ingested feed before dedup), the running fill
+        # must pick a DETERMINISTIC winner — max payload by struct
+        # order, not whichever row the shuffle delivered last.
+        # (pd.merge_asof's "last in input order" is not a definable
+        # rule for distributed input.)
+        w = Window.partitionBy(*by).orderBy(
+            F.col(on).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc()
+        )
         return _fill_and_project(
             unioned, left.columns, on, rvals, w, tolerance_seconds, right_ts_alias
         )
@@ -194,7 +202,13 @@ def _global_asof(
     per_bucket_last = (
         bucketed.filter(F.col(_SIDE) == 0)
         .groupBy(_BUCKET)
-        .agg(F.max_by(_PAYLOAD, F.col(on)).alias("__last"))
+        # max over (ts, payload) struct: deterministic under ts ties
+        # (same rule as the keyed window's trailing payload sort key)
+        .agg(
+            F.max(
+                F.struct(F.col(on).alias("o"), F.col(_PAYLOAD).alias("p"))
+            )["p"].alias("__last")
+        )
     )
     # Carry over EVERY bucket id (not only buckets containing right rows):
     # a left-only bucket must still inherit the latest earlier payload.
@@ -225,7 +239,9 @@ def _global_asof(
         ],
     )
     union_seeded = bucketed.unionByName(seed.select(bucketed.columns))
-    w = Window.partitionBy(_BUCKET).orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+    w = Window.partitionBy(_BUCKET).orderBy(
+        F.col(on).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc()
+    )
     return _fill_and_project(
         union_seeded, left_cols, on, rvals, w, tolerance_seconds, right_ts_alias
     )

@@ -49,6 +49,12 @@ def band_join(
     dup = set(left.columns) & set(right.columns) - set(on)
     if dup:
         raise ValueError(f"ambiguous columns (rename before join): {sorted(dup)}")
+    if bucket is not None and how.replace("_", "") not in ("inner", "left", "leftouter"):
+        # The right side is exploded per overlapped bucket; an unmatched
+        # right interval would surface once PER BUCKET under right/full
+        # outer semantics. Left rows are never exploded, so inner/left
+        # are exact.
+        raise ValueError(f"bucket mode supports inner/left joins, not {how!r}")
 
     l, r = left, right
     join_keys = list(on)

@@ -39,6 +39,18 @@ def salted_join(
     and the small side replicated ``n_salts``×. Output columns follow
     Spark's usual join-on-names contract (join keys appear once)."""
     on = list(on)
+    if how.replace("_", "") not in (
+        "inner",
+        "left",
+        "leftouter",
+        "leftsemi",
+        "leftanti",
+        "semi",
+        "anti",
+    ):
+        # right/full outer would emit each unmatched replicated small-side
+        # row n_salts times; large-side-preserving joins are exact.
+        raise ValueError(f"salted_join supports inner/left-side joins, not {how!r}")
     salted_large = large.withColumn(
         _SALT, (F.rand(seed=42) * n_salts).cast("int")
     )

@@ -107,7 +107,9 @@ def ivf_topk(
         F.col(id_col), F.col(vec_col).alias("c_vec"), F.col("c_norm")
     )
     if centroids is None:
-        centroids = corpus.filter(F.col(id_col) < n_cells)
+        # First n_cells vectors by id — deterministic for ANY id space
+        # (dense, sparse, hashed), not just 0-based.
+        centroids = corpus.orderBy(F.col(id_col)).limit(n_cells)
     cent = with_norm(centroids, vec_col, "k_norm").select(
         F.col(id_col).alias("cell_id"),
         F.col(vec_col).alias("k_vec"),

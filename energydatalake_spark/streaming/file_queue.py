@@ -17,6 +17,8 @@ stop" — i.e. one cron tick.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -59,9 +61,17 @@ def stream_folder_to_table(
     n_batches = 0
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # Idempotent-by-batch: each epoch owns a batch=<id> directory and
+        # OVERWRITES it. A crash between this write and the checkpoint
+        # commit replays the same epoch into the same directory — no
+        # duplicate rows, closing the write-then-commit gap a plain
+        # append would reopen (the reference's at-least-once failure
+        # mode). Delta/Iceberg get the same via txn-id'd appends.
         nonlocal n_batches
         n_batches += 1
-        batch_df.write.mode("append").parquet(sink_path)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(sink_path, f"batch={epoch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(sink)

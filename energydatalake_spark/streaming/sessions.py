@@ -158,18 +158,30 @@ def sessionize_stream(
                 cur = list(state.get)
             else:
                 cur = None
-            rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
-            if len(rows):
+            chunks = [p for p in pdfs if len(p)]  # iterator: always truthy
+            rows = pd.concat(chunks) if chunks else None
+            if rows is not None:
                 rows = rows.sort_values("__us")
                 for us, val in zip(rows["__us"], rows[value_col]):
                     us = int(us)
                     val = float(val)
                     if cur is None:
                         cur = [us, us, 1, val]
-                    elif us - cur[1] > gap_us:
+                    elif us > cur[1] and us - cur[1] > gap_us:
                         closed.append((user, cur[0], cur[1], cur[2], cur[3]))
                         cur = [us, us, 1, val]
+                    elif us < cur[0] - gap_us:
+                        # In-watermark late event older than the open
+                        # session by more than the gap: its own (already
+                        # closed) session. Batch would merge any events
+                        # between it and cur[0]; those are gone from
+                        # state — the documented late-data approximation.
+                        closed.append((user, us, us, 1, val))
                     else:
+                        # Extend the session in either direction: a late
+                        # event within the gap LOWERS the start (batch
+                        # parity), a newer one raises the end.
+                        cur[0] = min(cur[0], us)
                         cur[1] = max(cur[1], us)
                         cur[2] += 1
                         cur[3] += val

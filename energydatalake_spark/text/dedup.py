@@ -24,11 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from energydatalake_spark.text.stats import _hex8_to_long as _hash_long
 from energydatalake_spark.text.stats import shingles
-
-
-def _hash_long(col: Column) -> Column:
-    return F.conv(F.substring(col, 1, 8), 16, 10).cast("bigint")
 
 
 def _perm_constants(k: int, seed: int = 7) -> tuple[list[int], list[int]]:
@@ -282,6 +279,13 @@ def simhash_pairs(
     (band index, band value), never all-pairs."""
     fps = simhash(df, text_col, id_col, bits)
     nb = bits // band_bits
+    if max_hamming >= nb:
+        # Pigeonhole guarantee requires distance < number of bands —
+        # otherwise a pair can differ in every band and never collide.
+        raise ValueError(
+            f"max_hamming={max_hamming} needs < {nb} bands "
+            f"(bits={bits}, band_bits={band_bits}); lower band_bits"
+        )
     mask = (1 << band_bits) - 1
     # Single generator explode (see minhash_pairs: an nb-way union would
     # re-plan the vote aggregation nb times).

@@ -94,7 +94,7 @@ def test_simhash_identity_and_pairs(spark, docs):
     assert 0 <= sh[1] < (1 << 32)
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in simhash_pairs(docs, max_hamming=8).collect()
+        for r in simhash_pairs(docs, max_hamming=8, band_bits=2).collect()
     }
     assert pairs[(1, 4)] == 0
     assert (1, 2) in pairs  # near-dup within hamming 8
