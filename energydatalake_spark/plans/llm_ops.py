@@ -309,13 +309,34 @@ SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM votes
 SQL_SIMHASH = _sql_simhash()
 
 
+SP_MAX_HAMMING = 3
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: Hamming-banded near-dup pairs (pigeonhole candidate
-    generation is set logic; declared without an oracle to keep the SQL
-    surface honest — simhash values themselves are oracle-checked)."""
     return simhash_pairs(
-        read_table(spark, sf_dir, "documents"), bits=SH_BITS, max_hamming=3
+        read_table(spark, sf_dir, "documents"),
+        bits=SH_BITS,
+        max_hamming=SP_MAX_HAMMING,
     )
+
+
+def _sql_simhash_pairs() -> str:
+    """Exact oracle for the pigeonhole-banded pairs: with max_hamming <
+    #bands, every pair within the distance bound MUST collide on at
+    least one band, so the banded Spark plan returns exactly the
+    brute-force Hamming-ball result — which IS expressible as all-pairs
+    SQL over the (already oracle-checked) simhash values."""
+    sh = _sql_simhash().strip()
+    return f"""
+WITH sh AS ({sh})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SP_MAX_HAMMING}
+"""
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
 
 
 # ------------------------------------------------------------- similarity
@@ -357,18 +378,81 @@ FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
+LSH_PLANES, LSH_DIM = 4, 64
+
+
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: sign-LSH ANN with Hamming-1 multiprobe + exact rerank.
-    The hyperplanes are seeded driver literals — deterministic across
-    runs, but not reasonably expressible as SQL text."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < TOPK_NQ).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_topk(emb, queries, k=TOPK_K, n_planes=4, dim=64)
+    out = lsh_topk(emb, queries, k=TOPK_K, n_planes=LSH_PLANES, dim=LSH_DIM)
     return out.select(
         "query_id", "vec_id", _r(F.col("cosine"), 6).alias("cosine"), "rank"
     )
+
+
+def _sql_similarity_lsh() -> str:
+    """The hyperplanes are seeded driver literals (seed 42) — embed the
+    same 4×64 doubles in the SQL (repr round-trips bit-exactly through
+    DuckDB's literal parser) and replicate sign-bucketing, Hamming-1
+    multiprobe, and exact rerank. Sign tests are FP-robust here: |dot|
+    for 64-d standard-normal planes is O(1), engine summation drift is
+    ~1e-15."""
+    from energydatalake_spark.similarity.search import _hyperplanes
+
+    planes = _hyperplanes(LSH_DIM, LSH_PLANES)
+
+    def bucket_expr(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, "
+            f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    probe_list = ", ".join(
+        ["qbucket"] + [f"xor(qbucket, {1 << i})" for i in range(LSH_PLANES)]
+    )
+    return f"""
+WITH m AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+  FROM embeddings
+),
+cb AS (SELECT vec_id, v, nm, {bucket_expr('v')} AS bucket FROM m),
+qb AS (
+  SELECT vec_id AS query_id, v AS qv, nm AS qnm, {bucket_expr('v')} AS qbucket
+  FROM m WHERE vec_id < {TOPK_NQ}
+),
+probes AS (
+  SELECT query_id, unnest([{probe_list}]) AS bucket FROM qb
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id
+  FROM probes p JOIN cb c USING (bucket)
+  WHERE c.vec_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_dot_product(q.qv, c.v) / (q.qnm * c.nm) AS cos_raw
+  FROM cand
+  JOIN qb q ON q.query_id = cand.query_id
+  JOIN m c ON c.vec_id = cand.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id,
+       FLOOR(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+       rank
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
+SQL_SIMILARITY_LSH = _sql_similarity_lsh()
 
 
 IVF_CELLS, IVF_PROBE = 16, 4
@@ -568,9 +652,9 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("minhash_pairs", q_minhash_pairs, SQL_MINHASH_PAIRS, "ext:dedup-minhash-lsh"),
     ("ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD, "ext:dedup-ngram-jaccard"),
     ("simhash", q_simhash, SQL_SIMHASH, "ext:dedup-simhash"),
-    ("simhash_pairs", q_simhash_pairs, None, "ext:dedup-simhash-pairs"),
+    ("simhash_pairs", q_simhash_pairs, SQL_SIMHASH_PAIRS, "ext:dedup-simhash-pairs"),
     ("similarity_topk", q_similarity_topk, SQL_SIMILARITY_TOPK, "ext:ann-bruteforce"),
-    ("similarity_lsh", q_similarity_lsh, None, "ext:ann-lsh"),
+    ("similarity_lsh", q_similarity_lsh, SQL_SIMILARITY_LSH, "ext:ann-lsh"),
     ("similarity_ivf", q_similarity_ivf, SQL_SIMILARITY_IVF, "ext:ann-ivf"),
     ("corpus_prep", q_corpus_prep, SQL_CORPUS_PREP, "ext:corpus-prep composition"),
 ]

@@ -256,12 +256,12 @@ def q_drop_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return l.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("l_orderkey").alias("key_checksum"),
+        F.sum("l_orderkey").cast("bigint").alias("key_checksum"),
     )
 
 
 SQL_DROP_NULLS = """
-SELECT COUNT(*) AS n_rows, SUM(l_orderkey) AS key_checksum
+SELECT COUNT(*) AS n_rows, CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
 FROM (
   SELECT l_orderkey, NULLIF(l_discount, 0.0) AS d, NULLIF(l_tax, 0.0) AS t
   FROM lineitem
@@ -587,7 +587,7 @@ def q_normalize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("event_id").alias("id_checksum"),
+            F.sum("event_id").cast("bigint").alias("id_checksum"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("event_type")
@@ -597,7 +597,7 @@ def q_normalize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NORMALIZE_NAMES = """
 SELECT event_type,
        COUNT(*) AS n_rows,
-       SUM(event_id) AS id_checksum,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY event_type

@@ -38,6 +38,50 @@ def _norm_rows(cols: list[str], rows) -> list[str]:
     return sorted(",".join(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+# Spark simpleString dtype -> equivalent DuckDB type name.  Anything not in
+# this map (arrays, structs, maps) is skipped by the type check — the value
+# compare still covers it.  The driver's gate hashes TYPED values, so a
+# DuckDB HUGEINT vs Spark BIGINT mismatch fails there even when the numbers
+# agree; this check surfaces that class of bug locally (round-1 lesson:
+# drop_nulls / normalize_names).
+_SPARK_TO_DUCK = {
+    "tinyint": {"TINYINT"},
+    "smallint": {"SMALLINT"},
+    "int": {"INTEGER"},
+    "bigint": {"BIGINT"},
+    "float": {"FLOAT"},
+    "double": {"DOUBLE"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+    "binary": {"BLOB"},
+}
+
+
+def _type_mismatches(sdf, con, oracle_sql: str) -> list[str]:
+    duck_types = {
+        r[0]: r[1]
+        for r in con.sql(f"DESCRIBE {oracle_sql}").fetchall()
+    }
+    msgs = []
+    for field in sdf.schema.fields:
+        s_t = field.dataType.simpleString()
+        d_t = duck_types.get(field.name)
+        if d_t is None:
+            continue
+        if s_t.startswith("decimal"):
+            want = s_t.upper().replace("DECIMAL", "DECIMAL")
+            if d_t.replace(" ", "") != want.replace(" ", ""):
+                msgs.append(f"{field.name}: spark {s_t} vs duckdb {d_t}")
+            continue
+        expected = _SPARK_TO_DUCK.get(s_t)
+        if expected is not None and d_t not in expected:
+            msgs.append(f"{field.name}: spark {s_t} vs duckdb {d_t}")
+    return msgs
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -88,6 +132,10 @@ def main() -> int:
             msgs.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
             msgs.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        else:
+            t_msgs = _type_mismatches(sdf, con, q.oracle)
+            if t_msgs:
+                msgs.append("types: " + "; ".join(t_msgs))
         if not msgs:
             ns, nd = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)
             if ns != nd:
