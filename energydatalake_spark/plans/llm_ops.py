@@ -26,7 +26,10 @@ from energydatalake_spark.text.dedup import (
     simhash_pairs,
 )
 from energydatalake_spark.multimodal.media import attach_fake_media, decode_media
-from energydatalake_spark.similarity.neardup import embedding_near_dup
+from energydatalake_spark.similarity.neardup import (
+    embedding_near_dup,
+    embedding_near_dup_lsh,
+)
 from energydatalake_spark.text.stats import (
     BPE_PATTERN,
     STOPWORDS,
@@ -547,6 +550,69 @@ FROM m a JOIN m b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= {ND_THRESHOLD}
 """
 
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = embedding_near_dup_lsh(
+        read_table(spark, sf_dir, "embeddings"),
+        threshold=ND_THRESHOLD,
+        n_planes=LSH_PLANES,
+        dim=LSH_DIM,
+    )
+    return out.select("id_a", "id_b", _r(F.col("cosine"), 6).alias("cosine"))
+
+
+def _sql_dedup_embedding_lsh() -> str:
+    """Replicates the sign-LSH candidate generation exactly (same seeded
+    hyperplane literals as _sql_similarity_lsh), then the exact-cosine
+    rerank and threshold — the approximate operator still gets a full
+    value-hash oracle because every source of randomness is a driver
+    literal."""
+    from energydatalake_spark.similarity.search import _hyperplanes
+
+    planes = _hyperplanes(LSH_DIM, LSH_PLANES)
+
+    def bucket_expr(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, "
+            f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(LSH_PLANES)]
+    )
+    return f"""
+WITH m AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm0
+  FROM embeddings
+),
+g AS (
+  SELECT id, v, CASE WHEN nm0 = 0 THEN 1.0 ELSE nm0 END AS nm,
+         {bucket_expr('v')} AS bucket
+  FROM m
+),
+a AS (
+  SELECT id AS id_a, unnest([{probe_list}]) AS bucket FROM g
+),
+cand AS (
+  SELECT DISTINCT a.id_a, b.id AS id_b
+  FROM a JOIN g b USING (bucket)
+  WHERE a.id_a < b.id
+)
+SELECT c.id_a, c.id_b,
+       FLOOR(list_dot_product(ga.v, gb.v) / (ga.nm * gb.nm) * 1000000.0 + 0.5)
+         / 1000000.0 AS cosine
+FROM cand c
+JOIN g ga ON ga.id = c.id_a
+JOIN g gb ON gb.id = c.id_b
+WHERE list_dot_product(ga.v, gb.v) / (ga.nm * gb.nm) >= {ND_THRESHOLD}
+"""
+
+
+SQL_DEDUP_EMBEDDING_LSH = _sql_dedup_embedding_lsh()
+
 # ------------------------------------------------------------- multimodal
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,6 +711,8 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("text_stats", q_text_stats, SQL_TEXT_STATS, "ext:text-stats"),
     ("token_count", q_token_count, SQL_TOKEN_COUNT, "ext:token-count"),
     ("dedup_embedding", q_dedup_embedding, SQL_DEDUP_EMBEDDING, "ext:dedup-embedding"),
+    ("dedup_embedding_lsh", q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH,
+     "ext:dedup-embedding-lsh scale path"),
     ("multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, "ext:multimodal"),
     ("lang_id", q_lang_id, SQL_LANG_ID, "ext:lang-id"),
     ("doc_fingerprint", q_fingerprints, SQL_FINGERPRINTS, "ext:fingerprint"),

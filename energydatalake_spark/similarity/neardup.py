@@ -4,15 +4,22 @@ of the dedup family: exact / minhash / simhash / ngram — see
 
 Semantics: all pairs (id_a < id_b) whose cosine similarity ≥ threshold.
 
-Scale design: the corpus matrix is L2-normalized once and broadcast;
-scoring is a blocked matrix product inside ``mapInPandas`` (Arrow in,
-NumPy BLAS per block, Arrow out) — each task scores its partition's
-rows against the broadcast matrix without shuffling vectors. This is
-the same shape as a broadcast hash join: it holds while one side fits
-in executor memory (~10M × 64-dim float32 ≈ 2.5 GB). Beyond that,
-compose with an LSH/IVF pre-filter (``lsh_topk`` buckets or
-``ivf_assign``) so each block only scores same-bucket candidates —
-the O(n²) term is the algorithm, not this implementation.
+Scale design — two tiers, both fully distributed (no driver
+materialization of the corpus anywhere):
+
+- ``embedding_near_dup`` — EXACT all-pairs via a block-pair join: each
+  vector lands in one of B blocks (``pmod(id, B)``); every unordered
+  block pair (bi ≤ bj) becomes one ``applyInPandas`` group scoring
+  block-bi rows against block-bj rows with a NumPy BLAS product. One
+  shuffle of n·B rows; per-task memory is ~2n/B vectors, tuned by
+  ``n_blocks``. The O(n²) compute is the operator's semantics (exact
+  threshold recall); the implementation distributes it evenly and never
+  routes vectors through the driver.
+- ``embedding_near_dup_lsh`` — the sub-quadratic scale path: sign-LSH
+  bucketing (same hyperplanes as ``search.lsh_topk``) + Hamming-1
+  multiprobe generates candidates, then exact JVM-side cosine rerank
+  only inside colliding buckets. Recall < 1 by design (documented);
+  deterministic, so it still carries a full value-hash oracle.
 """
 
 from __future__ import annotations
@@ -23,6 +30,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 PAIR_SCHEMA = T.StructType(
@@ -49,31 +57,126 @@ def embedding_near_dup(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exact cosine near-dup pairs: (id_a, id_b, cosine), id_a < id_b,
-    cosine ≥ threshold. Deterministic output (float64 throughout)."""
-    collected = df.select(id_col, vec_col).collect()
-    ids_all, mat = _normalized_matrix(
-        [r[0] for r in collected], [r[1] for r in collected]
-    )
-    bc = df.sparkSession.sparkContext.broadcast((ids_all, mat))
+    cosine ≥ threshold. Deterministic output (float64 throughout).
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0 or len(all_ids) == 0:
-                continue
-            ids, block = _normalized_matrix(pdf[id_col].values, pdf[vec_col])
-            sims = block @ all_mat.T  # (batch, corpus)
-            # Upper triangle only: candidate must have a larger id.
-            keep = (sims >= threshold) & (all_ids[None, :] > ids[:, None])
-            li, ri = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "id_a": ids[li],
-                    "id_b": all_ids[ri],
-                    "cosine": sims[li, ri],
-                }
+    Distributed block-pair join: row with block i is exploded to the
+    B unordered block pairs it participates in, shuffled on
+    (bi, bj), and each group scores its bi-side against its bj-side
+    (upper triangle by id when bi == bj). Exact — every pair meets in
+    exactly one group — with per-task memory bounded by ~2n/B vectors.
+    Pick ``n_blocks`` so a block fits executor memory (n_blocks scales
+    with corpus size; shuffle volume is n·B rows).
+    """
+    b_count = max(1, n_blocks)
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("blk", F.pmod(F.col("id"), F.lit(b_count)).cast("int"))
+    # One struct per partner block: (least, greatest) so both members of
+    # a block pair shuffle to the same group, each exactly once.
+    pair_keys = [
+        F.struct(
+            F.least(F.col("blk"), F.lit(j)).alias("bi"),
+            F.greatest(F.col("blk"), F.lit(j)).alias("bj"),
+        )
+        for j in range(b_count)
+    ]
+    exploded = base.select(
+        "id", "vec", "blk", F.explode(F.array(*pair_keys)).alias("bp")
+    ).select("id", "vec", "blk", F.col("bp.bi").alias("bi"), F.col("bp.bj").alias("bj"))
+
+    def score_block_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        a = pdf[pdf["blk"] == bi]
+        ids_a, mat_a = _normalized_matrix(a["id"].values, a["vec"])
+        if bi == bj:
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            b = pdf[pdf["blk"] == bj]
+            ids_b, mat_b = _normalized_matrix(b["id"].values, b["vec"])
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
+        sims = mat_a @ mat_b.T  # (|bi|, |bj|) block product, BLAS
+        if bi == bj:
+            # Same block: both sides are the same set — upper triangle.
+            keep = (sims >= threshold) & (ids_b[None, :] > ids_a[:, None])
+        else:
+            # Cross block: each unordered pair meets exactly once (one
+            # member per side), but side membership is by block, not by
+            # id order — keep all, orient (min, max) below.
+            keep = sims >= threshold
+        li, ri = np.nonzero(keep)
+        left, right = ids_a[li], ids_b[ri]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(left, right),
+                "id_b": np.maximum(left, right),
+                "cosine": sims[li, ri],
+            }
+        )
 
-    return df.select(id_col, vec_col).mapInPandas(score, PAIR_SCHEMA)
+    return exploded.groupBy("bi", "bj").applyInPandas(score_block_pair, PAIR_SCHEMA)
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Sub-quadratic near-dup: sign-LSH buckets (+ Hamming-1 multiprobe
+    on one side) generate candidate pairs; exact cosine is computed
+    JVM-side (``aggregate``/``zip_with`` folds, no Python) only for
+    candidates. Deterministic (seeded hyperplane literals) but
+    approximate: pairs whose signatures differ by > 1 bit are never
+    scored — the standard LSH recall trade, tunable via n_planes.
+    """
+    from energydatalake_spark.similarity.search import _bucket, _hyperplanes, dot, with_norm
+
+    planes = _hyperplanes(dim, n_planes)
+    base = with_norm(
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")),
+        "vec",
+        "nm",
+    ).withColumn(
+        # Zero vectors: norm 0 → NaN cosine, and Spark orders NaN above
+        # every number, so it would PASS the threshold. Same guard as
+        # _normalized_matrix: norm 1 → cosine 0 → excluded at any t > 0.
+        "nm",
+        F.when(F.col("nm") == 0, F.lit(1.0)).otherwise(F.col("nm")),
+    ).withColumn("bucket", _bucket(F.col("vec"), planes))
+    # Multiprobe on side a only: covers exact-equal AND Hamming-1
+    # signature pairs without double-probing (b keeps its home bucket).
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    a = (
+        base.withColumn("probe", F.explode(probes))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("vec").alias("vec_a"),
+            F.col("nm").alias("nm_a"),
+            F.col("probe").alias("bucket"),
+        )
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nm").alias("nm_b"),
+        "bucket",
+    )
+    cos = dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nm_a") * F.col("nm_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -4,7 +4,10 @@ from __future__ import annotations
 
 import math
 
-from energydatalake_spark.similarity.neardup import embedding_near_dup
+from energydatalake_spark.similarity.neardup import (
+    embedding_near_dup,
+    embedding_near_dup_lsh,
+)
 from energydatalake_spark.text.stats import token_counts
 
 
@@ -71,3 +74,71 @@ def test_token_counts_known(spark):
 def test_embedding_near_dup_empty_input(spark):
     emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
     assert embedding_near_dup(emb, threshold=0.5).count() == 0
+
+
+def test_embedding_near_dup_no_driver_materialization(spark, monkeypatch):
+    """The round-1 implementation collect()ed the whole corpus to the
+    driver at plan-build time — a single point of OOM at 100 TB. Guard
+    the fix: building the pair plan must trigger NO driver
+    materialization (collect/toPandas/toLocalIterator)."""
+    from pyspark.sql import DataFrame
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side materialization during plan build")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "toLocalIterator", boom)
+    out = embedding_near_dup(emb, threshold=0.9)  # plan builds lazily
+    monkeypatch.undo()
+    assert out.count() > 0
+
+
+def test_embedding_near_dup_block_invariance(spark):
+    """Exactness must not depend on the block count: every pair meets
+    in exactly one block-pair group for ANY n_blocks."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    expected = _pairs(embedding_near_dup(emb, threshold=0.9, n_blocks=1))
+    assert len(expected) > 0
+    for nb in (2, 3, 8, 64):
+        got = _pairs(embedding_near_dup(emb, threshold=0.9, n_blocks=nb))
+        assert set(got) == set(expected)
+        # BLAS kernels for different block shapes differ at ULP level;
+        # the engine's determinism contract for cosines is 1e-6.
+        for pair, cos in got.items():
+            assert math.isclose(cos, expected[pair], abs_tol=1e-12)
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark):
+    """The LSH scale path may lose recall (pairs > 1 signature bit
+    apart) but must never invent pairs, and every returned cosine must
+    equal the exact one."""
+    emb = spark.createDataFrame(
+        [(i, [float((i * j) % 11 - 5) for j in range(8)]) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    exact = _pairs(embedding_near_dup(emb, threshold=0.6))
+    approx = _pairs(embedding_near_dup_lsh(emb, threshold=0.6, n_planes=4, dim=8))
+    assert set(approx) <= set(exact)
+    for pair, cos in approx.items():
+        assert math.isclose(cos, exact[pair], abs_tol=1e-9)
+    # High-similarity pairs collide with overwhelming probability; on
+    # this corpus the probe recall should be non-trivial.
+    assert len(approx) > 0
+
+
+def test_embedding_near_dup_lsh_zero_vector(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = _pairs(embedding_near_dup_lsh(emb, threshold=0.5, n_planes=2, dim=2))
+    assert set(got) == {(2, 3)}  # zero vector: NaN-guarded, matches nothing
