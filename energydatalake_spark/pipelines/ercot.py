@@ -33,14 +33,14 @@ from pyspark.sql import functions as F
 
 from energydatalake_spark.io.archive import archive_folder
 from energydatalake_spark.io.readers import read_csv_folder
-from energydatalake_spark.io.writers import append_table, overwrite_table, write_csv
+from energydatalake_spark.io.schemas import OFFSET_TS_FMT, apply_schema
+from energydatalake_spark.io.writers import overwrite_table, upsert_table, write_csv
 from energydatalake_spark.operators.asof import asof_join
 from energydatalake_spark.operators.band import band_join
-from energydatalake_spark.operators.casts import cast_decimal, cast_float, cast_timestamps
 from energydatalake_spark.operators.clean import dedup, drop_nulls
 from energydatalake_spark.operators.normalize import normalize_columns
 
-SPP_TS_FMT = "yyyy-MM-dd HH:mm:ssXXX"  # offset-aware (spp:49-51)
+SPP_TS_FMT = OFFSET_TS_FMT  # offset-aware (spp:49-51)
 
 
 @dataclass
@@ -81,21 +81,24 @@ def _obs_report(obs) -> dict:
 def _standard_load(
     spark: SparkSession,
     cfg: PipelineConfig,
-    ts_cols: list[str],
-    dec_cols: list[str],
+    source: str,
+    keys: list[str],
     deduplicate: bool,
 ) -> dict | None:
     raw = read_csv_folder(spark, cfg.source_dir)
     if raw is None:
         return None  # empty-source no-op (fixes merge:35-51 NameError)
-    df = normalize_columns(raw)
-    df = cast_timestamps(df, ts_cols)
-    df = cast_decimal(df, dec_cols)
+    # Declared schema, not per-call cast lists: validates column names
+    # (drift → loud SchemaDriftError) then imposes the SURVEY §1.3 types.
+    df = apply_schema(normalize_columns(raw), source)
     df = drop_nulls(df)
     if deduplicate:
         df = dedup(df)
     df, obs = _observed(df)
-    append_table(df, cfg.sink_path, partition_date_col=ts_cols[0])
+    # Insert-only MERGE on the source's natural key: a re-run over
+    # re-delivered files (crash between write and archive) cannot
+    # duplicate rows — row-granular exactly-once, not just per-file.
+    upsert_table(df, cfg.sink_path, keys=keys, partition_date_col="time")
     rep = _obs_report(obs)  # metrics from the write action — no rescan
     rep["archived"] = archive_folder(cfg.source_dir, cfg.archive_dir)
     return rep
@@ -107,44 +110,23 @@ def load_latest(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
     return _standard_load(
         spark,
         cfg,
-        ts_cols=["time", "interval_start", "interval_end"],
-        dec_cols=["load"],
+        source="load",
+        keys=["time"],
         deduplicate=True,  # reference omits dedup here; normalized in rebuild
     )
 
 
 def load_historical(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
     """hist:25-117 — same shape + dropDuplicates (hist:69)."""
-    return _standard_load(
-        spark,
-        cfg,
-        ts_cols=["time", "interval_start", "interval_end"],
-        dec_cols=["load"],
-        deduplicate=True,
-    )
+    return _standard_load(spark, cfg, source="load", keys=["time"], deduplicate=True)
 
 
 def load_forecast(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
     """fcst:26-128 — adds publish_time and the 5 zone measures."""
     return _standard_load(
-        spark,
-        cfg,
-        ts_cols=["time", "interval_start", "interval_end", "publish_time"],
-        dec_cols=["north", "south", "west", "houston", "system_total"],
+        spark, cfg, source="load_forecast", keys=["time", "publish_time"],
         deduplicate=True,
     )
-
-
-FM_SOURCE_COLS = [
-    "coal_and_lignite",
-    "hydro",
-    "nuclear",
-    "power_storage",
-    "solar",
-    "wind",
-    "natural_gas",
-    "other",
-]
 
 
 def fm_load_merge(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
@@ -159,12 +141,10 @@ def fm_load_merge(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
     load_raw = read_csv_folder(spark, cfg.source2_dir)
     if fm_raw is None or load_raw is None:
         return None
-    fm = cast_decimal(
-        cast_timestamps(normalize_columns(fm_raw), ["time"]), FM_SOURCE_COLS
-    ).drop("interval_start", "interval_end")
-    load = cast_decimal(
-        cast_timestamps(normalize_columns(load_raw), ["time"]), ["load"]
-    ).select("time", "load")
+    fm = apply_schema(normalize_columns(fm_raw), "fuel_mix").drop(
+        "interval_start", "interval_end"
+    )
+    load = apply_schema(normalize_columns(load_raw), "load").select("time", "load")
     # Unparseable timestamps became null (P3); drop before the join —
     # pandas sort_values would have pushed NaT rows to the end, merge_asof
     # rejects them; the reference's data never hits this path because its
@@ -175,7 +155,7 @@ def fm_load_merge(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
     merged = asof_join(fm, load, on="time")
     merged = dedup(drop_nulls(merged))
     merged, obs = _observed(merged)
-    append_table(merged, cfg.sink_path, partition_date_col="time")
+    upsert_table(merged, cfg.sink_path, keys=["time"], partition_date_col="time")
     rep = _obs_report(obs)
     rep["archived"] = archive_folder(cfg.source_dir, cfg.archive_dir)
     # archive2_dir=None → shared queue: another pipeline owns the load
@@ -199,15 +179,10 @@ def spp_weather_merge(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
     w_raw = read_csv_folder(spark, cfg.source2_dir)
     if spp_raw is None or w_raw is None:
         return None
-    spp = normalize_columns(spp_raw)
-    spp = cast_timestamps(spp, ["time", "interval_start", "interval_end"], SPP_TS_FMT)
-    spp = cast_float(spp, ["spp"]).withColumnRenamed("time", "price_time")
-    weather = normalize_columns(w_raw)
-    weather = cast_timestamps(weather, ["date"], SPP_TS_FMT)
-    weather = cast_float(
-        weather,
-        ["temperature", "temp_min", "temp_max", "pressure", "humidity", "wind_speed"],
+    spp = apply_schema(normalize_columns(spp_raw), "spp").withColumnRenamed(
+        "time", "price_time"
     )
+    weather = apply_schema(normalize_columns(w_raw), "weather_live")
     joined = band_join(
         weather,
         spp,
@@ -234,7 +209,12 @@ def spp_weather_merge(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
     )
     out = dedup(out)
     out, obs = _observed(out)
-    append_table(out, cfg.sink_path, partition_date_col="weather_time")
+    upsert_table(
+        out,
+        cfg.sink_path,
+        keys=["location", "weather_time", "interval_start"],
+        partition_date_col="weather_time",
+    )
     rep = _obs_report(obs)
     rep["archived"] = archive_folder(cfg.source_dir, cfg.archive_dir)
     rep["archived2"] = archive_folder(cfg.source2_dir, cfg.archive2_dir)
@@ -252,8 +232,10 @@ def merge_historical_weather(spark: SparkSession, cfg: PipelineConfig) -> dict |
     raw = read_csv_folder(spark, cfg.source_dir)
     if raw is None:
         return None
-    df = normalize_columns(raw)
-    df = df.withColumn("date", F.col("date").cast("timestamp"))  # mhw:53
+    # The reference declares this table's 19-field schema (FLOAT
+    # measures, mhw:71-91) but never applies it — measures would land in
+    # the warehouse as strings. apply_schema imposes it for real.
+    df = apply_schema(normalize_columns(raw), "weather_historical")
     df = drop_nulls(df)
     # Three consumers here (zone counts, CSV export, warehouse) — cache
     # IS the right tool when several actions share one input.
