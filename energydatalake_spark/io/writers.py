@@ -44,6 +44,68 @@ def append_table(
         df.write.format(_fmt()).mode("append").save(path)
 
 
+def upsert_table(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_date_col: str | None = None,
+) -> None:
+    """Idempotent warehouse append: insert-only MERGE on ``keys``
+    (SURVEY.md §2.9 "idempotent Delta MERGE for true exactly-once").
+
+    Re-delivered files — the reference's crons racing on a shared GCS
+    prefix (README.md:143-148), or a pipeline re-run after a crash
+    between sink-write and archive — must not duplicate rows. The
+    folder-level archive queue gives once-per-FILE; this gives
+    once-per-ROW.
+
+    With Delta available this is ``MERGE ... WHEN NOT MATCHED INSERT``
+    (file-skipping on the key condition). The Parquet fallback is the
+    same shape made partition-aware: read back ONLY the ``dt``
+    partitions the batch touches (partition pruning — at 100 TB a
+    re-run touches hours, not history), left-anti join the batch
+    against their keys, append the survivors. Single-writer semantics,
+    matching the reference's Scheduler-serialized jobs.
+    """
+    import os
+
+    spark = df.sparkSession
+    if partition_date_col is not None:
+        df = df.withColumn("dt", F.to_date(F.col(partition_date_col)))
+    exists = os.path.isdir(path) and any(
+        not n.startswith((".", "_")) for n in os.listdir(path)
+    )
+    if not exists:
+        writer = df.write.format(_fmt()).mode("append")
+        if partition_date_col is not None:
+            writer = writer.partitionBy("dt")
+        writer.save(path)
+        return
+    if _HAVE_DELTA:  # pragma: no cover - Delta jars absent in this image
+        from delta.tables import DeltaTable
+
+        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(df.alias("s"), cond)
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    existing = spark.read.parquet(path)
+    if partition_date_col is not None:
+        # Tiny driver list (distinct event DATES in this batch) that
+        # prunes the read-back to the touched partitions.
+        dts = [r[0] for r in df.select("dt").distinct().collect()]
+        existing = existing.filter(F.col("dt").isin(dts))
+    fresh = df.join(existing.select(*keys).distinct(), keys, "left_anti")
+    writer = fresh.write.format("parquet").mode("append")
+    if partition_date_col is not None:
+        writer = writer.partitionBy("dt")
+    writer.save(path)
+
+
 def overwrite_table(df: DataFrame, path: str) -> None:
     """Warehouse overwrite (S5, mergeHistoricalWeather.py:100-105)."""
     df.write.format(_fmt()).mode("overwrite").save(path)

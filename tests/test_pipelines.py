@@ -164,3 +164,52 @@ def test_cli_runner_end_to_end(spark, tmp_path, monkeypatch):
         "historical_weather_data",
         "historical_weather_data_csv",
     ]
+
+
+def test_upsert_rerun_is_row_idempotent(spark, env):
+    """Verdict r1 item 7: re-delivered files (crash between sink write
+    and archive) must not duplicate rows — the warehouse append is an
+    insert-only MERGE on the natural key, not a blind append."""
+    import glob
+    import shutil
+
+    base, layout = env
+    cfg = _cfg(base, layout["fuel_mix"], "fm_load", src2=layout["load_latest"])
+    rep1 = ercot.fm_load_merge(spark, cfg)
+    assert rep1 is not None and rep1["rows"] > 0
+    first = sorted(
+        map(tuple, spark.read.parquet(cfg.sink_path).drop("dt").collect())
+    )
+    # Re-deliver: copy every archived file back into the source queues,
+    # simulating the reference's cron re-processing a crashed batch.
+    for adir, sdir in [
+        (cfg.archive_dir, cfg.source_dir),
+        (cfg.archive2_dir, cfg.source2_dir),
+    ]:
+        for f in glob.glob(os.path.join(adir, "*.csv*")):
+            shutil.copy(f, sdir)
+    rep2 = ercot.fm_load_merge(spark, cfg)
+    assert rep2 is not None  # pipeline ran again over the same data
+    second = sorted(
+        map(tuple, spark.read.parquet(cfg.sink_path).drop("dt").collect())
+    )
+    assert second == first  # byte-identical table: zero duplicate rows
+
+
+def test_upsert_appends_only_new_keys(spark, tmp_path):
+    from energydatalake_spark.io.writers import upsert_table
+
+    df1 = spark.createDataFrame(
+        [(1, "2024-03-01 00:00:00", 10.0), (2, "2024-03-01 01:00:00", 20.0)],
+        "k bigint, t string, v double",
+    ).withColumn("t", ercot.F.to_timestamp("t"))
+    path = str(tmp_path / "tbl")
+    upsert_table(df1, path, keys=["k"], partition_date_col="t")
+    # overlap (k=2) + genuinely new (k=3, lands in a NEW partition day)
+    df2 = spark.createDataFrame(
+        [(2, "2024-03-01 01:00:00", 999.0), (3, "2024-03-02 02:00:00", 30.0)],
+        "k bigint, t string, v double",
+    ).withColumn("t", ercot.F.to_timestamp("t"))
+    upsert_table(df2, path, keys=["k"], partition_date_col="t")
+    rows = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert rows == {1: 10.0, 2: 20.0, 3: 30.0}  # k=2 not overwritten, not duped
