@@ -265,7 +265,11 @@ sh AS (
                                       i -> array_to_string(toks[i:i+{NJ_N - 1}], ' '))) AS s
   FROM t WHERE len(toks) >= {NJ_N}
 ),
-ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+-- Same 60-bit shingle hash as the Spark plan (shuffle-narrowing
+-- optimization in ngram_jaccard_pairs): both engines intersect hashes,
+-- so they agree bit-for-bit even on a collision.
+ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 15))::BIGINT AS shingle
+       FROM sh),
 sizes AS (SELECT doc_id, len(s) AS ns FROM sh),
 inter AS (
   SELECT e1.doc_id AS id_a, e2.doc_id AS id_b, COUNT(*) AS ni
@@ -551,27 +555,36 @@ WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= {ND_THRESHOLD}
 """
 
 
+# More planes than the top-k LSH query: near-dup wants SMALL buckets
+# (the scalar per-candidate cosine fold is the cost driver — 8 planes =
+# 256 buckets cuts candidates ~16x vs 4 planes; recall loss only for
+# pairs >1 signature bit apart, the documented trade).
+ND_LSH_PLANES = 8
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = embedding_near_dup_lsh(
         read_table(spark, sf_dir, "embeddings"),
         threshold=ND_THRESHOLD,
-        n_planes=LSH_PLANES,
+        n_planes=ND_LSH_PLANES,
         dim=LSH_DIM,
+        n_tables=ND_LSH_TABLES,
     )
     return out.select("id_a", "id_b", _r(F.col("cosine"), 6).alias("cosine"))
 
 
+ND_LSH_TABLES = 4
+
+
 def _sql_dedup_embedding_lsh() -> str:
-    """Replicates the sign-LSH candidate generation exactly (same seeded
-    hyperplane literals as _sql_similarity_lsh), then the exact-cosine
+    """Replicates the multi-table sign-LSH candidate generation exactly
+    (same seeded hyperplane literals per table), then the exact-cosine
     rerank and threshold — the approximate operator still gets a full
     value-hash oracle because every source of randomness is a driver
     literal."""
     from energydatalake_spark.similarity.search import _hyperplanes
 
-    planes = _hyperplanes(LSH_DIM, LSH_PLANES)
-
-    def bucket_expr(vec: str) -> str:
+    def bucket_expr(planes, vec: str) -> str:
         return " + ".join(
             f"(CASE WHEN list_dot_product({vec}, "
             f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 "
@@ -579,8 +592,19 @@ def _sql_dedup_embedding_lsh() -> str:
             for i, p in enumerate(planes)
         )
 
-    probe_list = ", ".join(
-        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(LSH_PLANES)]
+    table_buckets = ",\n         ".join(
+        f"{bucket_expr(_hyperplanes(LSH_DIM, ND_LSH_PLANES, seed=42 + t), 'v')} AS b{t}"
+        for t in range(ND_LSH_TABLES)
+    )
+    a_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT id AS id_a, {t} AS t, unnest([b{t}, "
+        + ", ".join(f"xor(b{t}, {1 << i})" for i in range(ND_LSH_PLANES))
+        + "]) AS bucket FROM g"
+        for t in range(ND_LSH_TABLES)
+    )
+    b_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT id AS id_b, {t} AS t, b{t} AS bucket FROM g"
+        for t in range(ND_LSH_TABLES)
     )
     return f"""
 WITH m AS (
@@ -590,16 +614,19 @@ WITH m AS (
 ),
 g AS (
   SELECT id, v, CASE WHEN nm0 = 0 THEN 1.0 ELSE nm0 END AS nm,
-         {bucket_expr('v')} AS bucket
+         {table_buckets}
   FROM m
 ),
 a AS (
-  SELECT id AS id_a, unnest([{probe_list}]) AS bucket FROM g
+  {a_selects}
+),
+b AS (
+  {b_selects}
 ),
 cand AS (
-  SELECT DISTINCT a.id_a, b.id AS id_b
-  FROM a JOIN g b USING (bucket)
-  WHERE a.id_a < b.id
+  SELECT DISTINCT a.id_a, b.id_b
+  FROM a JOIN b USING (t, bucket)
+  WHERE a.id_a < b.id_b
 )
 SELECT c.id_a, c.id_b,
        FLOOR(list_dot_product(ga.v, gb.v) / (ga.nm * gb.nm) * 1000000.0 + 0.5)

@@ -68,6 +68,32 @@ def _exploded_shingles(
     )
 
 
+#: Persisted shingle explosions from minhash_pairs / ngram_jaccard_pairs.
+#: The persist is load-bearing (three stages reuse the explode), but a
+#: long-lived session accumulating cached partitions across many
+#: invocations would exhaust executor storage — callers that loop over
+#: corpora call release_shingle_cache() between actions (bench does).
+_SHINGLE_CACHE: list[DataFrame] = []
+
+
+def _persist_shingles(ex: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_CACHE.append(ex)
+    return ex
+
+
+def release_shingle_cache(blocking: bool = False) -> int:
+    """Unpersist every shingle explosion cached by prior near-dup
+    invocations; returns how many were released."""
+    n = 0
+    while _SHINGLE_CACHE:
+        _SHINGLE_CACHE.pop().unpersist(blocking)
+        n += 1
+    return n
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -115,11 +141,7 @@ def minhash_pairs(
     # exact verify) — persist it instead of recomputing the lineage.
     # At cluster scale the same role is played by a checkpoint/shuffle
     # reuse; MEMORY_AND_DISK spills instead of OOMing.
-    from pyspark.storagelevel import StorageLevel
-
-    ex = _exploded_shingles(df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ex = _persist_shingles(_exploded_shingles(df, text_col, id_col, n))
     hashed = ex.select(
         F.col(id_col), _hash_long(F.md5(F.col("shingle"))).alias("h0")
     )
@@ -202,25 +224,83 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs, candidates = any shared
-    shingle. Exact (no LSH recall loss) but the shared-shingle join can
-    blow up on boilerplate-heavy corpora — prefer minhash_pairs at
-    scale; this is the precision baseline."""
-    from pyspark.storagelevel import StorageLevel
+    """Exact n-gram Jaccard near-dup pairs. Candidate pairs = any
+    shared shingle with document frequency ≤ ``max_doc_freq``; the
+    Jaccard itself is then computed on the FULL shingle sets for
+    candidates only, so the cap never distorts a reported value.
 
-    ex = _exploded_shingles(df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    The cap is the standard stopword-shingle guard: without it, one
+    boilerplate shingle shared by d documents contributes d² join rows
+    — quadratic detonation on license headers / navigation chrome. A
+    pair sharing ONLY >cap shingles is skipped (its Jaccard is
+    dominated by boilerplate anyway); every pair sharing ≥1 rare
+    shingle is scored exactly. Pass ``max_doc_freq=None`` to disable.
+    Still the precision baseline — prefer minhash_pairs at scale.
+
+    Scan-side the shingle strings are immediately reduced to 60-bit
+    hashes (``_hex15_to_long``): every shuffle (frequency agg,
+    self-join, intersection count) moves 8-byte longs, not text. The
+    oracle applies the same hash, so the two engines agree bit-for-bit
+    even on the ~1e-11 collision."""
+    from energydatalake_spark.text.stats import _hex15_to_long
+
+    ex = _persist_shingles(
+        _exploded_shingles(df, text_col, id_col, n).select(
+            F.col(id_col), _hex15_to_long(F.md5(F.col("shingle"))).alias("shingle")
+        )
     )
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    ea = ex.select(F.col(id_col).alias("id_a"), "shingle")
-    eb = ex.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        ea.join(eb, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    if max_doc_freq is None:
+        ea = ex.select(F.col(id_col).alias("id_a"), "shingle")
+        eb = ex.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            ea.join(eb, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        # Split shingles at the doc-frequency cap. The self-join runs on
+        # RARE shingles only (each contributes ≤ cap² join rows); the
+        # few COMMON (boilerplate) shingles then top up the intersection
+        # count for the candidate pairs found — so every candidate's
+        # Jaccard is exact over the FULL sets, and when nothing exceeds
+        # the cap this degenerates to the uncapped single-join plan plus
+        # one cheap frequency aggregate.
+        common = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") > max_doc_freq)
+            .select("shingle")
+        )
+        rare_ex = ex.join(common, "shingle", "left_anti")
+        ra = rare_ex.select(F.col(id_col).alias("id_a"), "shingle")
+        rb = rare_ex.select(F.col(id_col).alias("id_b"), "shingle")
+        rare_inter = (
+            ra.join(rb, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_rare"))
+        )
+        common_ex = ex.join(common, "shingle")  # docs × boilerplate shingles
+        ca = common_ex.select(F.col(id_col).alias("id_a"), "shingle")
+        cb = common_ex.select(F.col(id_col).alias("id_b"), "shingle")
+        common_inter = (
+            rare_inter.select("id_a", "id_b")
+            .join(ca, "id_a")
+            .join(cb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        inter = rare_inter.join(common_inter, ["id_a", "id_b"], "left").select(
+            "id_a",
+            "id_b",
+            (F.col("n_rare") + F.coalesce(F.col("n_common"), F.lit(0))).alias(
+                "n_inter"
+            ),
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (

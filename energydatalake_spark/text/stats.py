@@ -130,6 +130,15 @@ def _hex8_to_long(col: Column) -> Column:
     return F.conv(F.substring(col, 1, 8), 16, 10).cast("bigint")
 
 
+def _hex15_to_long(col: Column) -> Column:
+    """First 15 hex chars of an md5 → 60-bit bigint (DuckDB:
+    ``('0x'||substr(md5(x),1,15))::BIGINT``). Wide enough that joining
+    on the hash instead of the string is collision-free in practice
+    (n²/2⁶¹ — ~1e-11 at a billion keys) while shuffling 8-byte longs
+    instead of arbitrary-length strings."""
+    return F.conv(F.substring(col, 1, 15), 16, 10).cast("bigint")
+
+
 def shingles(text_col: str, n: int) -> Column:
     """Distinct word n-gram shingles of the named column. Documents
     shorter than n words yield an empty array (callers filter)."""

@@ -98,3 +98,64 @@ def test_simhash_identity_and_pairs(spark, docs):
     }
     assert pairs[(1, 4)] == 0
     assert (1, 2) in pairs  # near-dup within hamming 8
+
+
+def _boilerplate_corpus(spark, n_docs=30):
+    """Every doc shares one boilerplate shingle run ('copyright acme corp
+    license'); docs 2k/2k+1 additionally share a rare per-pair phrase."""
+    rows = []
+    for i in range(n_docs):
+        pair_phrase = f"unique phrase number {i // 2} appears twice"
+        rows.append((i, f"copyright acme corp license {pair_phrase}"))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_ngram_cap_skips_boilerplate_only_pairs(spark):
+    """Verdict r1 item 6: the doc-frequency cap must stop the
+    shared-shingle join from detonating on boilerplate. Pairs whose only
+    shared shingles are boilerplate (doc_freq > cap) are skipped; pairs
+    sharing a rare shingle keep their EXACT full-set Jaccard."""
+    docs = _boilerplate_corpus(spark)
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.1,
+                                     max_doc_freq=None).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.1,
+                                     max_doc_freq=5).collect()
+    }
+    # Candidate count bounded: only the 15 true pairs survive (uncapped
+    # scores all C(30,2)=435 pairs above 0.1 via boilerplate overlap).
+    assert len(uncapped) == 435
+    assert set(capped) == {(2 * k, 2 * k + 1) for k in range(15)}
+    # Cap affects candidate generation only — values are the exact ones.
+    for pair, j in capped.items():
+        assert j == uncapped[pair]
+        assert j == 1.0  # paired docs are identical
+
+
+def test_ngram_cap_default_is_transparent(spark, docs):
+    """With doc_freq below the default cap, results match uncapped."""
+    a = sorted(map(tuple, ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()))
+    b = sorted(map(tuple, ngram_jaccard_pairs(docs, n=3, threshold=0.3,
+                                              max_doc_freq=None).collect()))
+    assert a == b
+
+
+def test_shingle_cache_release(spark, docs):
+    from energydatalake_spark.text.dedup import (
+        _SHINGLE_CACHE,
+        release_shingle_cache,
+    )
+
+    release_shingle_cache()
+    ngram_jaccard_pairs(docs, n=3, threshold=0.3).count()
+    minhash_pairs(docs, n=3, threshold=0.3).count()
+    assert len(_SHINGLE_CACHE) >= 2
+    cached = list(_SHINGLE_CACHE)
+    assert all(c.is_cached for c in cached)
+    released = release_shingle_cache(blocking=True)
+    assert released >= 2 and not _SHINGLE_CACHE
+    assert all(not c.is_cached for c in cached)
