@@ -112,12 +112,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        # Integer division — epoch nanos overflow double precision.
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+        # The conf is consulted only while spark.read.parquet converts
+        # the footer schema (verified: execution of the returned plan
+        # succeeds after restore) — so scope it to this call instead of
+        # mutating the shared session permanently: a later direct
+        # spark.read.parquet of nanos files should fail loudly, not
+        # silently surface LongType columns.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        for c in ns_cols:
+            # Integer division — epoch nanos overflow double precision.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:

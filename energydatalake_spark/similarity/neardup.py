@@ -127,19 +127,26 @@ def embedding_near_dup_lsh(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 4,
+    n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
-    """Sub-quadratic near-dup: sign-LSH buckets (+ Hamming-1 multiprobe
-    on one side) generate candidate pairs; exact cosine is computed
-    JVM-side (``aggregate``/``zip_with`` folds, no Python) only for
-    candidates. Deterministic (seeded hyperplane literals) but
-    approximate: pairs whose signatures differ by > 1 bit are never
-    scored — the standard LSH recall trade, tunable via n_planes.
+    """Sub-quadratic near-dup: multi-table sign-LSH candidate
+    generation + exact JVM-side cosine rerank (``aggregate``/``zip_with``
+    folds, no Python) for candidates only.
+
+    Standard LSH parameterization: ``n_planes`` controls bucket size
+    (2^p buckets — more planes = fewer candidates per bucket = less
+    rerank work), ``n_tables`` independent plane sets control recall
+    (a pair is a candidate if it collides in ANY table:
+    1-(1-p_agree^planes)^tables), and Hamming-1 multiprobe on side a
+    of each table recovers near-miss signatures cheaply. Deterministic
+    (seeded hyperplane literals) but approximate by design — the
+    recall trade is the algorithm, and both knobs are per-call.
     """
     from energydatalake_spark.similarity.search import _bucket, _hyperplanes, dot, with_norm
 
-    planes = _hyperplanes(dim, n_planes)
     base = with_norm(
         df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")),
         "vec",
@@ -150,33 +157,49 @@ def embedding_near_dup_lsh(
         # _normalized_matrix: norm 1 → cosine 0 → excluded at any t > 0.
         "nm",
         F.when(F.col("nm") == 0, F.lit(1.0)).otherwise(F.col("nm")),
-    ).withColumn("bucket", _bucket(F.col("vec"), planes))
-    # Multiprobe on side a only: covers exact-equal AND Hamming-1
-    # signature pairs without double-probing (b keeps its home bucket).
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
     )
-    a = (
-        base.withColumn("probe", F.explode(probes))
-        .select(
-            F.col("id").alias("id_a"),
-            F.col("vec").alias("vec_a"),
-            F.col("nm").alias("nm_a"),
-            F.col("probe").alias("bucket"),
+    bucket_cols = [
+        _bucket(F.col("vec"), _hyperplanes(dim, n_planes, seed=seed + t)).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    base = base.select("id", "vec", "nm", *bucket_cols)
+    # b side: one home (table, bucket) per table. a side: home plus the
+    # n_planes Hamming-1 probes per table — probing one side only
+    # covers exact-equal AND 1-bit-off signature pairs without
+    # double-probing.
+    home = [
+        F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+        for t in range(n_tables)
+    ]
+    probe = home + [
+        F.struct(
+            F.lit(t).alias("t"),
+            F.col(f"b{t}").bitwiseXOR(F.lit(1 << i)).alias("bucket"),
         )
-    )
+        for t in range(n_tables)
+        for i in range(n_planes)
+    ]
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("nm").alias("nm_a"),
+        F.explode(F.array(*probe)).alias("tb"),
+    ).select("id_a", "vec_a", "nm_a", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     b = base.select(
         F.col("id").alias("id_b"),
         F.col("vec").alias("vec_b"),
         F.col("nm").alias("nm_b"),
-        "bucket",
+        F.explode(F.array(*home)).alias("tb"),
+    ).select("id_b", "vec_b", "nm_b", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # Dedup BEFORE the rerank: a pair colliding in several tables /
+        # probes pays the 2·dim-op cosine fold once, not per collision.
+        .dropDuplicates(["id_a", "id_b"])
     )
     cos = dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nm_a") * F.col("nm_b"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
+        cand.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
