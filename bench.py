@@ -29,10 +29,32 @@ def main() -> None:
     spark = get_spark("bench")
 
     # Warm-up: JVM/codegen/parquet-footer costs out of the measurement.
+    # Footer/scan warmup alone is not enough — round-1 showed the first
+    # timed query paying ~2 s of codegen/agg warmup (pricing_summary
+    # 3.07 s vs the identically-shaped multikey_avg 0.88 s) — so also
+    # run one representative agg+join query end-to-end untimed.
     from energydatalake_spark.io.readers import read_table
 
     read_table(spark, sf_dir, "lineitem").count()
     read_table(spark, sf_dir, "events").count()
+    first = next(iter(QUERIES.values()))
+    first.build(spark, sf_dir).collect()
+
+    # Round-over-round regression guard: compare per-query against the
+    # newest BENCH_r*.json (stderr only — the stdout contract stays one
+    # JSON line).
+    import glob
+
+    prev: dict[str, float] = {}
+    prev_files = sorted(glob.glob(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "BENCH_r*.json")))
+    if prev_files:
+        try:
+            prev = json.load(open(prev_files[-1]))["parsed"]["queries"]
+        except Exception:
+            prev = {}
+
+    from energydatalake_spark.text.dedup import release_shingle_cache
 
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
@@ -40,7 +62,13 @@ def main() -> None:
         df = q.build(spark, sf_dir)
         n = len(df.collect())
         timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        # Shingle caches are per-invocation scratch; holding them across
+        # the suite would crowd executor storage and skew later queries.
+        release_shingle_cache()
+        flag = ""
+        if name in prev and prev[name] > 0.2 and timings[name] > 2 * prev[name]:
+            flag = f"  ** REGRESSION vs r-1 ({prev[name]:.2f}s)"
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows){flag}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(

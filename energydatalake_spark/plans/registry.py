@@ -367,6 +367,57 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purcha
 """
 
 
+def q_forecast_vs_actual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-vintage as-of (SURVEY.md §1.3 note 3): the reference's
+    load_forecast feed publishes several vintages per target hour
+    (``publish_time``, fcst:63); forecast-vs-actual must score each
+    actual against the LATEST vintage published at-or-before it — a
+    backward as-of on publish_time, not an equi-join. Modeled on the
+    events table: 'view' rows are forecast publications (ts = publish
+    time, value = predicted), 'purchase' rows are actuals; per-user
+    accuracy metrics after the vintage selection.
+
+    Error sums ride decimals (see module docstring): the per-row diff
+    of two 2-decimal doubles is binary-exact to ~1e-16, so the
+    DECIMAL(25,8) cast rounds far from any tie in both engines."""
+    e = read_table(spark, sf_dir, "events")
+    actual = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("actual")
+    )
+    fc = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("predicted")
+    )
+    j = asof_join(actual, fc, on="ts", by=["user_id"], right_ts_alias="publish_ts")
+    err = F.abs(F.col("actual") - F.col("predicted"))
+    return (
+        j.filter(F.col("predicted").isNotNull())  # actuals with no prior vintage drop
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            _r(_dsum(err) / F.count(F.lit(1)), 6).alias("mae"),
+            _r(F.max(err), 6).alias("max_abs_err"),
+        )
+    )
+
+
+SQL_FORECAST_VS_ACTUAL = """
+WITH j AS (
+  SELECT a.user_id, a.value AS actual, f.value AS predicted
+  FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') a
+  ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') f
+    ON a.user_id = f.user_id AND a.ts >= f.ts
+)
+SELECT user_id,
+       COUNT(*) AS n_obs,
+       FLOOR(CAST(SUM(CAST(abs(actual - predicted) AS DECIMAL(25,8))) AS DOUBLE)
+             / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS mae,
+       FLOOR(MAX(abs(actual - predicted)) * 1000000.0 + 0.5) / 1000000.0
+         AS max_abs_err
+FROM j
+GROUP BY user_id
+"""
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 generalized: top-3 parts by retail price per brand (rank via
     window; WindowGroupLimit keeps it a partial sort, no global sort)."""
@@ -628,6 +679,12 @@ _register("dedup_latest", q_dedup_latest, SQL_DEDUP_LATEST, "F2-keyed")
 _register("union_all", q_union_all, SQL_UNION_ALL, "Set1")
 _register("band_join", q_band_join, SQL_BAND_JOIN, "J2")
 _register("asof_join", q_asof_join, SQL_ASOF_JOIN, "J1")
+_register(
+    "forecast_vs_actual",
+    q_forecast_vs_actual,
+    SQL_FORECAST_VS_ACTUAL,
+    "J1-vintage A7",
+)
 _register("topk_per_group", q_topk_per_group, SQL_TOPK_PER_GROUP, "O3")
 _register("decimal_cast", q_decimal_cast, SQL_DECIMAL_CAST, "P4 P8")
 _register("timestamp_parse", q_timestamp_parse, SQL_TIMESTAMP_PARSE, "P3")
