@@ -107,3 +107,56 @@ def test_corpus_prep_no_cartesian(spark):
     plan = plan_str(_q("corpus_prep")(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dup_distributed_block_pairs(spark):
+    # The exact near-dup must be the block-pair shape: one exchange on
+    # the (bi, bj) group key feeding FlatMapGroupsInPandas — never a
+    # driver-side materialization (which would appear as no exchange at
+    # all, the round-1 defect) and never a cartesian join.
+    plan = plan_str(_q("dedup_embedding")(spark, SF_SMOKE))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Exchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_lsh_bucket_join_not_cartesian(spark):
+    # Candidate generation joins on (table, bucket) — an equi-join; the
+    # exact rerank runs on candidates only, so no nested-loop anywhere.
+    plan = plan_str(_q("dedup_embedding_lsh")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_forecast_vs_actual_no_cartesian(spark):
+    plan = plan_str(_q("forecast_vs_actual")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # vintage selection + per-user agg with map-side partials
+    assert "partial" in plan
+
+
+def test_upsert_readback_prunes_partitions(spark, tmp_path):
+    # The parquet-fallback MERGE must read back ONLY the dt partitions
+    # the batch touches: the anti-join's scan carries a PartitionFilters
+    # entry on dt, so a re-run over one day never scans table history.
+    import pyspark.sql.functions as F
+
+    from energydatalake_spark.io.writers import upsert_table
+
+    df = spark.createDataFrame(
+        [(i, f"2024-03-0{1 + i % 3} 00:00:00", float(i)) for i in range(9)],
+        "k bigint, t string, v double",
+    ).withColumn("t", F.to_timestamp("t"))
+    path = str(tmp_path / "tbl")
+    upsert_table(df, path, keys=["k"], partition_date_col="t")
+    batch = spark.createDataFrame(
+        [(100, "2024-03-01 05:00:00", 1.0)], "k bigint, t string, v double"
+    ).withColumn("t", F.to_timestamp("t")).withColumn("dt", F.to_date("t"))
+    existing = spark.read.parquet(path).filter(
+        F.col("dt").isin([r[0] for r in batch.select("dt").distinct().collect()])
+    )
+    fresh = batch.join(existing.select("k").distinct(), ["k"], "left_anti")
+    plan = plan_str(fresh)
+    assert "PartitionFilters" in plan and "dt" in plan
