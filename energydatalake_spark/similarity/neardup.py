@@ -179,27 +179,33 @@ def embedding_near_dup_lsh(
         for t in range(n_tables)
         for i in range(n_planes)
     ]
-    a = base.select(
-        F.col("id").alias("id_a"),
-        F.col("vec").alias("vec_a"),
-        F.col("nm").alias("nm_a"),
-        F.explode(F.array(*probe)).alias("tb"),
-    ).select("id_a", "vec_a", "nm_a", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
-    b = base.select(
-        F.col("id").alias("id_b"),
-        F.col("vec").alias("vec_b"),
-        F.col("nm").alias("nm_b"),
-        F.explode(F.array(*home)).alias("tb"),
-    ).select("id_b", "vec_b", "nm_b", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    # Candidate generation moves ONLY (id, table, bucket) — 24-byte
+    # rows; vectors stay out of the collision join and its dedup
+    # shuffle entirely (a pair colliding in several tables/probes would
+    # otherwise drag 2·dim floats through the exchange per collision).
+    a = base.select(F.col("id").alias("id_a"), F.explode(F.array(*probe)).alias("tb")).select(
+        "id_a", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+    b = base.select(F.col("id").alias("id_b"), F.explode(F.array(*home)).alias("tb")).select(
+        "id_b", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
     cand = (
         a.join(b, ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        # Dedup BEFORE the rerank: a pair colliding in several tables /
-        # probes pays the 2·dim-op cosine fold once, not per collision.
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # Exact rerank: fetch vectors for the deduped candidates only.
+    ga = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nm").alias("nm_a")
+    )
+    gb = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nm").alias("nm_b")
     )
     cos = dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nm_a") * F.col("nm_b"))
     return (
-        cand.select("id_a", "id_b", cos.alias("cosine"))
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
