@@ -211,11 +211,16 @@ sh AS (
                                       i -> array_to_string(toks[i:i+{MH_N - 1}], ' '))) AS s
   FROM t WHERE len(toks) >= {MH_N}
 ),
-ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+-- Same two integer views of each shingle's md5 as the Spark plan:
+-- h0 (32-bit) feeds the permutations, sh (60-bit) is the verify key.
+ex AS (SELECT doc_id,
+              ('0x' || substr(md5(unnest(s)), 1, 8))::BIGINT AS h0,
+              ('0x' || substr(md5(unnest(s)), 1, 15))::BIGINT AS shingle
+       FROM sh),
 mh AS (
   SELECT doc_id,
          {mins}
-  FROM (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h0 FROM ex)
+  FROM ex
   GROUP BY doc_id
 ),
 bands AS (

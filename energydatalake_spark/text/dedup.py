@@ -134,18 +134,27 @@ def minhash_pairs(
     threshold, jaccard computed exactly on distinct shingle sets for
     LSH candidates only.
     """
+    from energydatalake_spark.text.stats import _hex15_to_long
+
     k = bands * rows
     perm_a, perm_b = _perm_constants(k)
-    # Explode + shingle-string building is the expensive scan-side work
-    # and is reused by three downstream stages (signatures, set sizes,
-    # exact verify) — persist it instead of recomputing the lineage.
-    # At cluster scale the same role is played by a checkpoint/shuffle
-    # reuse; MEMORY_AND_DISK spills instead of OOMing.
-    ex = _persist_shingles(_exploded_shingles(df, text_col, id_col, n))
-    hashed = ex.select(
-        F.col(id_col), _hash_long(F.md5(F.col("shingle"))).alias("h0")
+    # Explode + shingle building is the expensive scan-side work and is
+    # reused by three downstream stages (signatures, set sizes, exact
+    # verify) — persist it instead of recomputing the lineage. What
+    # persists is one md5 reduced to two integer views of the shingle
+    # (h0: 32-bit, for the multiply-shift permutations; sh: 60-bit, the
+    # verify join key) — shuffles and cache carry 16 bytes, never the
+    # shingle text. At cluster scale the same role is played by a
+    # checkpoint/shuffle reuse; MEMORY_AND_DISK spills instead of OOMing.
+    md = F.md5(F.col("shingle"))
+    ex = _persist_shingles(
+        _exploded_shingles(df, text_col, id_col, n).select(
+            F.col(id_col),
+            _hash_long(md).alias("h0"),
+            _hex15_to_long(md).alias("sh"),
+        )
     )
-    sig = hashed.groupBy(id_col).agg(
+    sig = ex.groupBy(id_col).agg(
         *[
             F.min(
                 (F.lit(perm_a[i]) * F.col("h0") + F.lit(perm_b[i])).bitwiseAND(
@@ -192,11 +201,11 @@ def minhash_pairs(
         .distinct()
     )
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    ea = ex.select(F.col(id_col).alias("id_a"), F.col("shingle"))
-    eb = ex.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    ea = ex.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    eb = ex.select(F.col(id_col).alias("id_b"), F.col("sh"))
     inter = (
         cand.join(ea, "id_a")
-        .join(eb, ["id_b", "shingle"])
+        .join(eb, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
