@@ -738,6 +738,123 @@ WHERE s.quality_score >= {CP_MIN_QUALITY} AND l.pred_lang = '{CP_LANG}'
 
 SQL_CORPUS_PREP = _sql_corpus_prep()
 
+# ------------------------------------------------- split / sample / chunk
+
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+SPLIT_SALT = "v1"
+SAMPLE_FRACTIONS = {"en": 1.0, "fr": 0.5, "de": 0.25}
+SAMPLE_DEFAULT = 0.1
+CHUNK_TOKENS = 64
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split: membership is a pure function of
+    (salt, doc_id) — stable across re-runs, partitionings, engines."""
+    from energydatalake_spark.text.sampling import hash_split
+
+    out = hash_split(
+        read_table(spark, sf_dir, "documents"), SPLIT_WEIGHTS, salt=SPLIT_SALT
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+def _sql_train_split() -> str:
+    from energydatalake_spark.text.sampling import N_BUCKETS, _sql_hash_bucket
+
+    edges, acc = [], 0.0
+    for name, w in SPLIT_WEIGHTS.items():
+        acc += w
+        edges.append((name, int(round(acc * N_BUCKETS))))
+    whens = " ".join(f"WHEN bucket < {hi} THEN '{name}'" for name, hi in edges[:-1])
+    return f"""
+WITH b AS (
+  SELECT doc_id, {_sql_hash_bucket('doc_id', SPLIT_SALT)} AS bucket FROM documents
+)
+SELECT CASE {whens} ELSE '{edges[-1][0]}' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM b
+GROUP BY split
+"""
+
+
+SQL_TRAIN_SPLIT = _sql_train_split()
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from energydatalake_spark.text.sampling import stratified_sample
+
+    out = stratified_sample(
+        read_table(spark, sf_dir, "documents"),
+        "lang",
+        SAMPLE_FRACTIONS,
+        default=SAMPLE_DEFAULT,
+        salt=SPLIT_SALT,
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+def _sql_stratified_sample() -> str:
+    from energydatalake_spark.text.sampling import N_BUCKETS, _sql_hash_bucket
+
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {int(round(v * N_BUCKETS))}"
+        for k, v in SAMPLE_FRACTIONS.items()
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, {_sql_hash_bucket('doc_id', SPLIT_SALT)} AS bucket
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM b
+WHERE bucket < (CASE {whens} ELSE {int(round(SAMPLE_DEFAULT * N_BUCKETS))} END)
+GROUP BY lang
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from energydatalake_spark.text.sampling import chunk_documents
+
+    out = chunk_documents(
+        read_table(spark, sf_dir, "documents"), max_tokens=CHUNK_TOKENS
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT)))
+           AS chunk_id
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(len(toks[chunk_id * {CHUNK_TOKENS} + 1 :
+                     chunk_id * {CHUNK_TOKENS} + {CHUNK_TOKENS}]) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(array_to_string(toks[chunk_id * {CHUNK_TOKENS} + 1 :
+                                chunk_id * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' '))
+         AS chunk_md5
+FROM c
+"""
+
 
 LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("text_stats", q_text_stats, SQL_TEXT_STATS, "ext:text-stats"),
@@ -757,4 +874,8 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("similarity_lsh", q_similarity_lsh, SQL_SIMILARITY_LSH, "ext:ann-lsh"),
     ("similarity_ivf", q_similarity_ivf, SQL_SIMILARITY_IVF, "ext:ann-ivf"),
     ("corpus_prep", q_corpus_prep, SQL_CORPUS_PREP, "ext:corpus-prep composition"),
+    ("train_split", q_train_split, SQL_TRAIN_SPLIT, "ext:hash-split"),
+    ("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE,
+     "ext:stratified-sample"),
+    ("doc_chunks", q_doc_chunks, SQL_DOC_CHUNKS, "ext:context-window-chunking"),
 ]

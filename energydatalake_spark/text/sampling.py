@@ -1,0 +1,127 @@
+"""Deterministic corpus-selection operators for training-data
+pipelines: hash-based train/val/test split, stratified sampling, and
+fixed-token-window chunking.
+
+These are the operators a 100 TB corpus-prep job runs after dedup and
+quality filtering (BASELINE north star; siblings of text/dedup.py).
+All three are pure per-row expressions — no shuffle at all for split
+and sample (the assignment is a function of the row), one explode for
+chunking — so they scale linearly and parallelize perfectly.
+
+Determinism is the design center, not an accident: split/sample
+membership depends ONLY on (salt, id), never on partitioning, row
+order, or cluster size, so re-runs (and engines — the DuckDB oracle
+mirrors the same md5 bucket) agree exactly, and a doc keeps its split
+across pipeline versions. That's what `rand()`-based sampling cannot
+give (Spark's `rand` is partition-seeded: any repartition reshuffles
+membership).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from energydatalake_spark.text.stats import _hex15_to_long
+
+#: Bucket granularity for split/sample fractions: 1e-4 resolution.
+N_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    """Uniform bucket in [0, N_BUCKETS) from (salt, id) — the portable
+    md5 primitive, so DuckDB derives the identical bucket."""
+    return F.pmod(
+        _hex15_to_long(F.md5(F.concat_ws("|", F.lit(salt), id_col.cast("string")))),
+        F.lit(N_BUCKETS),
+    )
+
+
+def _sql_hash_bucket(id_expr: str, salt: str) -> str:
+    """DuckDB twin of _hash_bucket (module-level so oracle generators
+    stay in lockstep with the Spark expression)."""
+    return (
+        f"(('0x' || substr(md5('{salt}' || '|' || CAST({id_expr} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {N_BUCKETS})"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Assign every row to a named split by hash bucket. ``weights``
+    maps split name → fraction (must sum to ≤ 1; any remainder falls in
+    the last split). Cumulative bucket ranges follow the dict's
+    insertion order, so {'train': .9, 'val': .05, 'test': .05} gives
+    buckets [0,9000) / [9000,9500) / [9500,10000)."""
+    total = sum(weights.values())
+    if not 0 < total <= 1 + 1e-9:
+        raise ValueError(f"split weights must sum to (0, 1], got {total}")
+    bucket = _hash_bucket(F.col(id_col), salt)
+    names = list(weights)
+    edges, acc = [], 0.0
+    for w in weights.values():
+        acc += w
+        edges.append(int(round(acc * N_BUCKETS)))
+    expr: Column = F.lit(names[-1])
+    # Build the when-chain from the last boundary backwards.
+    for name, hi in zip(reversed(names), reversed(edges)):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Keep each row with its stratum's fraction — deterministic
+    per-row hash membership, no shuffle, no sampling variance across
+    re-runs. Strata missing from ``fractions`` use ``default`` (0.0 =
+    drop; 1.0 = keep all)."""
+    bucket = _hash_bucket(F.col(id_col), salt)
+    cut: Column = F.lit(int(round(default * N_BUCKETS)))
+    for stratum, frac in fractions.items():
+        cut = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(frac * N_BUCKETS)))
+        ).otherwise(cut)
+    return df.filter(bucket < cut)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into consecutive windows of ≤ ``max_tokens``
+    whitespace tokens — the context-window chunking step before
+    tokenization/packing. Output: (id, chunk_id, n_chunk_tokens,
+    chunk_text). (An empty string still tokenizes to one empty token —
+    identically in Spark and DuckDB — so it yields one empty chunk;
+    null text yields none.)
+
+    One generator explode per document (sequence of chunk indices →
+    slice of the token array) — the token array is built once per row
+    and never shuffles; downstream stages key on (id, chunk_id)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(max_tokens)).cast("int")
+    out = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(out["_toks"], out.chunk_id * max_tokens + 1, max_tokens)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -1,0 +1,109 @@
+"""Deterministic split / stratified sample / chunking operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from energydatalake_spark.text.sampling import (
+    chunk_documents,
+    hash_split,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(10 + i % 5)), ["en", "fr"][i % 2])
+            for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_hash_split_fractions_and_partition(spark, docs):
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 400  # a partition: every row exactly once
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert 0.6 < counts["train"] / 400 < 0.95  # ~0.8 with hash variance
+
+
+def test_hash_split_is_partitioning_invariant(spark, docs):
+    """Membership must be a pure function of (salt, id) — rand()-based
+    splits fail exactly this (partition-seeded)."""
+    w = {"train": 0.9, "test": 0.1}
+    one = {r.doc_id: r.split for r in hash_split(docs.coalesce(1), w).collect()}
+    many = {r.doc_id: r.split for r in hash_split(docs.repartition(13), w).collect()}
+    assert one == many
+
+
+def test_hash_split_salt_changes_assignment(spark, docs):
+    w = {"a": 0.5, "b": 0.5}
+    s1 = {r.doc_id: r.split for r in hash_split(docs, w, salt="v1").collect()}
+    s2 = {r.doc_id: r.split for r in hash_split(docs, w, salt="v2").collect()}
+    assert s1 != s2  # different salt, different (valid) partition
+
+
+def test_hash_split_rejects_bad_weights(spark, docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, {"a": 0.9, "b": 0.9})
+
+
+def test_stratified_sample_respects_fractions(spark, docs):
+    out = stratified_sample(docs, "lang", {"en": 1.0, "fr": 0.25})
+    kept = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert kept["en"] == 200  # fraction 1.0 keeps every row
+    assert 20 < kept.get("fr", 0) < 90  # ~50 of 200 with hash variance
+
+
+def test_stratified_sample_default_drops_unlisted(spark, docs):
+    out = stratified_sample(docs, "lang", {"en": 1.0})  # default 0.0
+    assert out.filter("lang = 'fr'").count() == 0
+
+
+def test_stratified_sample_is_subset_and_stable(spark, docs):
+    a = sorted(r.doc_id for r in stratified_sample(docs, "lang", {"en": 0.5}).collect())
+    b = sorted(r.doc_id for r in stratified_sample(docs, "lang", {"en": 0.5}).collect())
+    assert a == b and len(a) > 0
+    # growing the fraction only ADDS members (nested samples, a property
+    # of threshold-on-bucket designs that rand() resampling lacks)
+    bigger = sorted(
+        r.doc_id for r in stratified_sample(docs, "lang", {"en": 0.8}).collect()
+    )
+    assert set(a) <= set(bigger)
+
+
+def test_chunk_documents_known_answer(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{j}" for j in range(10))), (2, "a b c")],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        map(tuple, chunk_documents(df, max_tokens=4).collect())
+    )
+    assert rows == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t4 t5 t6 t7"),
+        (1, 2, 2, "t8 t9"),
+        (2, 0, 3, "a b c"),
+    ]
+
+
+def test_chunks_reassemble_to_document(spark, docs):
+    from pyspark.sql import functions as F
+
+    chunks = chunk_documents(docs, max_tokens=7)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_text"))
+                ).getField("chunk_text"),
+                " ",
+            ).alias("text")
+        )
+    )
+    diff = rebuilt.alias("r").join(docs.alias("d"), "doc_id").filter(
+        F.col("r.text") != F.col("d.text")
+    )
+    assert diff.count() == 0
