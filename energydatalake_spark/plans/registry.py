@@ -725,15 +725,26 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(raw_schema).parquet(path + "*")
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    roll = hourly_rollup(stream, "ts", "value", keys=["event_type"])
-    _STREAM_SEQ[0] += 1
-    result = run_stream_to_memory(
-        spark, roll, f"stream_hourly_{_STREAM_SEQ[0]}", "complete"
-    )
+    # Scoped like read_table: the conf matters while the stream drains
+    # (run_stream_to_memory blocks to completion inside the guard); the
+    # returned memory-table select never re-reads parquet.
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        raw_schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(raw_schema).parquet(path + "*")
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        roll = hourly_rollup(stream, "ts", "value", keys=["event_type"])
+        _STREAM_SEQ[0] += 1
+        result = run_stream_to_memory(
+            spark, roll, f"stream_hourly_{_STREAM_SEQ[0]}", "complete"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     return result.select(
         _ms(F.col("hour_start")).alias("hour_ms"),
         F.col("event_type"),
@@ -788,6 +799,36 @@ FROM ({inner})
 
 
 _register("sessionize", q_sessionize, _sessionize_oracle(), "ext:sessionize")
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (§2.9 twin of F2/dedup_exact): documents
+    replayed through a file-source stream; each distinct text hash is
+    emitted exactly once across all micro-batches (cross-batch state).
+    Projecting to the key BEFORE the stateful operator makes the result
+    a pure set — order-independent, so the static batch DISTINCT is an
+    exact oracle."""
+    import os
+
+    from energydatalake_spark.streaming.dedup import streaming_dedup
+    from energydatalake_spark.streaming.windows import run_stream_to_memory
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(path + "*")
+    keyed = stream.select(F.md5(F.col("text")).alias("text_md5"))
+    out = streaming_dedup(keyed, ["text_md5"])
+    _STREAM_SEQ[0] += 1
+    return run_stream_to_memory(
+        spark, out, f"stream_dedup_{_STREAM_SEQ[0]}", "append"
+    )
+
+
+SQL_STREAMING_DEDUP = "SELECT DISTINCT md5(text) AS text_md5 FROM documents"
+
+_register(
+    "streaming_dedup", q_streaming_dedup, SQL_STREAMING_DEDUP, "§2.9 F2 streaming"
+)
 
 
 def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:

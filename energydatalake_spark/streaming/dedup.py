@@ -1,0 +1,40 @@
+"""Streaming deduplication (SURVEY.md §2.9 extension): the streaming
+twin of ``text/dedup.exact_dedup`` — each distinct key is emitted
+exactly once across the whole stream, including across micro-batches
+(state carries the seen-key set).
+
+Two state regimes:
+
+- ``streaming_dedup`` — unbounded state (one entry per distinct key,
+  forever). Right for bounded replays and modest key cardinality; at
+  100 TB of keys, state is the product of distinct keys, not rows, but
+  still unbounded in time.
+- ``streaming_dedup_within_watermark`` — ``dropDuplicatesWithinWatermark``:
+  duplicates are only suppressed while they can still arrive (within
+  the event-time watermark), so state is bounded by the watermark
+  horizon. The standard at-scale contract: re-deliveries cluster near
+  the original event; anything later than the watermark was already
+  dropped by the watermark itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def streaming_dedup(stream: DataFrame, keys: list[str]) -> DataFrame:
+    """Exactly-once emission per distinct key tuple; state grows with
+    distinct keys (unbounded in time — see module docstring)."""
+    return stream.select(*keys).dropDuplicates(keys)
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermark-bounded dedup: suppresses duplicate keys arriving
+    within the watermark horizon of the first occurrence; state is
+    evicted once the watermark passes."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -194,3 +194,74 @@ def test_sessionize_batch_matches_duckdb(spark):
         for u, sid, s0, s1, n, _ in con.sql(sessionize_sql(240)).fetchall()
     }
     assert got == expect and len(got) > 10
+
+
+def test_streaming_dedup_cross_batch(spark, tmp_path):
+    """Each distinct key must be emitted exactly once even when its
+    duplicates arrive in DIFFERENT micro-batches (state carries the
+    seen-key set across batches)."""
+    import os
+
+    import pandas as pd
+
+    from energydatalake_spark.streaming.dedup import streaming_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pd.DataFrame({"k": ["a", "b", "a"]}).to_parquet(os.path.join(src, "b0.parquet"))
+    schema = "k string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_dedup(stream, ["k"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sd_cross_batch")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: one duplicate of batch 0 + one new key
+        pd.DataFrame({"k": ["b", "c"]}).to_parquet(os.path.join(src, "b1.parquet"))
+        q.processAllAvailable()
+        got = sorted(r.k for r in spark.table("sd_cross_batch").collect())
+    finally:
+        q.stop()
+    assert got == ["a", "b", "c"]  # 'a' and 'b' once despite 2+ arrivals
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Watermark-bounded variant: duplicates inside the horizon are
+    suppressed; state does not require keeping every key forever."""
+    import os
+    from datetime import datetime
+
+    import pandas as pd
+
+    from energydatalake_spark.streaming.dedup import (
+        streaming_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = datetime(2024, 3, 1, 0, 0, 0)
+    pdf = pd.DataFrame({"k": ["a", "a", "b"], "ts": [t0, t0, t0]})
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # parquet TIMESTAMP(MICROS)
+    pdf.to_parquet(os.path.join(src, "b0.parquet"))
+    stream = spark.readStream.schema("k string, ts timestamp").parquet(src)
+    out = streaming_dedup_within_watermark(stream, ["k"], "ts", "10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sd_watermark")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r.k for r in spark.table("sd_watermark").collect())
+    finally:
+        q.stop()
+    assert got == ["a", "b"]  # in-horizon duplicate suppressed
