@@ -856,6 +856,74 @@ FROM c
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from energydatalake_spark.text.normalize_text import normalize_text
+
+    out = normalize_text(read_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.length(F.col("text_norm")).cast("bigint").alias("n_norm_chars"),
+        F.md5(F.col("text_norm")).alias("norm_md5"),
+    )
+
+
+def _sql_text_normalize() -> str:
+    from energydatalake_spark.text.normalize_text import sql_normalize_expr
+
+    expr = sql_normalize_expr("text")
+    return f"""
+SELECT doc_id,
+       CAST(length({expr}) AS BIGINT) AS n_norm_chars,
+       md5({expr}) AS norm_md5
+FROM documents
+"""
+
+
+SQL_TEXT_NORMALIZE = _sql_text_normalize()
+
+PACK_BUDGET, PACK_SHARDS = 128, 16
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from energydatalake_spark.text.sampling import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(
+        read_table(spark, sf_dir, "documents"), max_tokens=CHUNK_TOKENS
+    )
+    return pack_chunks(chunks, budget=PACK_BUDGET, n_shards=PACK_SHARDS)
+
+
+SQL_PACK_CHUNKS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT)))
+           AS chunk_id
+  FROM t
+),
+ch AS (
+  SELECT doc_id,
+         CAST(chunk_id AS INTEGER) AS chunk_id,
+         CAST(len(toks[chunk_id * {CHUNK_TOKENS} + 1 :
+                       chunk_id * {CHUNK_TOKENS} + {CHUNK_TOKENS}]) AS BIGINT)
+           AS n_chunk_tokens,
+         CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard
+  FROM c
+),
+p AS (
+  SELECT doc_id, chunk_id, n_chunk_tokens, shard,
+         SUM(n_chunk_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM ch
+)
+SELECT doc_id, chunk_id, n_chunk_tokens, shard,
+       CAST(floor((cum - n_chunk_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+FROM p
+"""
+
+
 LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("text_stats", q_text_stats, SQL_TEXT_STATS, "ext:text-stats"),
     ("token_count", q_token_count, SQL_TOKEN_COUNT, "ext:token-count"),
@@ -878,4 +946,7 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE,
      "ext:stratified-sample"),
     ("doc_chunks", q_doc_chunks, SQL_DOC_CHUNKS, "ext:context-window-chunking"),
+    ("text_normalize", q_text_normalize, SQL_TEXT_NORMALIZE,
+     "ext:text-normalize pii-mask"),
+    ("pack_chunks", q_pack_chunks, SQL_PACK_CHUNKS, "ext:sequence-packing"),
 ]

@@ -125,3 +125,46 @@ def chunk_documents(
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def pack_chunks(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    chunk_id_col: str = "chunk_id",
+    size_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Sequence packing: assign chunks to fixed-token-budget bins by
+    running token count in (id, chunk_id) order — the step that turns a
+    chunked corpus into dense training sequences.
+
+    Sharded for scale: a single global running sum would serialize into
+    one window partition, so packing runs independently inside
+    ``pmod(id, n_shards)`` shards (one parallel window each; bins never
+    cross shards). Deterministic: shard and order are pure functions of
+    the row, so bin assignment survives re-runs and repartitioning.
+    Bins are the half-open token intervals [k·budget, (k+1)·budget): a
+    chunk straddling a boundary starts the next bin's interval rather
+    than splitting — the simple deterministic packing, ≥50% fill at
+    chunk sizes ≤ budget.
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col), F.col(chunk_id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("shard", shard).withColumn(
+        "_cum", F.sum(size_col).over(w)
+    )
+    bin_id = F.floor((F.col("_cum") - F.col(size_col)) / F.lit(budget))
+    return out.select(
+        F.col(id_col),
+        F.col(chunk_id_col),
+        F.col(size_col),
+        "shard",
+        bin_id.cast("bigint").alias("bin_id"),
+    )

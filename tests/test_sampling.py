@@ -107,3 +107,52 @@ def test_chunks_reassemble_to_document(spark, docs):
         F.col("r.text") != F.col("d.text")
     )
     assert diff.count() == 0
+
+
+def test_pack_chunks_respects_budget_intervals(spark):
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.text.sampling import pack_chunks
+
+    rows = [(d, c, 40) for d in range(8) for c in range(3)]  # 24 chunks x 40 toks
+    df = spark.createDataFrame(rows, "doc_id bigint, chunk_id int, n_chunk_tokens bigint")
+    out = pack_chunks(df, budget=100, n_shards=2).collect()
+    # bin = floor(start_offset / budget) within the shard's (doc, chunk) order
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id, r.chunk_id)):
+        start = by_shard.get(r.shard, 0)
+        assert r.bin_id == start // 100, r
+        by_shard[r.shard] = start + r.n_chunk_tokens
+    # deterministic across partitioning
+    again = pack_chunks(df.repartition(7), budget=100, n_shards=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_chunks_bins_never_cross_shards(spark):
+    from energydatalake_spark.text.sampling import pack_chunks
+
+    rows = [(d, 0, 10) for d in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, chunk_id int, n_chunk_tokens bigint")
+    out = pack_chunks(df, budget=30, n_shards=4).collect()
+    assert {r.shard for r in out} == {0, 1, 2, 3}
+    for r in out:
+        assert r.shard == r.doc_id % 4
+
+
+def test_normalize_text_masks_and_collapses(spark):
+    from energydatalake_spark.text.normalize_text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "Contact Bob.Smith+x@corp.example.COM  now"),
+            (2, "see https://a.example.com/p?q=1 \t twice\n\nok"),
+            (3, "call 555 123-4567 ext 9"),
+            (4, "plain   text"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.text_norm for r in normalize_text(df).collect()}
+    assert got[1] == "contact <email> now"
+    assert got[2] == "see <url> twice ok"
+    assert got[3] == "call <num> ext 9"
+    assert got[4] == "plain text"
