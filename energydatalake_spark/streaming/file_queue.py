@@ -81,3 +81,48 @@ def stream_folder_to_table(
     )
     q.awaitTermination()
     return n_batches
+
+
+def stream_folder_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType | str,
+    sink_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    partition_date_col: str | None = None,
+    transform=None,
+) -> int:
+    """One AvailableNow pass with a MERGE sink: CSV folder →
+    (transform) → insert-only upsert on ``keys``.
+
+    The checkpoint gives exactly-once per FILE; the per-batch
+    ``upsert_table`` adds exactly-once per ROW — re-delivered content
+    under NEW file names (which the checkpoint rightly treats as new
+    files: the reference's racing crons, a producer retry, a manual
+    backfill) cannot duplicate warehouse rows. This is SURVEY §2.9's
+    "idempotent MERGE for true exactly-once" as a streaming sink.
+    """
+    from energydatalake_spark.io.writers import upsert_table
+
+    stream = (
+        spark.readStream.schema(schema).option("header", "true").csv(source_dir)
+    )
+    if transform is not None:
+        stream = transform(stream)
+
+    n_batches = 0
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        upsert_table(batch_df, sink_path, keys, partition_date_col)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches

@@ -265,3 +265,46 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     finally:
         q.stop()
     assert got == ["a", "b"]  # in-horizon duplicate suppressed
+
+
+def test_stream_upsert_row_exactly_once_across_redelivery(spark, tmp_path):
+    """Checkpoint dedups FILES; the MERGE sink must additionally dedup
+    ROWS when the same content is re-delivered under a new name (a
+    producer retry / racing cron — invisible to the file checkpoint)."""
+    import os
+
+    import pandas as pd
+
+    from energydatalake_spark.streaming.file_queue import stream_folder_upsert
+
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+    rows = pd.DataFrame(
+        {"k": ["1", "2"], "t": ["2024-03-01 00:00:00", "2024-03-01 01:00:00"],
+         "v": ["10.5", "20.5"]}
+    )
+    rows.to_csv(os.path.join(src, "a.csv"), index=False)
+
+    from pyspark.sql import functions as F
+
+    def typed(df):
+        return df.select(
+            F.col("k").cast("bigint").alias("k"),
+            F.to_timestamp("t").alias("t"),
+            F.col("v").cast("double").alias("v"),
+        )
+
+    kw = dict(schema="k string, t string, v string", sink_path=sink,
+              checkpoint_dir=ckpt, keys=["k"], partition_date_col="t",
+              transform=typed)
+    assert stream_folder_upsert(spark, src, **kw) >= 1
+    # same content, NEW file name + one genuinely new row
+    pd.concat(
+        [rows, pd.DataFrame({"k": ["3"], "t": ["2024-03-02 02:00:00"], "v": ["30.5"]})]
+    ).to_csv(os.path.join(src, "b.csv"), index=False)
+    stream_folder_upsert(spark, src, **kw)
+    got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert got == [(1, 10.5), (2, 20.5), (3, 30.5)]  # no duplicates, new row in
+    # third pass with nothing new: clean no-op
+    stream_folder_upsert(spark, src, **kw)
+    assert spark.read.parquet(sink).count() == 3
