@@ -219,6 +219,61 @@ ORDER BY average_price DESC
 """
 
 
+def q_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group — the analytic the reference's
+    weather-vs-price correlate (README.md:288-300) implies but only
+    approximates with grouped averages. Built from decimal-exact moment
+    sums (Sx, Sy, Sxy, Sxx, Syy are DECIMAL sums of 2-decimal inputs:
+    exact regardless of aggregation order), so the final float formula
+    is evaluated over identical operands in both engines — an EXACT
+    oracle for a statistic that is normally summation-order fuzz.
+    ``F.corr`` would be the one-liner; it is a double running sum whose
+    value depends on partitioning, which is exactly what this registry
+    exists to not ship."""
+    l = read_table(spark, sf_dir, "lineitem")
+    d182 = "decimal(18,2)"
+    x = F.col("l_quantity").cast(d182)
+    y = F.col("l_extendedprice").cast(d182)
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    num = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    den = F.sqrt(agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]) * F.sqrt(
+        agg["n"] * agg["syy"] - agg["sy"] * agg["sy"]
+    )
+    return agg.select(
+        "l_returnflag",
+        agg["n"].cast("bigint").alias("n_rows"),
+        _r(num / den, 6).alias("qty_price_corr"),
+    )
+
+
+SQL_PEARSON_CORR = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       FLOOR((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             * 1000000.0 + 0.5) / 1000000.0 AS qty_price_corr
+FROM m
+"""
+
+
 def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 + P6 (merge:86-87): per-column null-count profile, one row.
     The testdata has no nulls, so nulls are induced with nullif — which
@@ -672,6 +727,7 @@ _register("avg_by_month", q_avg_by_month, SQL_AVG_BY_MONTH, "A4 O2")
 _register("avg_by_hour", q_avg_by_hour, SQL_AVG_BY_HOUR, "A5 O2")
 _register("mix_percentage", q_mix_percentage, SQL_MIX_PERCENTAGE, "A6 P8")
 _register("multikey_avg", q_multikey_avg, SQL_MULTIKEY_AVG, "A7 O3 P8")
+_register("pearson_corr", q_pearson_corr, SQL_PEARSON_CORR, "A7-correlate")
 _register("null_profile", q_null_profile, SQL_NULL_PROFILE, "A2 P6")
 _register("drop_nulls", q_drop_nulls, SQL_DROP_NULLS, "F1")
 _register("dedup_rows", q_dedup_rows, SQL_DEDUP_ROWS, "F2")

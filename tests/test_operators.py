@@ -155,3 +155,31 @@ def test_aggregate_builders(spark):
     assert float(mix.solar_percent) + float(mix.wind_percent) == pytest.approx(100.0)
     top = multikey_avg_desc(df, ["a", "b"], "load").collect()
     assert top[0].a == "y" and float(top[0].average_price) == 30.0
+
+
+def test_pearson_corr_matches_numpy(spark):
+    """The decimal-moment formula must agree with an independent
+    float64 reference (numpy) to ~1e-9 — the decimals buy cross-engine
+    determinism, not a different statistic."""
+    import math
+
+    import numpy as np
+
+    from energydatalake_spark.io.readers import read_table
+    from energydatalake_spark.plans.registry import q_pearson_corr
+    from tests.conftest import SF_SMOKE
+
+    got = {r.l_returnflag: r.qty_price_corr
+           for r in q_pearson_corr(spark, SF_SMOKE).collect()}
+    raw = read_table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    by_flag = {}
+    for r in raw:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (r.l_quantity, r.l_extendedprice)
+        )
+    for flag, pairs in by_flag.items():
+        a = np.array(pairs)
+        expect = float(np.corrcoef(a[:, 0], a[:, 1])[0, 1])
+        assert math.isclose(got[flag], expect, abs_tol=1e-6), (flag, got[flag], expect)
