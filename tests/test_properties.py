@@ -129,3 +129,78 @@ def test_band_join_equals_filtered_cross(spark, points, intervals):
         if k == k2 and lo <= t <= hi
     )
     assert got == expect
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=40, unique=True),
+    w1=st.integers(1, 98),
+    w2=st.integers(1, 98),
+)
+@_prop_settings
+def test_hash_split_partitions_every_row_exactly_once(spark, ids, w1, w2):
+    """For ANY weights, hash_split is a partition of the input: every
+    row lands in exactly one split, and membership is reproducible."""
+    from energydatalake_spark.text.sampling import hash_split
+
+    if w1 + w2 >= 100:
+        w2 = 100 - w1
+    weights = {"a": w1 / 100, "b": w2 / 100, "c": (100 - w1 - w2) / 100}
+    weights = {k: v for k, v in weights.items() if v > 0}
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    out = hash_split(df, weights).collect()
+    assert len(out) == len(ids)
+    assert {r.doc_id for r in out} == set(ids)
+    assert {r.split for r in out} <= set(weights)
+    again = {r.doc_id: r.split for r in hash_split(df, weights).collect()}
+    assert again == {r.doc_id: r.split for r in out}
+
+
+@given(
+    sizes=st.lists(st.integers(1, 50), min_size=1, max_size=40),
+    budget=st.integers(10, 200),
+)
+@_prop_settings
+def test_pack_chunks_invariants(spark, sizes, budget):
+    """Bins are contiguous per shard, start at 0, and every bin except
+    possibly the last spans ≥ budget tokens counted at its boundary —
+    for ANY chunk sizes and budget."""
+    from energydatalake_spark.text.sampling import pack_chunks
+
+    rows = [(0, c, s) for c, s in enumerate(sizes)]  # one doc → one shard
+    df = spark.createDataFrame(rows, "doc_id bigint, chunk_id int, n_chunk_tokens bigint")
+    out = sorted(pack_chunks(df, budget=budget, n_shards=4).collect(),
+                 key=lambda r: r.chunk_id)
+    assert out[0].bin_id == 0
+    cum = 0
+    for r in out:
+        assert r.bin_id == cum // budget  # bin = floor(start offset / budget)
+        cum += r.n_chunk_tokens
+    bins = [r.bin_id for r in out]
+    assert bins == sorted(bins)  # monotone in chunk order
+
+
+@given(docs=st.lists(
+    st.text(alphabet="ab @.:/0123456789xyz\t\n", min_size=0, max_size=80),
+    min_size=1, max_size=15,
+))
+@_prop_settings
+def test_normalize_text_output_is_clean(spark, docs):
+    """For ANY input: no control chars, no double spaces, no leading/
+    trailing space, no surviving email/URL shapes; idempotent."""
+    import re
+
+    from energydatalake_spark.text.normalize_text import normalize_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r.text_norm for r in normalize_text(df).collect()}
+    twice = normalize_text(
+        normalize_text(df).select("doc_id", F.col("text_norm").alias("text"))
+    )
+    out2 = {r.doc_id: r.text_norm for r in twice.collect()}
+    for i, t in out.items():
+        assert "  " not in t and t == t.strip()
+        assert not re.search(r"[\x00-\x08\x0b\x0c\x0e-\x1f\t\n\r]", t)
+        assert not re.search(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", t)
+        assert out2[i] == t  # idempotent
