@@ -143,7 +143,11 @@ def sample_frames(
                     out_ids.append(mid)
                     out_idx.append(k)
                     out_bytes.append(
-                        hashlib.md5(bytes(content) + k.to_bytes(4, "big")).digest()
+                        # ASCII frame-index suffix: deterministic AND
+                        # reproducible by the SQL oracle (md5 over text
+                        # in both engines; a binary suffix would need a
+                        # blob-md5 DuckDB lacks).
+                        hashlib.md5(bytes(content) + b":" + str(k).encode()).digest()
                     )
             yield pd.DataFrame(
                 {"media_id": out_ids, "frame_idx": out_idx, "frame_bytes": out_bytes}

@@ -677,6 +677,83 @@ FROM c
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing (1→N row expansion in mapInPandas) with
+    a full oracle: the stub's frame bytes are md5(content ‖ frame-index
+    big-endian), which DuckDB reproduces over the same synthetic
+    content — so even the Python-side expansion is value-checked."""
+    from energydatalake_spark.multimodal.media import attach_fake_media, sample_frames
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_media(docs, "doc_id")
+    frames = sample_frames(media, every_n=2, max_frames=4, id_col="doc_id")
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.lower(F.hex(F.col("frame_bytes"))).alias("frame_md5"),
+    )
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH c AS (
+  SELECT doc_id AS media_id,
+         'MEDIA:' || md5(CAST(doc_id AS VARCHAR)) || ':'
+                  || md5(CAST(doc_id AS VARCHAR)) AS content
+  FROM documents
+)
+SELECT media_id,
+       CAST(k AS INTEGER) AS frame_idx,
+       md5(content || ':' || CAST(k AS VARCHAR)) AS frame_md5
+FROM c, unnest([0, 2, 4, 6]) AS t(k)
+"""
+
+
+def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing (bytes → fixed-dim vector via
+    Arrow-batched mapInPandas); the md5-expansion stub is reproduced in
+    SQL byte-for-byte, float32-rounded on both sides."""
+    from energydatalake_spark.multimodal.media import (
+        EMBED_DIM,
+        attach_fake_media,
+        media_embedding,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    emb = media_embedding(attach_fake_media(docs, "doc_id"), id_col="doc_id")
+    return emb.select(
+        "media_id",
+        *[
+            F.element_at(F.col("embedding"), i + 1).cast("double").alias(f"e{i}")
+            for i in range(EMBED_DIM)
+        ],
+    )
+
+
+def _sql_multimodal_embed() -> str:
+    from energydatalake_spark.multimodal.media import EMBED_DIM
+
+    cols = ",\n       ".join(
+        # byte i of the md5 digest / 255.0, float32-rounded like the
+        # ArrayType(FloatType) column on the Spark side
+        f"CAST(CAST(('0x' || substr(d, {2 * i + 1}, 2))::BIGINT / 255.0 AS REAL)"
+        f" AS DOUBLE) AS e{i}"
+        for i in range(EMBED_DIM)
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id AS media_id,
+         md5('MEDIA:' || md5(CAST(doc_id AS VARCHAR)) || ':'
+             || md5(CAST(doc_id AS VARCHAR))) AS d
+  FROM documents
+)
+SELECT media_id,
+       {cols}
+FROM c
+"""
+
+
+SQL_MULTIMODAL_EMBED = _sql_multimodal_embed()
+
 # ------------------------------------------------------------- corpus prep
 
 CP_MIN_QUALITY = 0.5
@@ -931,6 +1008,10 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("dedup_embedding_lsh", q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH,
      "ext:dedup-embedding-lsh scale path"),
     ("multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, "ext:multimodal"),
+    ("multimodal_frames", q_multimodal_frames, SQL_MULTIMODAL_FRAMES,
+     "ext:multimodal frame-sample"),
+    ("multimodal_embed", q_multimodal_embed, SQL_MULTIMODAL_EMBED,
+     "ext:multimodal feature-extract"),
     ("lang_id", q_lang_id, SQL_LANG_ID, "ext:lang-id"),
     ("doc_fingerprint", q_fingerprints, SQL_FINGERPRINTS, "ext:fingerprint"),
     ("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, "ext:dedup-exact"),

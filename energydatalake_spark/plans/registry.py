@@ -219,6 +219,38 @@ ORDER BY average_price DESC
 """
 
 
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join (operators/skew.py): the large side is
+    salted into n_salts sub-keys, the dimension side replicated — the
+    hot key fans out across tasks instead of landing on one. The result
+    is IDENTICAL to the plain join (salting refines partitioning, never
+    the match predicate), which is exactly what the plain-SQL oracle
+    asserts — the randomness in the salt column cancels out of every
+    output value."""
+    from energydatalake_spark.operators.skew import salted_join
+
+    l = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = salted_join(l, s, on=["l_suppkey"], n_salts=8)
+    return j.groupBy(F.col("s_nationkey").cast("int").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _r(_dsum(F.col("l_extendedprice")), 2).alias("sum_price"),
+    )
+
+
+SQL_SKEW_JOIN = """
+SELECT CAST(s.s_nationkey AS INTEGER) AS nationkey,
+       COUNT(*) AS n_items,
+       FLOOR(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) * 100.0 + 0.5) / 100.0
+         AS sum_price
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY s.s_nationkey
+"""
+
+
 def q_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation per group — the analytic the reference's
     weather-vs-price correlate (README.md:288-300) implies but only
@@ -728,6 +760,7 @@ _register("avg_by_hour", q_avg_by_hour, SQL_AVG_BY_HOUR, "A5 O2")
 _register("mix_percentage", q_mix_percentage, SQL_MIX_PERCENTAGE, "A6 P8")
 _register("multikey_avg", q_multikey_avg, SQL_MULTIKEY_AVG, "A7 O3 P8")
 _register("pearson_corr", q_pearson_corr, SQL_PEARSON_CORR, "A7-correlate")
+_register("skew_join", q_skew_join, SQL_SKEW_JOIN, "J-skew salted")
 _register("null_profile", q_null_profile, SQL_NULL_PROFILE, "A2 P6")
 _register("drop_nulls", q_drop_nulls, SQL_DROP_NULLS, "F1")
 _register("dedup_rows", q_dedup_rows, SQL_DEDUP_ROWS, "F2")
