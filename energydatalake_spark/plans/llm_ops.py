@@ -815,6 +815,122 @@ WHERE s.quality_score >= {CP_MIN_QUALITY} AND l.pred_lang = '{CP_LANG}'
 
 SQL_CORPUS_PREP = _sql_corpus_prep()
 
+
+def q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline, composed end-to-end from the
+    individual operators: normalize (+PII mask) → exact dedup on the
+    NORMALIZED text (catches whitespace/case near-copies plain md5
+    misses) → quality + language filter → deterministic train split →
+    context-window chunking of the normalized text → token-budget
+    packing. Every stage is the registry operator itself, so this
+    query's oracle is assembled from the same generated SQL fragments —
+    one value-hash over the whole composition.
+
+    Scale shape: normalize/chunk are per-row; dedup and the
+    stats/lang joins shuffle compact keys (hash, doc_id) — normalized
+    bodies shuffle only into the chunk explode, which is map-side."""
+    from energydatalake_spark.text.normalize_text import normalize_text
+    from energydatalake_spark.text.sampling import (
+        chunk_documents,
+        hash_split,
+        pack_chunks,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    norm = normalize_text(docs).select("doc_id", "text_norm")
+    canonical = (
+        norm.groupBy(F.md5(F.col("text_norm")).alias("norm_md5"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    stats = text_stats(docs).select("doc_id", "quality_score")
+    lang = language_id(docs).select("doc_id", "pred_lang")
+    kept = (
+        canonical.join(stats, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("quality_score") >= CP_MIN_QUALITY)
+            & (F.col("pred_lang") == CP_LANG)
+        )
+        .select("doc_id", "n_copies")
+    )
+    train = hash_split(kept, SPLIT_WEIGHTS, salt=SPLIT_SALT).filter(
+        F.col("split") == "train"
+    )
+    texts = train.join(norm, "doc_id").select(
+        "doc_id", F.col("text_norm").alias("text")
+    )
+    chunks = chunk_documents(texts, max_tokens=CHUNK_TOKENS)
+    packed = pack_chunks(chunks, budget=PACK_BUDGET, n_shards=PACK_SHARDS)
+    return packed.join(
+        chunks.select("doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_md5")),
+        ["doc_id", "chunk_id"],
+    )
+
+
+def _sql_corpus_prep_full() -> str:
+    from energydatalake_spark.text.normalize_text import sql_normalize_expr
+    from energydatalake_spark.text.sampling import N_BUCKETS, _sql_hash_bucket
+
+    norm = sql_normalize_expr("text")
+    stats_sql = SQL_TEXT_STATS.strip()
+    lang_sql = SQL_LANG_ID.strip()
+    train_hi = int(round(SPLIT_WEIGHTS["train"] * N_BUCKETS))
+    return f"""
+WITH norm AS (SELECT doc_id, {norm} AS text_norm FROM documents),
+canonical AS (
+  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+  FROM norm GROUP BY md5(text_norm)
+),
+stats AS ({stats_sql}),
+lang AS ({lang_sql}),
+kept AS (
+  SELECT c.doc_id, c.n_copies
+  FROM canonical c
+  JOIN stats s ON s.doc_id = c.doc_id
+  JOIN lang l ON l.doc_id = c.doc_id
+  WHERE s.quality_score >= {CP_MIN_QUALITY} AND l.pred_lang = '{CP_LANG}'
+),
+train AS (
+  SELECT doc_id, n_copies FROM kept
+  WHERE {_sql_hash_bucket('doc_id', SPLIT_SALT)} < {train_hi}
+),
+texts AS (
+  SELECT t.doc_id, n.text_norm AS text, string_split(n.text_norm, ' ') AS toks
+  FROM train t JOIN norm n ON n.doc_id = t.doc_id
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT)))
+           AS chunk_id
+  FROM texts
+),
+ch AS (
+  SELECT doc_id,
+         CAST(chunk_id AS INTEGER) AS chunk_id,
+         CAST(len(toks[chunk_id * {CHUNK_TOKENS} + 1 :
+                       chunk_id * {CHUNK_TOKENS} + {CHUNK_TOKENS}]) AS BIGINT)
+           AS n_chunk_tokens,
+         md5(array_to_string(toks[chunk_id * {CHUNK_TOKENS} + 1 :
+                                  chunk_id * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' '))
+           AS chunk_md5,
+         CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard
+  FROM c
+),
+p AS (
+  SELECT doc_id, chunk_id, n_chunk_tokens, chunk_md5, shard,
+         SUM(n_chunk_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM ch
+)
+SELECT doc_id, chunk_id, n_chunk_tokens, shard,
+       CAST(floor((cum - n_chunk_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       chunk_md5
+FROM p
+"""
+
+
 # ------------------------------------------------- split / sample / chunk
 
 SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -1001,6 +1117,9 @@ FROM p
 """
 
 
+SQL_CORPUS_PREP_FULL = _sql_corpus_prep_full()
+
+
 LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("text_stats", q_text_stats, SQL_TEXT_STATS, "ext:text-stats"),
     ("token_count", q_token_count, SQL_TOKEN_COUNT, "ext:token-count"),
@@ -1030,4 +1149,6 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("text_normalize", q_text_normalize, SQL_TEXT_NORMALIZE,
      "ext:text-normalize pii-mask"),
     ("pack_chunks", q_pack_chunks, SQL_PACK_CHUNKS, "ext:sequence-packing"),
+    ("corpus_prep_full", q_corpus_prep_full, SQL_CORPUS_PREP_FULL,
+     "ext:corpus-prep-full normalize→dedup→filter→split→chunk→pack"),
 ]
