@@ -306,6 +306,40 @@ FROM m
 """
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (quartiles of order value per order
+    priority) — the distribution analytic the reference's dashboards
+    imply beyond averages. EXACT ``percentile`` (sort-based), not
+    ``approx_percentile``: the t-digest sketch is merge-order-dependent
+    and cannot carry a value-hash oracle; exact percentiles interpolate
+    the same sorted multiset in both engines, and the 1e-6 rounding
+    absorbs the interpolation arithmetic's last-ulp drift. At scale the
+    sort is per-group (shuffle on the group key), not global."""
+    o = read_table(spark, sf_dir, "orders")
+    qs = F.percentile(F.col("o_totalprice"), F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)]))
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), qs.alias("q")
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        _r(F.element_at("q", 1), 6).alias("p25"),
+        _r(F.element_at("q", 2), 6).alias("p50"),
+        _r(F.element_at("q", 3), 6).alias("p75"),
+    )
+
+
+SQL_QUANTILES = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       FLOOR(quantile_cont(o_totalprice, 0.25) * 1000000.0 + 0.5) / 1000000.0 AS p25,
+       FLOOR(quantile_cont(o_totalprice, 0.50) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+       FLOOR(quantile_cont(o_totalprice, 0.75) * 1000000.0 + 0.5) / 1000000.0 AS p75
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 + P6 (merge:86-87): per-column null-count profile, one row.
     The testdata has no nulls, so nulls are induced with nullif — which
@@ -761,6 +795,7 @@ _register("mix_percentage", q_mix_percentage, SQL_MIX_PERCENTAGE, "A6 P8")
 _register("multikey_avg", q_multikey_avg, SQL_MULTIKEY_AVG, "A7 O3 P8")
 _register("pearson_corr", q_pearson_corr, SQL_PEARSON_CORR, "A7-correlate")
 _register("skew_join", q_skew_join, SQL_SKEW_JOIN, "J-skew salted")
+_register("quantiles", q_quantiles, SQL_QUANTILES, "A-quantiles")
 _register("null_profile", q_null_profile, SQL_NULL_PROFILE, "A2 P6")
 _register("drop_nulls", q_drop_nulls, SQL_DROP_NULLS, "F1")
 _register("dedup_rows", q_dedup_rows, SQL_DEDUP_ROWS, "F2")
