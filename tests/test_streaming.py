@@ -308,3 +308,48 @@ def test_stream_upsert_row_exactly_once_across_redelivery(spark, tmp_path):
     # third pass with nothing new: clean no-op
     stream_folder_upsert(spark, src, **kw)
     assert spark.read.parquet(sink).count() == 3
+
+
+def test_registry_streaming_dedup_uses_stream_not_fallback(spark):
+    """The registry query must run its STREAMING path (no RuntimeWarning
+    fallback) and match the batch DISTINCT twin exactly — pins the
+    driver-robust wrapper added for CORRECTNESS_r03."""
+    import warnings
+
+    from energydatalake_spark.plans.registry import QUERIES
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # fallback would raise
+        got = QUERIES["streaming_dedup"].build(spark, SF_SMOKE)
+    expect = (
+        read_table(spark, SF_SMOKE, "documents")
+        .select(F.md5(F.col("text")).alias("text_md5"))
+        .distinct()
+    )
+    assert sorted(r.text_md5 for r in got.collect()) == sorted(
+        r.text_md5 for r in expect.collect()
+    )
+    # scoped shuffle-partition override must be restored
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+
+
+def test_run_stream_to_memory_survives_bad_first_attempt(spark, tmp_path):
+    """availableNow + bounded await + retry: a fresh bounded stream
+    finishes well inside the timeout and the memory table is readable
+    after the query is stopped and its checkpoint deleted."""
+    import pandas as pd
+
+    src = str(tmp_path / "seen")
+    os.makedirs(src)
+    pd.DataFrame({"k": ["a", "b", "a"]}).to_parquet(os.path.join(src, "p0.parquet"))
+    stream = spark.readStream.schema("k string").parquet(src)
+    out = run_stream_to_memory(
+        spark,
+        stream.groupBy("k").count(),
+        "t_retrysafe",
+        "complete",
+        timeout_sec=60.0,
+        shuffle_partitions=4,
+    )
+    assert {(r.k, r["count"]) for r in out.collect()} == {("a", 2), ("b", 1)}
