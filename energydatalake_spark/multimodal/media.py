@@ -4,18 +4,31 @@ pipelines.
 Media travel as opaque ``binary`` columns plus a typed metadata struct
 — the lakehouse-standard layout (content-addressed bytes + queryable
 metadata). All heavy per-item work runs through ``mapInPandas``:
-Arrow-batched, executor-side, schema-stable — the Spark mechanics are
-real and tested; only the codec itself is stubbed because this image
-lacks PIL/ffmpeg (imports are try-gated; with the libs installed the
-same operators run real decodes).
+Arrow-batched, executor-side, schema-stable.
 
-The deterministic fake decode derives pseudo-features from the bytes'
-md5, so tests can assert exact values and partition-count invariance.
+The image path is REAL end-to-end with no external codec dependency:
+``attach_png_media`` emits genuine PNG files (signature, IHDR, IDAT,
+IEND, CRC-correct, zlib-deflated scanlines) built with stdlib
+``zlib``+``struct``, and ``decode_media`` contains an actual PNG
+decoder (chunk walk with CRC verification, inflate, all five scanline
+defilters) for 8-bit grayscale — the profile the synthetic corpus
+uses. Audio/video remain stubbed (``sample_frames`` /
+``media_embedding`` derive deterministic pseudo-outputs from the
+bytes' md5) because this image lacks ffmpeg/audio libs; their Spark
+plumbing — schema, 1→N expansion, Arrow batching — is real and tested.
+
+Determinism contract: PNG pixel data is a pure function of the media
+id (dims and a seed from ``md5(str(id))``, pixel ``k`` =
+``(seed + 7*k) % 256``), so an independent SQL oracle can predict the
+decoded width/height/pixel-sum without ever touching the bytes — a
+wrong decode cannot hash-match.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -24,12 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # real codec path — not present in this image
-    from PIL import Image  # noqa: F401
-
-    HAVE_PIL = True
-except Exception:  # pragma: no cover
-    HAVE_PIL = False
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 MEDIA_META = T.StructType(
     [
@@ -47,15 +55,146 @@ DECODE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("mean_luma", T.DoubleType()),
-        T.StructField("sha_prefix", T.StringType()),
+        T.StructField("pixel_fp", T.StringType()),
     ]
 )
 
 
-def attach_fake_media(df: DataFrame, id_col: str, mime: str = "image/png") -> DataFrame:
-    """Deterministic synthetic media: content bytes derived from the id
-    (md5-seeded), metadata struct populated. Stand-in for a real binary
-    ingest (e.g. parquet with a bytes column or a manifest of files)."""
+# --------------------------------------------------------------- PNG codec
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_dims_for_id(ident: int) -> tuple[int, int, int]:
+    """(width, height, pixel seed) for a media id — the id→image
+    contract shared with the SQL oracle (md5-hex arithmetic there)."""
+    d = hashlib.md5(str(ident).encode()).digest()
+    return d[0] % 12 + 4, d[1] % 8 + 4, d[2]
+
+
+def encode_png(ident: int) -> bytes:
+    """A genuine minimal PNG: 8-bit grayscale, filter-None scanlines,
+    one zlib-deflated IDAT, CRC-correct chunks. Pixel ``k`` (raster
+    order) is ``(seed + 7*k) % 256``."""
+    w, h, seed = png_dims_for_id(ident)
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)  # filter type 0 (None)
+        base = r * w
+        raw.extend((seed + 7 * (base + c)) % 256 for c in range(w))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Parse a grayscale-8 PNG: walk chunks (verifying CRCs), inflate
+    the IDAT stream, undo any of the five scanline filters. Returns
+    (width, height, raster pixel bytes). Raises on non-grayscale-8 or
+    interlaced input — the only profiles this engine emits."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, width, height, idat = 8, None, None, bytearray()
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError("only 8-bit grayscale non-interlaced supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _r in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub (bpp=1: left neighbour)
+            for i in range(1, stride):
+                line[i] = (line[i] + line[i - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - 1] if i else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - 1] if i else 0
+                b, c = prev[i], (prev[i - 1] if i else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter type {ftype}")
+        out += line
+        prev = bytes(line)
+    return width, height, bytes(out)
+
+
+# ------------------------------------------------------------- attach ops
+
+
+def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Real binary ingest stand-in: per id, a genuine deterministic PNG
+    in ``content`` plus the metadata struct. Arrow-batched generation
+    (mapInPandas keeps whole input rows + appends columns)."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("content", T.BinaryType()), T.StructField("meta", MEDIA_META)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas, blobs = [], []
+            for ident in pdf[id_col]:
+                blob = encode_png(int(ident))
+                w, h, _ = png_dims_for_id(int(ident))
+                blobs.append(blob)
+                metas.append(
+                    {"mime": "image/png", "width": w, "height": h, "n_frames": 1}
+                )
+            pdf = pdf.copy()
+            pdf["content"] = blobs
+            pdf["meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def attach_fake_media(df: DataFrame, id_col: str, mime: str = "video/mp4") -> DataFrame:
+    """Deterministic synthetic media for the codec-stubbed paths
+    (frame sampling, embedding): ASCII content bytes derived from the
+    id (md5-seeded) so SQL oracles can rebuild them, metadata struct
+    populated."""
     seed = F.md5(F.col(id_col).cast("string"))
     content = F.encode(F.concat(F.lit("MEDIA:"), seed, F.lit(":"), seed), "utf-8")
     w = (F.abs(F.hash(F.col(id_col))) % 1920 + 1).cast("int")
@@ -69,10 +208,25 @@ def attach_fake_media(df: DataFrame, id_col: str, mime: str = "image/png") -> Da
     return df.withColumn("content", content).withColumn("meta", meta)
 
 
-def _fake_decode(content: bytes) -> tuple[int, int, float, str]:
-    """Codec stub: md5-derived pseudo width/height/mean-luma. Replace
-    with PIL decode when HAVE_PIL (kept deliberately isomorphic: same
-    outputs schema, same determinism contract)."""
+# -------------------------------------------------------------- decode op
+
+_ROUND6 = 1_000_000.0
+
+
+def _decode_one(content: bytes) -> tuple[int, int, float, str]:
+    """Real decode for PNG bytes; md5-derived pseudo-features for other
+    (stub) mimes — same output shape either way. ``pixel_fp`` commits
+    to the full decoded raster (dims + pixel sum), so a wrong defilter
+    or inflate changes it."""
+    content = bytes(content)
+    if content[:8] == PNG_SIG:
+        w, h, pixels = decode_png(content)
+        px_sum = sum(pixels)
+        import math
+
+        mean_luma = math.floor((px_sum / (w * h)) / 255.0 * _ROUND6 + 0.5) / _ROUND6
+        fp = hashlib.md5(f"{w}x{h}:{px_sum}".encode()).hexdigest()[:8]
+        return w, h, mean_luma, fp
     d = hashlib.md5(content).digest()
     width = int.from_bytes(d[0:2], "big") % 1920 + 1
     height = int.from_bytes(d[2:4], "big") % 1080 + 1
@@ -86,21 +240,15 @@ def decode_media(
     content_col: str = "content",
     meta_col: str = "meta",
 ) -> DataFrame:
-    """Decode pass: binary → (dimensions, mean luma, content hash).
-
-    ``mapInPandas`` so each Arrow batch is decoded in one Python call;
-    output schema is fixed (DECODE_SCHEMA) regardless of codec path.
-    Raises NotImplementedError from the executors if a real decode is
-    requested without the codec library.
-    """
+    """Decode pass: binary → (dimensions, mean luma, pixel
+    fingerprint). ``mapInPandas`` so each Arrow batch is decoded in one
+    Python call; output schema is fixed (DECODE_SCHEMA) regardless of
+    codec path. PNG content is genuinely parsed (see ``decode_png``);
+    other mimes fall back to the documented md5 stub."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if HAVE_PIL:  # pragma: no cover - real path needs PIL
-                raise NotImplementedError(
-                    "real PIL decode not wired in this environment"
-                )
-            rows = [_fake_decode(c) for c in pdf[content_col]]
+            rows = [_decode_one(c) for c in pdf[content_col]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].values,
@@ -108,7 +256,7 @@ def decode_media(
                     "width": [r[0] for r in rows],
                     "height": [r[1] for r in rows],
                     "mean_luma": [r[2] for r in rows],
-                    "sha_prefix": [r[3] for r in rows],
+                    "pixel_fp": [r[3] for r in rows],
                 }
             )
 
@@ -143,9 +291,10 @@ def sample_frames(
                     out_ids.append(mid)
                     out_idx.append(k)
                     out_bytes.append(
-                        # ASCII frame-index suffix: deterministic AND
-                        # reproducible by the SQL oracle (md5 over text
-                        # in both engines; a binary suffix would need a
+                        # ASCII frame-index suffix (content ‖ ':' ‖
+                        # str(k)): deterministic AND reproducible by
+                        # the SQL oracle (md5 over text in both
+                        # engines; a binary suffix would need a
                         # blob-md5 DuckDB lacks).
                         hashlib.md5(bytes(content) + b":" + str(k).encode()).digest()
                     )

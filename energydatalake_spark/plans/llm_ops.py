@@ -648,40 +648,62 @@ SQL_DEDUP_EMBEDDING_LSH = _sql_dedup_embedding_lsh()
 # ------------------------------------------------------------- multimodal
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column pipeline end-to-end: synthesize deterministic media
-    bytes per document, run the mapInPandas decode (Arrow-batched stub
-    codec), emit the typed feature row. The whole chain — encode,
-    binary column, Python batch decode — is value-checked against the
-    oracle recomputing the same md5-derived features in SQL."""
+    """Binary-column pipeline end-to-end with a REAL codec: per
+    document, a genuine PNG (stdlib zlib+struct; CRC-correct chunks,
+    deflated scanlines) is generated executor-side, then decode_media
+    actually parses it — chunk walk, CRC verify, inflate, defilter —
+    and emits decoded dims, mean luma, and a pixel fingerprint
+    committing to the full raster. The oracle predicts those values
+    independently from the id→image contract (md5-hex arithmetic +
+    generate_series over pixel indices), so a wrong decode cannot
+    hash-match."""
+    from energydatalake_spark.multimodal.media import attach_png_media
+
     docs = read_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
     )
-    media = attach_fake_media(docs, "media_id")
+    media = attach_png_media(docs, "media_id")
     return decode_media(media)
 
 
 SQL_MULTIMODAL_DECODE = """
 WITH c AS (
-  SELECT doc_id AS media_id,
-         md5('MEDIA:' || md5(CAST(doc_id AS VARCHAR)) || ':' || md5(CAST(doc_id AS VARCHAR)))
-           AS d
-  FROM documents
+  SELECT doc_id AS media_id, md5(CAST(doc_id AS VARCHAR)) AS d FROM documents
+),
+dims AS (
+  SELECT media_id,
+         CAST(('0x' || substr(d, 1, 2))::BIGINT % 12 + 4 AS INTEGER) AS width,
+         CAST(('0x' || substr(d, 3, 2))::BIGINT % 8 + 4 AS INTEGER) AS height,
+         ('0x' || substr(d, 5, 2))::BIGINT AS seed
+  FROM c
+),
+px AS (
+  -- fixed series to the max raster size (width<=15, height<=11);
+  -- lateral bounds are unsupported by duckdb's generate_series
+  SELECT media_id, width, height,
+         SUM((seed + 7 * k) % 256) AS px_sum,
+         COUNT(*) AS n_px
+  FROM dims, generate_series(0, 164) AS t(k)
+  WHERE k < width * height
+  GROUP BY 1, 2, 3
 )
 SELECT media_id,
        'image/png' AS mime,
-       CAST(('0x' || substr(d, 1, 4))::BIGINT % 1920 + 1 AS INTEGER) AS width,
-       CAST(('0x' || substr(d, 5, 4))::BIGINT % 1080 + 1 AS INTEGER) AS height,
-       ('0x' || substr(d, 9, 4))::BIGINT / 65535.0 AS mean_luma,
-       substr(d, 1, 8) AS sha_prefix
-FROM c
+       width,
+       height,
+       FLOOR((px_sum / n_px) / 255.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_luma,
+       substr(md5(CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR)
+                  || ':' || CAST(px_sum AS VARCHAR)), 1, 8) AS pixel_fp
+FROM px
 """
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling plumbing (1→N row expansion in mapInPandas) with
-    a full oracle: the stub's frame bytes are md5(content ‖ frame-index
-    big-endian), which DuckDB reproduces over the same synthetic
-    content — so even the Python-side expansion is value-checked."""
+    a full oracle: the stub's frame bytes are md5(content ‖ ':' ‖
+    str(frame_idx)) — an ASCII suffix, so DuckDB reproduces the digest
+    over the same synthetic content and even the Python-side expansion
+    is value-checked."""
     from energydatalake_spark.multimodal.media import attach_fake_media, sample_frames
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
