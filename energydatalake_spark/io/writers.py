@@ -3,9 +3,13 @@
 The reference appends to BigQuery via a staging bucket
 (``PySpark Scripts/pyspark_ercot_merge_fm_load_latest_BQ_archive_csv.py:115-119``)
 and overwrites one table (``mergeHistoricalWeather.py:100-105``). The
-native sink here is partitioned Parquet under a warehouse dir (Delta is
-the intended production format; its jars aren't in this image, so the
-Delta writer is gated behind an import-try and falls back to Parquet).
+contractual sink here is partitioned Parquet under a warehouse dir:
+``upsert_table`` implements the insert-only-MERGE exactly-once
+contract directly on Parquet (batch dedup + null-safe anti-join +
+dynamic partition pruning), so the semantics do not depend on a table
+format's transaction log. On a Delta/Iceberg deployment the same
+call-site maps 1:1 onto ``MERGE ... WHEN NOT MATCHED INSERT`` — a
+format swap, not a semantics change.
 
 Partitioning: time-series tables partition by event date derived from
 the interval start (SURVEY.md §4 "partition pruning") so that the four
@@ -14,19 +18,10 @@ analytics queries prune to the touched dates instead of scanning 100 TB.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-try:  # Delta is optional; not present in this image.
-    from delta.tables import DeltaTable  # noqa: F401
-
-    _HAVE_DELTA = True
-except Exception:  # pragma: no cover
-    _HAVE_DELTA = False
-
-
-def _fmt() -> str:
-    return "delta" if _HAVE_DELTA else "parquet"
 
 
 def append_table(
@@ -36,12 +31,11 @@ def append_table(
 ) -> None:
     """Warehouse append (S4). ``partition_date_col`` names a timestamp
     column; rows land under ``dt=YYYY-MM-DD`` partitions derived from it."""
-    writer = df
     if partition_date_col is not None:
         writer = df.withColumn("dt", F.to_date(F.col(partition_date_col)))
-        writer.write.format(_fmt()).mode("append").partitionBy("dt").save(path)
+        writer.write.format("parquet").mode("append").partitionBy("dt").save(path)
     else:
-        df.write.format(_fmt()).mode("append").save(path)
+        df.write.format("parquet").mode("append").save(path)
 
 
 def upsert_table(
@@ -51,20 +45,25 @@ def upsert_table(
     partition_date_col: str | None = None,
 ) -> None:
     """Idempotent warehouse append: insert-only MERGE on ``keys``
-    (SURVEY.md §2.9 "idempotent Delta MERGE for true exactly-once").
+    (SURVEY.md §2.9 "idempotent MERGE for true exactly-once").
 
     Re-delivered files — the reference's crons racing on a shared GCS
     prefix (README.md:143-148), or a pipeline re-run after a crash
     between sink-write and archive — must not duplicate rows. The
     folder-level archive queue gives once-per-FILE; this gives
-    once-per-ROW.
+    once-per-ROW, including:
 
-    With Delta available this is ``MERGE ... WHEN NOT MATCHED INSERT``
-    (file-skipping on the key condition). The Parquet fallback is the
-    same shape made partition-aware: read back ONLY the ``dt``
-    partitions the batch touches (partition pruning — at 100 TB a
-    re-run touches hours, not history), left-anti join the batch
-    against their keys, append the survivors. Single-writer semantics,
+    - duplicates WITHIN one batch (two identical files drained by a
+      single AvailableNow trigger): the batch is key-deduped before
+      writing;
+    - null-valued keys: the anti-join matches with ``eqNullSafe``, so
+      a null-key row inserts exactly once instead of on every rerun.
+
+    Scale shape: the read-back is restricted to the ``dt`` partitions
+    the batch touches via a broadcast semi-join on the batch's distinct
+    dates — dynamic partition pruning keys the scan off that frame, so
+    nothing rides the driver (at 100 TB × years of partitions a driver
+    ``collect``+``isin`` list would not). Single-writer semantics,
     matching the reference's Scheduler-serialized jobs.
     """
     import os
@@ -72,43 +71,70 @@ def upsert_table(
     spark = df.sparkSession
     if partition_date_col is not None:
         df = df.withColumn("dt", F.to_date(F.col(partition_date_col)))
+    # once-per-row within the batch itself (keep-any on key ties)
+    df = df.dropDuplicates(keys)
     exists = os.path.isdir(path) and any(
         not n.startswith((".", "_")) for n in os.listdir(path)
     )
     if not exists:
-        writer = df.write.format(_fmt()).mode("append")
+        writer = df.write.format("parquet").mode("append")
         if partition_date_col is not None:
             writer = writer.partitionBy("dt")
         writer.save(path)
         return
-    if _HAVE_DELTA:  # pragma: no cover - Delta jars absent in this image
-        from delta.tables import DeltaTable
+    # The merge plan consumes the batch twice (partition-pruning side +
+    # anti-join side). Persist it — bounded by BATCH size, not table
+    # size — so the upstream source computes once; this also keeps any
+    # caller-attached df.observe metrics single-counted.
+    df = df.persist()
+    try:
+        existing = spark.read.parquet(path)
+        if partition_date_col is not None:
+            existing = _pruned_readback(existing, df)
+        fresh = _fresh_rows(df, existing, keys)
+        writer = fresh.write.format("parquet").mode("append")
+        if partition_date_col is not None:
+            writer = writer.partitionBy("dt")
+        writer.save(path)
+    finally:
+        df.unpersist()
 
-        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
-        (
-            DeltaTable.forPath(spark, path)
-            .alias("t")
-            .merge(df.alias("s"), cond)
-            .whenNotMatchedInsertAll()
-            .execute()
-        )
-        return
-    existing = spark.read.parquet(path)
-    if partition_date_col is not None:
-        # Tiny driver list (distinct event DATES in this batch) that
-        # prunes the read-back to the touched partitions.
-        dts = [r[0] for r in df.select("dt").distinct().collect()]
-        existing = existing.filter(F.col("dt").isin(dts))
-    fresh = df.join(existing.select(*keys).distinct(), keys, "left_anti")
-    writer = fresh.write.format("parquet").mode("append")
-    if partition_date_col is not None:
-        writer = writer.partitionBy("dt")
-    writer.save(path)
+
+def _pruned_readback(existing: DataFrame, batch: DataFrame) -> DataFrame:
+    """Restrict the target read-back to the ``dt`` partitions the batch
+    touches, without a driver round-trip: broadcast the batch's
+    distinct dates and semi-join on the partition column — dynamic
+    partition pruning keys the parquet scan off the broadcast result.
+
+    The sanity bound on ``dt`` exists for the optimizer, not the data:
+    DPP only fires when the pruning side carries a likely-selective
+    predicate (``isnotnull`` does not qualify), and without DPP this
+    semi-join would scan every partition of the target."""
+    import datetime
+
+    batch_dts = (
+        batch.select("dt")
+        .distinct()
+        .filter(F.col("dt") >= F.lit(datetime.date(1900, 1, 1)))
+    )
+    return existing.join(F.broadcast(batch_dts), "dt", "left_semi")
+
+
+def _fresh_rows(df: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows of ``df`` whose key tuple is absent from ``existing`` —
+    null-safe, so a null-valued key matches its prior insertion and is
+    not re-inserted on every rerun."""
+    target_keys = existing.select(*[F.col(f"`{k}`") for k in keys]).distinct()
+    cond = reduce(
+        lambda a, b: a & b,
+        [df[f"`{k}`"].eqNullSafe(target_keys[f"`{k}`"]) for k in keys],
+    )
+    return df.join(target_keys, cond, "left_anti")
 
 
 def overwrite_table(df: DataFrame, path: str) -> None:
     """Warehouse overwrite (S5, mergeHistoricalWeather.py:100-105)."""
-    df.write.format(_fmt()).mode("overwrite").save(path)
+    df.write.format("parquet").mode("overwrite").save(path)
 
 
 def write_csv(df: DataFrame, path: str) -> None:

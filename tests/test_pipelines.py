@@ -213,3 +213,43 @@ def test_upsert_appends_only_new_keys(spark, tmp_path):
     upsert_table(df2, path, keys=["k"], partition_date_col="t")
     rows = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert rows == {1: 10.0, 2: 20.0, 3: 30.0}  # k=2 not overwritten, not duped
+
+
+def test_upsert_dedupes_within_batch(spark, tmp_path):
+    """Two identical rows arriving in the SAME batch (e.g. duplicate
+    files drained by one AvailableNow trigger) insert exactly once."""
+    from energydatalake_spark.io.writers import upsert_table
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 00:00:00", 10.0), (1, "2024-03-01 00:00:00", 10.0)],
+        "k bigint, t string, v double",
+    ).withColumn("t", ercot.F.to_timestamp("t"))
+    path = str(tmp_path / "tbl")
+    upsert_table(df, path, keys=["k"], partition_date_col="t")
+    assert spark.read.parquet(path).count() == 1
+    # and a later batch with an internal duplicate of a NEW key
+    df2 = spark.createDataFrame(
+        [(2, "2024-03-01 01:00:00", 20.0), (2, "2024-03-01 01:00:00", 20.0)],
+        "k bigint, t string, v double",
+    ).withColumn("t", ercot.F.to_timestamp("t"))
+    upsert_table(df2, path, keys=["k"], partition_date_col="t")
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == [1, 2]
+
+
+def test_upsert_null_key_inserts_once(spark, tmp_path):
+    """A null-valued key must match its prior insertion (eqNullSafe),
+    not re-insert on every rerun."""
+    from energydatalake_spark.io.writers import upsert_table
+
+    df = spark.createDataFrame(
+        [(None, "2024-03-01 00:00:00", 1.0), (7, "2024-03-01 00:00:00", 2.0)],
+        "k bigint, t string, v double",
+    ).withColumn("t", ercot.F.to_timestamp("t"))
+    path = str(tmp_path / "tbl")
+    upsert_table(df, path, keys=["k"], partition_date_col="t")
+    upsert_table(df, path, keys=["k"], partition_date_col="t")  # redelivery
+    rows = sorted(
+        ((r.k, r.v) for r in spark.read.parquet(path).collect()),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    assert rows == [(7, 2.0), (None, 1.0)]

@@ -138,12 +138,18 @@ def test_forecast_vs_actual_no_cartesian(spark):
 
 
 def test_upsert_readback_prunes_partitions(spark, tmp_path):
-    # The parquet-fallback MERGE must read back ONLY the dt partitions
-    # the batch touches: the anti-join's scan carries a PartitionFilters
-    # entry on dt, so a re-run over one day never scans table history.
+    # The parquet MERGE must read back ONLY the dt partitions the batch
+    # touches, and must do it WITHOUT a driver collect: the pruned
+    # read-back is a broadcast semi-join whose scan carries a
+    # dynamicpruning PartitionFilters entry keyed off the batch's
+    # distinct dates. A re-run over one day never scans table history.
     import pyspark.sql.functions as F
 
-    from energydatalake_spark.io.writers import upsert_table
+    from energydatalake_spark.io.writers import (
+        _fresh_rows,
+        _pruned_readback,
+        upsert_table,
+    )
 
     df = spark.createDataFrame(
         [(i, f"2024-03-0{1 + i % 3} 00:00:00", float(i)) for i in range(9)],
@@ -154,12 +160,11 @@ def test_upsert_readback_prunes_partitions(spark, tmp_path):
     batch = spark.createDataFrame(
         [(100, "2024-03-01 05:00:00", 1.0)], "k bigint, t string, v double"
     ).withColumn("t", F.to_timestamp("t")).withColumn("dt", F.to_date("t"))
-    existing = spark.read.parquet(path).filter(
-        F.col("dt").isin([r[0] for r in batch.select("dt").distinct().collect()])
-    )
-    fresh = batch.join(existing.select("k").distinct(), ["k"], "left_anti")
-    plan = plan_str(fresh)
-    assert "PartitionFilters" in plan and "dt" in plan
+    pruned = _pruned_readback(spark.read.parquet(path), batch)
+    plan = plan_str(pruned)
+    assert "dynamicpruning" in plan  # DPP, not a collect-backed isin
+    fresh = _fresh_rows(batch, pruned, ["k"])
+    assert [r.k for r in fresh.collect()] == [100]
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
