@@ -186,17 +186,26 @@ def minhash_pairs(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bh")
     ).select(F.col(id_col), F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
-    a = buckets.alias("a")
-    b_ = buckets.alias("b")
+    # Candidate pairs per bucket WITHOUT a self-join: group the bucket's
+    # ids and explode ordered pairs map-side. One shuffle of (band,
+    # band_hash, id) instead of two join-side shuffles of the same rows;
+    # the per-pair distinct (a pair colliding in several bands) stays —
+    # it is the band-merge, and it runs on far fewer rows than the join
+    # output did. This reshape pays off HERE because 64-bit band hashes
+    # keep buckets thin (pair expansion is near-linear); measured at
+    # sf0.1: 4.2 s vs 4.5 s self-join. For fat buckets the trade flips —
+    # see simhash_pairs, which keeps the codegen'd self-join on
+    # measurement.
+    grouped = (
+        buckets.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    left = grouped.select(F.explode("ids").alias("id_a"), F.col("ids"))
     cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        left.select(
+            "id_a",
+            F.explode(F.filter("ids", lambda x: x > F.col("id_a"))).alias("id_b"),
         )
         .distinct()
     )
@@ -395,6 +404,15 @@ def simhash_pairs(
         F.col("bv.band").alias("band"),
         F.col("bv.band_val").alias("band_val"),
     )
+    # Pair generation stays a bucket SELF-JOIN here — measured, not
+    # assumed: simhash buckets are fat (8-bit band values over a corpus
+    # with correlated fingerprints; hundreds of docs per bucket), and
+    # the groupBy→collect_list→explode-pairs reshape that wins for
+    # minhash_pairs (thin buckets) loses here because quadratic
+    # per-bucket pair expansion runs in interpreted array expressions
+    # while the hash join is whole-stage-codegen'd. sf0.1 isolated
+    # pair-gen: self-join 0.49 s vs posexplode+slice 0.85 s vs
+    # array-filter lambda 2.09 s (end-to-end 2.1 s vs 3.2 s).
     a = bands.alias("a")
     b_ = bands.alias("b")
     cand = (
