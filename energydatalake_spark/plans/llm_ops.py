@@ -256,8 +256,15 @@ NJ_N, NJ_THRESHOLD = 3, 0.5
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_doc_freq=None: the oracle SQL models the UNCAPPED operator, so
+    # the oracled path must stay exact even if a shingle's doc frequency
+    # ever exceeds the library default cap (the capped variant is the
+    # production guard, exercised in pytest).
     out = ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"), n=NJ_N, threshold=NJ_THRESHOLD
+        read_table(spark, sf_dir, "documents"),
+        n=NJ_N,
+        threshold=NJ_THRESHOLD,
+        max_doc_freq=None,
     )
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard"))
 

@@ -58,6 +58,7 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_blocks: int = 8,
+    max_input_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact cosine near-dup pairs: (id_a, id_b, cosine), id_a < id_b,
     cosine ≥ threshold. Deterministic output (float64 throughout).
@@ -69,7 +70,24 @@ def embedding_near_dup(
     exactly one group — with per-task memory bounded by ~2n/B vectors.
     Pick ``n_blocks`` so a block fits executor memory (n_blocks scales
     with corpus size; shuffle volume is n·B rows).
+
+    This is the EXACT tier: O(n²) cosine evaluations is its semantics,
+    which no partitioning makes sub-quadratic. ``max_input_rows``
+    (default 100k ≈ 5·10⁹ scored pairs) refuses larger inputs so a
+    100 TB caller cannot invoke the quadratic plan by accident — route
+    bulk near-dup through ``embedding_near_dup_lsh`` and keep this tier
+    for bounded reranks/oracles. Pass ``max_input_rows=None`` to
+    override deliberately.
     """
+    if max_input_rows is not None:
+        n_in = df.count()
+        if n_in > max_input_rows:
+            raise ValueError(
+                f"embedding_near_dup is the exact O(n²) tier; input has "
+                f"{n_in} rows > max_input_rows={max_input_rows}. Use "
+                f"embedding_near_dup_lsh (sub-quadratic) for corpora this "
+                f"size, or pass max_input_rows=None to force the exact plan."
+            )
     b_count = max(1, n_blocks)
     base = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")

@@ -243,6 +243,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = 1000,
+    max_input_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs. Candidate pairs = any
     shared shingle with document frequency ≤ ``max_doc_freq``; the
@@ -261,8 +262,24 @@ def ngram_jaccard_pairs(
     hashes (``_hex15_to_long``): every shuffle (frequency agg,
     self-join, intersection count) moves 8-byte longs, not text. The
     oracle applies the same hash, so the two engines agree bit-for-bit
-    even on the ~1e-11 collision."""
+    even on the ~1e-11 collision.
+
+    ``max_input_rows`` (default 1M docs) refuses larger corpora: even
+    doc-freq-capped, the shingle self-join grows quadratically with
+    shingle co-occurrence, and a 100 TB caller should be on
+    minhash_pairs. Pass ``max_input_rows=None`` to force the exact
+    tier deliberately."""
     from energydatalake_spark.text.stats import _hex15_to_long
+
+    if max_input_rows is not None:
+        n_in = df.count()
+        if n_in > max_input_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs is an exact quadratic tier; input has "
+                f"{n_in} rows > max_input_rows={max_input_rows}. Use "
+                f"minhash_pairs (banded LSH) at this scale, or pass "
+                f"max_input_rows=None to force the exact plan."
+            )
 
     ex = _persist_shingles(
         _exploded_shingles(df, text_col, id_col, n).select(

@@ -142,3 +142,29 @@ def test_embedding_near_dup_lsh_zero_vector(spark):
     )
     got = _pairs(embedding_near_dup_lsh(emb, threshold=0.5, n_planes=2, dim=2))
     assert set(got) == {(2, 3)}  # zero vector: NaN-guarded, matches nothing
+
+
+def test_quadratic_tier_guards(spark):
+    """The exact O(n^2) tiers refuse oversized inputs and point to
+    their sub-quadratic siblings; None overrides deliberately."""
+    import pytest as _pytest
+
+    from energydatalake_spark.similarity.neardup import embedding_near_dup
+    from energydatalake_spark.text.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + str(i)) for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    with _pytest.raises(ValueError, match="minhash_pairs"):
+        ngram_jaccard_pairs(docs, max_input_rows=10).collect()
+    # override runs
+    assert ngram_jaccard_pairs(docs, max_input_rows=None).count() >= 0
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(30)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="embedding_near_dup_lsh"):
+        embedding_near_dup(vecs, max_input_rows=10).collect()
+    assert embedding_near_dup(vecs, max_input_rows=None).count() >= 0
