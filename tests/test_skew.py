@@ -36,3 +36,77 @@ def test_salted_join_spreads_hot_key(spark):
     salted = left.withColumn("__salt", (F.rand(seed=42) * 8).cast("int"))
     n_distinct = salted.select("__salt").distinct().count()
     assert n_distinct == 8
+
+
+class _scoped_conf:
+    """Set session confs for the block, restore previous values after."""
+
+    def __init__(self, spark, **kv):
+        self.spark, self.kv, self.prev = spark, kv, {}
+
+    def __enter__(self):
+        for k, v in self.kv.items():
+            self.prev[k] = self.spark.conf.get(k, None)
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *exc):
+        for k, p in self.prev.items():
+            if p is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, p)
+
+
+def _skewed_frames(spark, n=300_000, n_keys=5000):
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 20 != 0, F.lit(0))
+        .otherwise((F.col("id") % n_keys) + 1)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(n_keys + 1).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("w")
+    )
+    return fact, dim
+
+
+def test_aqe_skew_split_engages_when_tuned(spark):
+    """Decision-rule arm 1 (skew.py docstring): with the byte thresholds
+    tuned to the data, AQE splits the hot partition at runtime — the
+    final adaptive plan carries skew=true and no salt is needed."""
+    fact, dim = _skewed_frames(spark)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    with _scoped_conf(spark, **confs):
+        joined = fact.join(dim, ["k"], "inner")
+        assert joined.count() == 300_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in final_plan
+
+
+def test_salting_spreads_hot_key_when_aqe_cannot(spark):
+    """Decision-rule arm 2: when AQE's split cannot engage (here:
+    disabled; at 100 TB: hot partition under the 256MB threshold, or
+    an aggregation key), the plain shuffle join lands every hot-key
+    row in ONE task while salted_join fans it across the salt space."""
+    fact, dim = _skewed_frames(spark, n=20_000, n_keys=500)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    with _scoped_conf(spark, **confs):
+        def hot_partitions(df):
+            return (
+                df.filter(F.col("k") == 0)
+                .select(F.spark_partition_id().alias("pid"))
+                .distinct()
+                .count()
+            )
+
+        assert hot_partitions(fact.join(dim, ["k"], "inner")) == 1
+        assert hot_partitions(salted_join(fact, dim, ["k"], n_salts=8)) >= 4
