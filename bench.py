@@ -56,11 +56,21 @@ def main() -> None:
 
     from energydatalake_spark.text.dedup import release_shingle_cache
 
+    # Per-query isolation (VERDICT r4 item 2): one failing query must
+    # never zero the other measurements — record its error and keep
+    # going; the JSON line is ALWAYS emitted.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in QUERIES.items():
         t0 = time.perf_counter()
-        df = q.build(spark, sf_dir)
-        n = len(df.collect())
+        try:
+            df = q.build(spark, sf_dir)
+            n = len(df.collect())
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            release_shingle_cache()
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
         # Shingle caches are per-invocation scratch; holding them across
         # the suite would crowd executor storage and skew later queries.
@@ -71,17 +81,16 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.2f}s ({n} rows){flag}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "registry_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

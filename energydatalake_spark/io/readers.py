@@ -71,30 +71,64 @@ def read_csv_folder(
     return reader.csv(path)
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — Spark 4 rejects them
-    outright unless ``spark.sql.legacy.parquet.nanosAsLong`` is on, in
-    which case they surface as epoch-nanos LongType. Footer-only check
-    (no data read)."""
+def _footer_probe(path: str) -> tuple[list[str], list[str], list[tuple[str, str]]]:
+    """Footer-only schema probe (no data read). Returns
+    ``(nanos_cols, naive_ts_cols, all_cols)``:
+
+    - ``nanos_cols``: parquet TIMESTAMP(NANOS) columns — Spark 4 rejects
+      them outright unless ``spark.sql.legacy.parquet.nanosAsLong`` is
+      on, in which case they surface as epoch-nanos LongType;
+    - ``naive_ts_cols``: us/ms timestamps WITHOUT a timezone
+      (isAdjustedToUTC=false) — Spark reads them as TIMESTAMP_NTZ;
+    - ``all_cols``: (name, arrow type) for the schema canary.
+    """
     try:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         first = path
         if os.path.isdir(path):
             members = [m for m in sorted(os.listdir(path)) if m.endswith(".parquet")]
             if not members:
-                return []
+                return [], [], []
             first = os.path.join(path, members[0])
         schema = pq.read_schema(first)
-        import pyarrow as pa
-
-        return [
+        nanos = [
             n
             for n, t in zip(schema.names, schema.types)
             if pa.types.is_timestamp(t) and t.unit == "ns"
         ]
+        naive = [
+            n
+            for n, t in zip(schema.names, schema.types)
+            if pa.types.is_timestamp(t) and t.unit != "ns" and t.tz is None
+        ]
+        all_cols = [(n, str(t)) for n, t in zip(schema.names, schema.types)]
+        return nanos, naive, all_cols
     except Exception:  # pragma: no cover - pyarrow always present here
-        return []
+        return [], [], []
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Back-compat shim over :func:`_footer_probe` (nanos columns only)."""
+    return _footer_probe(path)[0]
+
+
+#: (path → canary already emitted) — one diagnostic line per table per
+#: process, so a silent driver-side testdata regeneration shows up as a
+#: loud schema line in bench/correctness stderr instead of scattered
+#: AnalysisExceptions three operators deep (VERDICT r4 item 7).
+_CANARY_SEEN: set[str] = set()
+
+
+def _schema_canary(path: str, all_cols: list[tuple[str, str]]) -> None:
+    if path in _CANARY_SEEN or not all_cols:
+        return
+    _CANARY_SEEN.add(path)
+    import sys
+
+    rendered = ", ".join(f"{n}:{t}" for n, t in all_cols)
+    print(f"# schema-canary {path}: {rendered}", file=sys.stderr)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -104,13 +138,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     half of the 100 TB story; the testdata layout is one parquet file
     (or directory) per table under ``sf_dir``.
 
-    Nanosecond-precision timestamp columns (pandas-written parquet) are
-    transparently read as epoch nanos and rebuilt as TimestampType at
-    microsecond precision, matching how DuckDB/pyarrow consumers see
-    the same instant.
+    The time axis is normalized to session-tz TimestampType regardless
+    of how the writer encoded it — the testdata generator has shipped
+    both shapes across rounds, and a 100 TB lake accumulates both:
+
+    - nanosecond precision (pandas-written): read as epoch nanos and
+      rebuilt via ``timestamp_micros`` at microsecond precision;
+    - timezone-naive us/ms (isAdjustedToUTC=false → TIMESTAMP_NTZ):
+      cast to session-tz TIMESTAMP. The session pins UTC, so the
+      micros value and every wall-clock field are unchanged — this
+      restores the exact post-``timestamp_micros`` type the rest of
+      the engine (unix_micros, watermarks, double-cast time axes) was
+      built against.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    ns_cols = _nanos_timestamp_cols(path)
+    ns_cols, ntz_cols, all_cols = _footer_probe(path)
+    _schema_canary(path, all_cols)
     if ns_cols:
         # The conf is consulted only while spark.read.parquet converts
         # the footer schema (verified: execution of the returned plan
@@ -131,8 +174,35 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for c in ns_cols:
             # Integer division — epoch nanos overflow double precision.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming twin of :func:`read_table`: a file-source parquet stream
+    over the same table with the same time-axis normalization, so the
+    batch and streaming plans see identical column types no matter how
+    the writer encoded timestamps (nanos-long, TIMESTAMP_NTZ, or LTZ).
+
+    The ``nanosAsLong`` legacy conf is session-level and must stay on
+    while the stream drains — callers that read nanos-era files should
+    keep :func:`scoped_nanos_conf` open around the stream run. For the
+    NTZ/normal shapes no session conf is needed.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols, ntz_cols, all_cols = _footer_probe(path)
+    _schema_canary(path, all_cols)
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(path + "*")
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c in ntz_cols:
+        # Session tz pins UTC: same instant, watermark-capable LTZ type.
+        stream = stream.withColumn(c, F.col(c).cast("timestamp"))
+    return stream
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:

@@ -109,15 +109,22 @@ def _pruned_readback(existing: DataFrame, batch: DataFrame) -> DataFrame:
     The sanity bound on ``dt`` exists for the optimizer, not the data:
     DPP only fires when the pruning side carries a likely-selective
     predicate (``isnotnull`` does not qualify), and without DPP this
-    semi-join would scan every partition of the target."""
+    semi-join would scan every partition of the target.
+
+    Rows outside that bound — null ``dt`` (unparseable source
+    timestamp) or pre-1900 dates — would be silently dropped from the
+    read-back by the semi-join, breaking exactly-once for exactly those
+    rows on redelivery. They are unioned back unconditionally: such
+    partitions are pathological by construction (a healthy feed has
+    none), so the extra scan is zero-to-tiny while correctness holds
+    for every partition."""
     import datetime
 
-    batch_dts = (
-        batch.select("dt")
-        .distinct()
-        .filter(F.col("dt") >= F.lit(datetime.date(1900, 1, 1)))
-    )
-    return existing.join(F.broadcast(batch_dts), "dt", "left_semi")
+    epoch0 = F.lit(datetime.date(1900, 1, 1))
+    batch_dts = batch.select("dt").distinct().filter(F.col("dt") >= epoch0)
+    pruned = existing.join(F.broadcast(batch_dts), "dt", "left_semi")
+    odd = existing.filter(F.col("dt").isNull() | (F.col("dt") < epoch0))
+    return pruned.unionByName(odd)
 
 
 def _fresh_rows(df: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:

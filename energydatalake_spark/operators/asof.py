@@ -44,6 +44,19 @@ _SIDE = "__asof_is_left"
 _BUCKET = "__asof_bucket"
 
 
+def _axis_double(df: DataFrame, col, on: str):
+    """The time axis as a double (bucket math / tolerance arithmetic).
+
+    ``cast("double")`` is illegal on TIMESTAMP_NTZ (the timezone-naive
+    parquet shape the r4 testdata ships); route it through session-tz
+    TIMESTAMP first — the session pins UTC, so the instant is unchanged.
+    Numeric and LTZ axes cast directly, as before.
+    """
+    if isinstance(df.schema[on].dataType, T.TimestampNTZType):
+        col = col.cast("timestamp")
+    return col.cast("double")
+
+
 def _right_payload_fields(right: DataFrame, on: str, by: Sequence[str]) -> list[str]:
     skip = {on, *by}
     return [c for c in right.columns if c not in skip]
@@ -98,7 +111,8 @@ def _fill_and_project(
     out = filled.filter(F.col(_SIDE) == 1)
     if tolerance_seconds is not None:
         in_tol = (
-            F.col(on).cast("double") - F.col(f"{_PAYLOAD}.{on}").cast("double")
+            _axis_double(unioned, F.col(on), on)
+            - _axis_double(unioned, F.col(f"{_PAYLOAD}.{on}"), on)
         ) <= F.lit(float(tolerance_seconds))
         out = out.withColumn(
             _PAYLOAD, F.when(in_tol, F.col(_PAYLOAD)).otherwise(F.lit(None))
@@ -178,8 +192,8 @@ def _global_asof(
     buckets contain no right rows.
     """
     stats = unioned.agg(
-        F.min(F.col(on).cast("double")).alias("lo"),
-        F.max(F.col(on).cast("double")).alias("hi"),
+        F.min(_axis_double(unioned, F.col(on), on)).alias("lo"),
+        F.max(_axis_double(unioned, F.col(on), on)).alias("hi"),
     )
     bounds = stats.collect()[0]  # 1 row; cheap by construction
     lo, hi = bounds["lo"], bounds["hi"]
@@ -192,9 +206,9 @@ def _global_asof(
             _BUCKET,
             F.least(
                 F.lit(time_buckets - 1),
-                F.floor((F.col(on).cast("double") - F.lit(lo)) / F.lit(width)).cast(
-                    "int"
-                ),
+                F.floor(
+                    (_axis_double(unioned, F.col(on), on) - F.lit(lo)) / F.lit(width)
+                ).cast("int"),
             ),
         )
     # Per-bucket last right payload, then cumulative over bucket index so

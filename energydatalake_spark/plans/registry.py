@@ -340,6 +340,90 @@ GROUP BY o_orderpriority
 """
 
 
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-aggregate tier, cardinality half: HLL++
+    ``approx_count_distinct`` beside the exact count. At 100 TB the
+    sketch is the serving path — fixed memory per group, single pass,
+    mergeable across partitions without holding the distinct set — and
+    exact COUNT(DISTINCT) (a full shuffle of every distinct value) is
+    the audit path.
+
+    Oracle strategy: HLL register layouts differ across engines, so the
+    sketch VALUE cannot carry a value-hash. Instead each engine checks
+    its OWN sketch against its OWN exact count and emits the
+    tolerance-band verdict (within 10%; both engines run HLL at ~2%
+    standard error, so the band has ~5 sigma of slack) next to the
+    exact count — every output column is then engine-portable."""
+    e = read_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("__exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("__exact").cast("bigint").alias("exact_distinct"),
+        (
+            F.abs(F.col("__approx") - F.col("__exact"))
+            <= F.lit(0.1) * F.col("__exact")
+        )
+        .cast("int")
+        .alias("approx_within_10pct"),
+    )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       CAST(ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+            <= 0.1 * COUNT(DISTINCT user_id) AS INT) AS approx_within_10pct
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-aggregate tier, quantile half: sketch-based p50
+    (Spark: Greenwald-Khanna ``percentile_approx``; DuckDB: t-digest
+    ``approx_quantile``) beside the exact interpolated percentile. Same
+    oracle strategy as ``approx_distinct``: sketches are not
+    cross-engine comparable, so each engine emits its own
+    tolerance-band verdict (5% of the exact value; at accuracy 10000
+    the rank error is ≤n/10000 rows, orders of magnitude inside the
+    band) plus the exact p50, which IS cross-engine exact."""
+    o = read_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("__exact"),
+        F.percentile_approx(F.col("o_totalprice"), F.lit(0.5), F.lit(10000)).alias(
+            "__approx"
+        ),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        _r(F.col("__exact"), 6).alias("p50_exact"),
+        (
+            F.abs(F.col("__approx") - F.col("__exact"))
+            <= F.lit(0.05) * F.abs(F.col("__exact"))
+        )
+        .cast("int")
+        .alias("approx_within_5pct"),
+    )
+
+
+SQL_APPROX_QUANTILES = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       FLOOR(quantile_cont(o_totalprice, 0.50) * 1000000.0 + 0.5) / 1000000.0
+         AS p50_exact,
+       CAST(ABS(approx_quantile(o_totalprice, 0.50) - quantile_cont(o_totalprice, 0.50))
+            <= 0.05 * ABS(quantile_cont(o_totalprice, 0.50)) AS INT)
+         AS approx_within_5pct
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 + P6 (merge:86-87): per-column null-count profile, one row.
     The testdata has no nulls, so nulls are induced with nullif — which
@@ -796,6 +880,15 @@ _register("multikey_avg", q_multikey_avg, SQL_MULTIKEY_AVG, "A7 O3 P8")
 _register("pearson_corr", q_pearson_corr, SQL_PEARSON_CORR, "A7-correlate")
 _register("skew_join", q_skew_join, SQL_SKEW_JOIN, "J-skew salted")
 _register("quantiles", q_quantiles, SQL_QUANTILES, "A-quantiles")
+_register(
+    "approx_distinct", q_approx_distinct, SQL_APPROX_DISTINCT, "A-approx sketch tier"
+)
+_register(
+    "approx_quantiles",
+    q_approx_quantiles,
+    SQL_APPROX_QUANTILES,
+    "A-approx sketch tier",
+)
 _register("null_profile", q_null_profile, SQL_NULL_PROFILE, "A2 P6")
 _register("drop_nulls", q_drop_nulls, SQL_DROP_NULLS, "F1")
 _register("dedup_rows", q_dedup_rows, SQL_DEDUP_ROWS, "F2")
@@ -841,24 +934,23 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink. Complete mode keeps every window, so the static-replay result
     equals the batch GROUP BY — which is exactly what the oracle
     asserts."""
-    import os
-
+    from energydatalake_spark.io.readers import read_table_stream
     from energydatalake_spark.streaming.windows import (
         hourly_rollup,
         run_stream_to_memory,
     )
 
-    path = os.path.join(sf_dir, "events.parquet")
     # Scoped like read_table: the conf matters while the stream drains
     # (run_stream_to_memory blocks to completion inside the guard); the
-    # returned memory-table select never re-reads parquet.
+    # returned memory-table select never re-reads parquet. The dtype
+    # branching itself (nanos-long vs TIMESTAMP_NTZ vs LTZ — the
+    # generator has shipped all three across rounds) lives in
+    # read_table_stream, shared with the batch reader.
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "true")
     try:
-        raw_schema = spark.read.parquet(path).schema
-        stream = spark.readStream.schema(raw_schema).parquet(path + "*")
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        stream = read_table_stream(spark, sf_dir, "events")
         roll = hourly_rollup(stream, "ts", "value", keys=["event_type"])
         _STREAM_SEQ[0] += 1
         result = run_stream_to_memory(
@@ -946,15 +1038,20 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction — the pytest suite pins the streaming path itself, so
     a silent streaming regression cannot hide behind the fallback)."""
     import os
+    import sys
     import warnings
 
+    from energydatalake_spark.io.readers import read_table_stream
     from energydatalake_spark.streaming.dedup import streaming_dedup
     from energydatalake_spark.streaming.windows import run_stream_to_memory
 
+    # Loud entry marker: this query historically never got a driver
+    # CORRECTNESS row (50 recorded / 51 registered, rounds 2-4) — make
+    # any invocation visible in stderr so absence is attributable.
+    print("# streaming_dedup: entered", file=sys.stderr, flush=True)
     path = os.path.join(sf_dir, "documents.parquet")
-    raw_schema = spark.read.parquet(path).schema
     try:
-        stream = spark.readStream.schema(raw_schema).parquet(path + "*")
+        stream = read_table_stream(spark, sf_dir, "documents")
         keyed = stream.select(F.md5(F.col("text")).alias("text_md5"))
         out = streaming_dedup(keyed, ["text_md5"])
         _STREAM_SEQ[0] += 1
@@ -982,6 +1079,22 @@ SQL_STREAMING_DEDUP = "SELECT DISTINCT md5(text) AS text_md5 FROM documents"
 _register(
     "streaming_dedup", q_streaming_dedup, SQL_STREAMING_DEDUP, "§2.9 F2 streaming"
 )
+
+
+def _reorder(name: str, position: int) -> None:
+    items = [(k, v) for k, v in QUERIES.items() if k != name]
+    items.insert(position, (name, QUERIES[name]))
+    QUERIES.clear()
+    QUERIES.update(items)
+
+
+# The driver recorded exactly 50 CORRECTNESS rows for three straight
+# rounds while 51 queries were registered, and streaming_dedup — the
+# LAST-registered entry — was the one without a row. Move it to
+# position 2 (right after the flagship, which bench.py still uses for
+# warm-up) to rule out a 50-entry cap on the driver side; dict order is
+# the only ordering contract the driver sees.
+_reorder("streaming_dedup", 1)
 
 
 def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:

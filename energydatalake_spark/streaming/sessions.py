@@ -29,9 +29,21 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+def _epoch_us(df: DataFrame, ts_col: str) -> Column:
+    """Integer-µs time axis for ``ts_col``, robust to how the source
+    encoded it: ``unix_micros`` requires TIMESTAMP (LTZ), so a
+    TIMESTAMP_NTZ axis (timezone-naive parquet, the r4 testdata shape)
+    is cast through session-tz TIMESTAMP first — the session pins UTC,
+    so the micros value is unchanged."""
+    col = F.col(ts_col)
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        col = col.cast("timestamp")
+    return F.unix_micros(col)
+
 
 SESSION_SCHEMA = T.StructType(
     [
@@ -59,7 +71,7 @@ def sessionize(
     start/end epoch-µs, event count, value sum.
     """
     gap_us = gap_minutes * 60 * 1_000_000
-    us = F.unix_micros(F.col(ts_col))
+    us = _epoch_us(df, ts_col)
     w_order = Window.partitionBy(key_col).orderBy("__us")
     w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marked = (
@@ -204,7 +216,7 @@ def sessionize_stream(
 
     prepared = stream.withWatermark(ts_col, watermark).select(
         F.col(key_col),
-        F.unix_micros(F.col(ts_col)).alias("__us"),
+        _epoch_us(stream, ts_col).alias("__us"),
         F.col(ts_col),
         F.col(value_col),
     )

@@ -18,7 +18,13 @@ NORMALIZE_STEPS: list[tuple[str, str]] = [
     (r"[\x00-\x08\x0b\x0c\x0e-\x1f]", " "),  # control chars (keep \t \n \r)
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"https?://[^ \t\n\r]+", "<URL>"),
-    (r"[0-9][0-9 .-]{7,}[0-9]", "<NUM>"),  # long digit runs (phones, ids)
+    # Long digit runs (phones, ids). The middle class MUST cover every
+    # whitespace char the collapse step below folds into ' ': with bare
+    # ' ' only, "0000000\n0" failed to mask on pass 1, collapsed to
+    # "0000000 0", then masked on pass 2 — not idempotent (r3/r4
+    # hypothesis counterexample).
+    (r"[0-9][0-9 \t\n\r.-]{7,}[0-9]", "<NUM>"),
+
     (r"[ \t\n\r]+", " "),  # whitespace collapse
 ]
 

@@ -253,3 +253,25 @@ def test_upsert_null_key_inserts_once(spark, tmp_path):
         key=lambda t: (t[0] is None, t[0] or 0),
     )
     assert rows == [(7, 2.0), (None, 1.0)]
+
+
+def test_upsert_null_and_pre1900_dates_exactly_once(spark, tmp_path):
+    """Rows landing in the null-dt partition (unparseable timestamp) or
+    a pre-1900 partition sit OUTSIDE the dt-pruned read-back's sanity
+    bound; the read-back must still see them so redelivery stays
+    exactly-once (ADVICE r3 medium, closed r5)."""
+    from energydatalake_spark.io.writers import upsert_table
+
+    df = spark.createDataFrame(
+        [
+            (1, None, 1.0),  # null event date → dt=null partition
+            (2, "1850-06-01 12:00:00", 2.0),  # pre-1900 partition
+            (3, "2024-03-01 00:00:00", 3.0),  # healthy row
+        ],
+        "k bigint, t string, v double",
+    ).withColumn("t", ercot.F.to_timestamp("t"))
+    path = str(tmp_path / "tbl")
+    upsert_table(df, path, keys=["k"], partition_date_col="t")
+    upsert_table(df, path, keys=["k"], partition_date_col="t")  # redelivery
+    got = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]  # each exactly once

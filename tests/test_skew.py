@@ -84,7 +84,11 @@ def test_aqe_skew_split_engages_when_tuned(spark):
     }
     with _scoped_conf(spark, **confs):
         joined = fact.join(dim, ["k"], "inner")
-        assert joined.count() == 300_000
+        # Materialize THIS DataFrame's own QueryExecution: .count() runs
+        # a different (aggregated) plan, leaving joined's execution
+        # un-finalized — AQE only stamps skew=true on a plan it actually
+        # adaptively executed (r3/r4 deterministic failure).
+        assert len(joined.collect()) == 300_000
         final_plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in final_plan
 

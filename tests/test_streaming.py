@@ -84,11 +84,11 @@ def test_file_queue_archive(spark, tmp_path):
 
 
 def test_hourly_rollup_matches_batch(spark):
+    from energydatalake_spark.io.readers import read_table_stream
+
     raw = read_table(spark, SF_SMOKE, "events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
-    stream = spark.readStream.schema(schema).parquet(f"{SF_SMOKE}/events.parquet*")
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = read_table_stream(spark, SF_SMOKE, "events")
     roll = hourly_rollup(stream, "ts", "value", keys=["event_type"])
     got = run_stream_to_memory(spark, roll, "t_roll", "complete")
     batch = (
