@@ -24,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from energydatalake_spark.io.readers import read_table
@@ -421,6 +421,197 @@ SELECT o_orderpriority,
          AS approx_within_5pct
 FROM orders
 GROUP BY o_orderpriority
+"""
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-analytics tier: 7-day trailing moving average of daily
+    order revenue — the canonical time-series dashboard smoother
+    (reference analogue: README.md dashboard queries over daily loads).
+
+    Shape at 100 TB: one shuffle for the daily pre-aggregate (which
+    collapses the input to ~days rows), then the window runs over the
+    TINY daily frame. The moving mean is computed as decimal SUM over
+    the frame divided by COUNT — decimal sums are exact, so the result
+    is bit-identical across engines regardless of frame-internal
+    summation order (an AVG over doubles would not be)."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        _dsum(F.col("o_totalprice")).alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    out = daily.select(
+        F.col("day").cast("string").alias("day"),
+        _r(F.col("revenue"), 2).alias("revenue"),
+        _r(
+            F.sum(F.col("revenue").cast("decimal(25,8)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            4,
+        ).alias("ma7"),
+    )
+    return out
+
+
+SQL_MOVING_AVG = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       FLOOR(revenue * 100.0 + 0.5) / 100.0 AS revenue,
+       FLOOR(CAST(SUM(CAST(revenue AS DECIMAL(25,8)))
+                  OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+             / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             * 10000.0 + 0.5) / 10000.0 AS ma7
+FROM daily
+"""
+
+
+def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-analytics tier: per-priority running (cumulative) monthly
+    revenue — month-over-month growth tracking. Same scale shape as
+    ``moving_avg``: the grouped pre-aggregate does the heavy lifting,
+    the running sum operates on the collapsed (priority × month) frame,
+    partitioned by priority so the window parallelizes per key. Decimal
+    running sums are prefix sums of exact values — engine-portable."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,8)")).alias("rev_dec"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "o_orderpriority",
+        _ms(F.col("month")).alias("month_ms"),
+        _r(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+        _r(F.sum("rev_dec").over(w).cast("double"), 2).alias("cum_revenue"),
+    )
+
+
+SQL_CUMULATIVE_REVENUE = """
+WITH monthly AS (
+  SELECT o_orderpriority,
+         date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS rev_dec
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       CAST(epoch_ms(month) AS BIGINT) AS month_ms,
+       FLOOR(CAST(rev_dec AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
+       FLOOR(CAST(SUM(rev_dec) OVER (PARTITION BY o_orderpriority ORDER BY month
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) * 100.0 + 0.5) / 100.0 AS cum_revenue
+FROM monthly
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical-subtotal tier: GROUP BY ROLLUP over
+    (returnflag, linestatus) — per-cell, per-flag, and grand totals in
+    ONE pass (the reference computes its dashboard totals as separate
+    queries; ROLLUP is how an engine serves all levels from one scan).
+    Spark's ``rollup`` and ANSI ROLLUP have identical null-marker
+    semantics; decimal sums keep every level exact. At 100 TB this is
+    a single Expand + one shuffle — no per-level rescans."""
+    l = read_table(spark, sf_dir, "lineitem")
+    out = (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<ALL>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<ALL>")).alias("linestatus"),
+            "n_rows",
+            _r(F.col("sum_price"), 2).alias("sum_price"),
+        )
+    )
+    return out
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT COALESCE(l_returnflag, '<ALL>') AS returnflag,
+       COALESCE(l_linestatus, '<ALL>') AS linestatus,
+       COUNT(*) AS n_rows,
+       FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill rollup: events bucketed onto a dense
+    hourly grid per event_type, gaps forward-filled (LOCF) — the
+    timeseries-store operator the reference's 5-minute feeds imply
+    whenever an interval drops out. See operators/resample.py for the
+    scale shape (aggregate-first, per-key map-side grid, one window)."""
+    from energydatalake_spark.operators.resample import resample_locf
+
+    e = read_table(spark, sf_dir, "events")
+    out = resample_locf(e, "ts", "event_type", "value", "hour")
+    return out.select(
+        "event_type",
+        _ms(F.col("bucket_start")).alias("bucket_ms"),
+        "n_obs",
+        _r(F.col("bucket_avg"), 4).alias("bucket_avg"),
+        _r(F.col("filled_avg"), 4).alias("filled_avg"),
+    )
+
+
+def _resample_oracle() -> str:
+    from energydatalake_spark.operators.resample import resample_locf_sql
+
+    inner = resample_locf_sql("events", "ts", "event_type", "value", "hour")
+    return f"""
+SELECT event_type,
+       CAST(epoch_ms(bucket_start) AS BIGINT) AS bucket_ms,
+       n_obs,
+       FLOOR(bucket_avg * 10000.0 + 0.5) / 10000.0 AS bucket_avg,
+       FLOOR(filled_avg * 10000.0 + 0.5) / 10000.0 AS filled_avg
+FROM ({inner})
+"""
+
+
+def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide reshape): lineitem revenue by returnflag with
+    one column per linestatus — the spreadsheet-shaped output every
+    dashboard export wants. Spark's ``pivot`` with an EXPLICIT value
+    list compiles to conditional aggregation in a single pass (one
+    scan, one shuffle, no per-value rescans); leaving the list implicit
+    would add a driver round-trip to discover values first — never do
+    that at 100 TB. The oracle is the same conditional-aggregation
+    form, so semantics are pinned engine-portably."""
+    l = read_table(spark, sf_dir, "lineitem")
+    out = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(_dsum(F.col("l_extendedprice")))
+    )
+    return out.select(
+        "l_returnflag",
+        _r(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("rev_f"),
+        _r(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("rev_o"),
+    )
+
+
+SQL_PIVOT_REVENUE = """
+SELECT l_returnflag,
+       FLOOR(COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(l_extendedprice AS DECIMAL(25,8)) END) AS DOUBLE), 0.0)
+             * 100.0 + 0.5) / 100.0 AS rev_f,
+       FLOOR(COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(l_extendedprice AS DECIMAL(25,8)) END) AS DOUBLE), 0.0)
+             * 100.0 + 0.5) / 100.0 AS rev_o
+FROM lineitem
+GROUP BY l_returnflag
 """
 
 
@@ -889,6 +1080,18 @@ _register(
     SQL_APPROX_QUANTILES,
     "A-approx sketch tier",
 )
+_register("moving_avg", q_moving_avg, SQL_MOVING_AVG, "A-window analytics")
+_register(
+    "cumulative_revenue",
+    q_cumulative_revenue,
+    SQL_CUMULATIVE_REVENUE,
+    "A-window analytics",
+)
+_register("rollup_revenue", q_rollup_revenue, SQL_ROLLUP_REVENUE, "A-rollup")
+_register(
+    "resample_hourly", q_resample_hourly, _resample_oracle(), "A-resample gap-fill"
+)
+_register("pivot_revenue", q_pivot_revenue, SQL_PIVOT_REVENUE, "A-pivot")
 _register("null_profile", q_null_profile, SQL_NULL_PROFILE, "A2 P6")
 _register("drop_nulls", q_drop_nulls, SQL_DROP_NULLS, "F1")
 _register("dedup_rows", q_dedup_rows, SQL_DEDUP_ROWS, "F2")
