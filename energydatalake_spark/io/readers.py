@@ -171,13 +171,31 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
-        for c in ns_cols:
-            # Integer division — epoch nanos overflow double precision.
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df = _normalize_time_axis(df, ns_cols, ntz_cols)
     else:
-        df = spark.read.parquet(path)
+        df = _normalize_time_axis(spark.read.parquet(path), ns_cols, ntz_cols)
+    return df
+
+
+def _normalize_time_axis(df: DataFrame, ns_cols, ntz_cols) -> DataFrame:
+    """Rebuild/cast probed time columns to session-tz TimestampType,
+    branching on the dtype Spark ACTUALLY produced — pyarrow reports
+    int96 (legacy Hive/Spark2 parquet) as timestamp[ns], but Spark reads
+    int96 natively as TIMESTAMP regardless of the nanosAsLong conf, so a
+    blind ``div 1000`` rebuild there would be the same class of bug the
+    TIMESTAMP_NTZ drift exposed (r4)."""
+    for c in ns_cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
+            # True TIMESTAMP(NANOS) surfaced as epoch nanos. Integer
+            # division — epoch nanos overflow double precision.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        # TimestampType already: int96 or engine-converted — leave it.
     for c in ntz_cols:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+        if isinstance(df.schema[c].dataType, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -197,12 +215,9 @@ def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _schema_canary(path, all_cols)
     raw_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(raw_schema).parquet(path + "*")
-    for c in ns_cols:
-        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    for c in ntz_cols:
-        # Session tz pins UTC: same instant, watermark-capable LTZ type.
-        stream = stream.withColumn(c, F.col(c).cast("timestamp"))
-    return stream
+    # Session tz pins UTC: NTZ cast keeps the instant, yields the
+    # watermark-capable LTZ type; dtype branching per column as in batch.
+    return _normalize_time_axis(stream, ns_cols, ntz_cols)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:

@@ -59,6 +59,20 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY average_price DESC
 """
 
+# Engine extension (not a reference query): hierarchical subtotals as
+# SQL text — pins that GROUP BY ROLLUP parses through the same Catalyst
+# path as the DataFrame `.rollup()` twin (registry `rollup_revenue`).
+SPARK_SQL_ROLLUP_REVENUE = """
+SELECT COALESCE(l_returnflag, '<ALL>') AS returnflag,
+       COALESCE(l_linestatus, '<ALL>') AS linestatus,
+       COUNT(*) AS n_rows,
+       FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE)
+             * 1e2 + 0.5) / 1e2 AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
 SQL_FORMS: dict[str, str] = {
     "avg_by_month": SPARK_SQL_AVG_BY_MONTH,
     "avg_by_hour": SPARK_SQL_AVG_BY_HOUR,
@@ -66,7 +80,13 @@ SQL_FORMS: dict[str, str] = {
     "multikey_avg": SPARK_SQL_MULTIKEY_AVG,
 }
 
+#: Forms whose DataFrame twin declares no output order — parity is
+#: row-set equality (the SQL adds ORDER BY only for determinism).
+SQL_FORMS_UNORDERED: dict[str, str] = {
+    "rollup_revenue": SPARK_SQL_ROLLUP_REVENUE,
+}
+
 
 def run_sql_form(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(SQL_FORMS[name])
+    return spark.sql({**SQL_FORMS, **SQL_FORMS_UNORDERED}[name])

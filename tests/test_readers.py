@@ -1,0 +1,96 @@
+"""read_table / read_table_stream time-axis normalization: every
+parquet timestamp encoding the lake can accumulate (nanos, NTZ, LTZ)
+must surface as the SAME session-tz TimestampType with the SAME
+instant, so downstream operators never branch on writer choices."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from energydatalake_spark.io.readers import read_table, read_table_stream
+
+T0 = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+
+
+def _write(tmp_path, name, arrow_type):
+    arr = pa.array([T0], type=arrow_type)
+    table = pa.table({"ts": arr, "v": pa.array([1.0])})
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+def _one(spark, sf_dir, name):
+    df = read_table(spark, sf_dir, name)
+    assert df.schema["ts"].dataType.typeName() == "timestamp", df.schema
+    return df.collect()[0]
+
+
+def test_read_table_normalizes_ntz(spark, tmp_path):
+    sf = _write(tmp_path, "t_ntz", pa.timestamp("us"))  # no tz → NTZ
+    row = _one(spark, sf, "t_ntz")
+    assert row.ts == T0  # session tz is UTC: wall-clock preserved
+
+
+def test_read_table_passes_ltz_through(spark, tmp_path):
+    sf = _write(tmp_path, "t_ltz", pa.timestamp("us", tz="UTC"))
+    row = _one(spark, sf, "t_ltz")
+    assert row.ts == T0
+
+
+def test_read_table_rebuilds_nanos(spark, tmp_path):
+    sf = _write(tmp_path, "t_ns", pa.timestamp("ns"))
+    row = _one(spark, sf, "t_ns")
+    assert row.ts == T0  # truncated to µs precision, same instant
+
+
+def test_all_encodings_agree_on_the_instant(spark, tmp_path):
+    rows = {}
+    for name, at in [
+        ("e_ntz", pa.timestamp("us")),
+        ("e_ltz", pa.timestamp("us", tz="UTC")),
+        ("e_ns", pa.timestamp("ns")),
+    ]:
+        sf = _write(tmp_path, name, at)
+        rows[name] = _one(spark, sf, name).ts
+    assert rows["e_ntz"] == rows["e_ltz"] == rows["e_ns"]
+
+
+def test_stream_reader_matches_batch_types(spark, tmp_path):
+    sf = _write(tmp_path, "s_ntz", pa.timestamp("us"))
+    batch = read_table(spark, sf, "s_ntz")
+    stream = read_table_stream(spark, sf, "s_ntz")
+    assert [f.dataType for f in stream.schema.fields] == [
+        f.dataType for f in batch.schema.fields
+    ]
+    assert stream.isStreaming
+
+
+def test_read_table_int96_not_mangled(spark, tmp_path):
+    """Legacy Hive/Spark2 int96 timestamps: pyarrow's footer probe
+    reports them as timestamp[ns], but Spark reads int96 natively as
+    TIMESTAMP — the nanos rebuild must branch on the actual read dtype
+    and leave them alone."""
+    arr = pa.array([T0], type=pa.timestamp("ns"))
+    table = pa.table({"ts": arr, "v": pa.array([1.0])})
+    pq.write_table(
+        table,
+        str(tmp_path / "t_i96.parquet"),
+        use_deprecated_int96_timestamps=True,
+    )
+    row = _one(spark, str(tmp_path), "t_i96")
+    assert row.ts == T0
+
+
+def test_nanos_conf_not_leaked(spark, tmp_path):
+    """read_table scopes the nanosAsLong conf to the call — the session
+    must not silently accept nanos parquet afterwards."""
+    sf = _write(tmp_path, "leak_ns", pa.timestamp("ns"))
+    read_table(spark, sf, "leak_ns").collect()
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
+        or spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+    )
