@@ -71,6 +71,47 @@ def read_csv_folder(
     return reader.csv(path)
 
 
+def read_jsonl_folder(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    bad_records_col: str = "_corrupt_record",
+) -> DataFrame | None:
+    """JSON-Lines folder scan — the interchange format LLM corpora
+    actually ship in. Same contract as :func:`read_csv_folder`:
+    explicit schema ONLY (never inference — at 100 TB that is an extra
+    full pass, and silent drift), empty folder → clean ``None`` no-op.
+
+    Malformed lines are captured in ``bad_records_col`` (PERMISSIVE
+    mode) so one corrupt document quarantines itself instead of killing
+    a multi-hour ingest; callers split on ``bad_records_col IS NULL``
+    to route rejects to a dead-letter sink. Each file splits by line,
+    so a folder of .jsonl shards parallelizes like any text source.
+
+    Spark caveat: a query that references ONLY the corrupt column is
+    disallowed (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — when counting or
+    exporting rejects, select the data columns alongside (the
+    dead-letter sink wants the full row anyway).
+    """
+    # Accept compressed shards too — our own write_jsonl emits .json.gz.
+    if not any(
+        folder_has_files(path, suf)
+        for suf in (".jsonl", ".json", ".jsonl.gz", ".json.gz")
+    ):
+        return None
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    schema = T.StructType(
+        list(schema.fields) + [T.StructField(bad_records_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", bad_records_col)
+        .json(path)
+    )
+
+
 def _footer_probe(path: str) -> tuple[list[str], list[str], list[tuple[str, str]]]:
     """Footer-only schema probe (no data read). Returns
     ``(nanos_cols, naive_ts_cols, all_cols)``:

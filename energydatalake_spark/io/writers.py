@@ -147,3 +147,15 @@ def overwrite_table(df: DataFrame, path: str) -> None:
 def write_csv(df: DataFrame, path: str) -> None:
     """CSV export with header, overwrite (S6, mergeHistoricalWeather.py:62-66)."""
     df.write.format("csv").option("header", "true").mode("overwrite").save(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSON-Lines export (LLM-corpus interchange twin of the jsonl
+    reader). Gzip by default: jsonl text compresses ~10×, and the
+    format stays line-splittable per FILE — shard count (= input
+    partitions) is the parallelism unit downstream, so repartition
+    before writing if consumers need more/fewer shards."""
+    writer = df.write.format("json").mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.save(path)

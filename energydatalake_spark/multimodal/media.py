@@ -79,23 +79,46 @@ def png_dims_for_id(ident: int) -> tuple[int, int, int]:
     return d[0] % 12 + 4, d[1] % 8 + 4, d[2]
 
 
-def encode_png(ident: int) -> bytes:
-    """A genuine minimal PNG: 8-bit grayscale, filter-None scanlines,
-    one zlib-deflated IDAT, CRC-correct chunks. Pixel ``k`` (raster
-    order) is ``(seed + 7*k) % 256``."""
-    w, h, seed = png_dims_for_id(ident)
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode an arbitrary 8-bit grayscale raster as a genuine minimal
+    PNG: filter-None scanlines, one zlib-deflated IDAT, CRC-correct
+    chunks."""
     raw = bytearray()
-    for r in range(h):
+    for r in range(height):
         raw.append(0)  # filter type 0 (None)
-        base = r * w
-        raw.extend((seed + 7 * (base + c)) % 256 for c in range(w))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        raw.extend(pixels[r * width : (r + 1) * width])
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png(ident: int) -> bytes:
+    """The id→image contract: pixel ``k`` (raster order) is
+    ``(seed + 7*k) % 256`` with dims/seed from ``png_dims_for_id``."""
+    w, h, seed = png_dims_for_id(ident)
+    pixels = bytes((seed + 7 * k) % 256 for k in range(w * h))
+    return encode_png_gray(w, h, pixels)
+
+
+def resize_png_nearest(data: bytes, factor: int = 2) -> bytes:
+    """Real nearest-neighbour downscale: decode (CRC walk + inflate +
+    defilter), subsample every ``factor``-th pixel in both axes
+    (ceil-divided output dims, so index ``factor*r`` stays in range),
+    re-encode through :func:`encode_png_gray`. Output is a valid PNG
+    that round-trips through :func:`decode_png`."""
+    w, h, px = decode_png(data)
+    w2 = (w + factor - 1) // factor
+    h2 = (h + factor - 1) // factor
+    out = bytes(
+        px[(r * factor) * w + (c * factor)]
+        for r in range(h2)
+        for c in range(w2)
+    )
+    return encode_png_gray(w2, h2, out)
 
 
 def decode_png(data: bytes) -> tuple[int, int, bytes]:
@@ -303,6 +326,48 @@ def sample_frames(
             )
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_media(
+    df: DataFrame,
+    factor: int = 2,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Resize pass (binary → binary): PNG content is REALLY resized —
+    decoded, nearest-neighbour subsampled, re-encoded — inside one
+    Arrow-batched ``mapInPandas`` call per batch; the metadata struct
+    is updated to the output dims. Non-PNG mimes pass through unchanged
+    (the documented stub tier: no image libs in this environment), so
+    the operator composes into mixed-mime pipelines without branching.
+
+    Output schema equals the input schema (id, content, meta, and any
+    carried columns), which is what lets decode/resize/embed chain
+    arbitrarily — the lakehouse layout stays stable through every pass.
+    """
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, metas = [], []
+            for content, meta in zip(pdf[content_col], pdf[meta_col]):
+                content = bytes(content)
+                if content[:8] == PNG_SIG:
+                    resized = resize_png_nearest(content, factor)
+                    w2, h2, _ = decode_png(resized)
+                    meta = dict(meta)
+                    meta["width"], meta["height"] = w2, h2
+                    contents.append(resized)
+                else:
+                    contents.append(content)  # stub mime: pass through
+                metas.append(meta)
+            out = pdf.copy()
+            out[content_col] = contents
+            out[meta_col] = metas
+            yield out
+
+    return df.mapInPandas(run, out_schema)
 
 
 EMBED_DIM = 16

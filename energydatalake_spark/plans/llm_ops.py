@@ -705,6 +705,66 @@ FROM px
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass with a REAL transform end-to-end: genuine PNGs are
+    decoded, nearest-neighbour downscaled ×2 (ceil-divided dims),
+    re-encoded through the same stdlib codec, then decode_media parses
+    the RESIZED bytes — so the emitted dims/luma/fingerprint commit to
+    the full decode→resize→encode→decode round trip. The oracle
+    predicts the resized raster independently: output pixel (r, c) is
+    input pixel (2r, 2c) = (seed + 7·(2r·w + 2c)) % 256, summed in SQL
+    over a generated index grid."""
+    from energydatalake_spark.multimodal.media import (
+        attach_png_media,
+        resize_media,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = attach_png_media(docs, "media_id")
+    return decode_media(resize_media(media, factor=2))
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH c AS (
+  SELECT doc_id AS media_id, md5(CAST(doc_id AS VARCHAR)) AS d FROM documents
+),
+dims AS (
+  SELECT media_id,
+         CAST(('0x' || substr(d, 1, 2))::BIGINT % 12 + 4 AS INTEGER) AS w,
+         CAST(('0x' || substr(d, 3, 2))::BIGINT % 8 + 4 AS INTEGER) AS h,
+         ('0x' || substr(d, 5, 2))::BIGINT AS seed
+  FROM c
+),
+rdims AS (
+  SELECT media_id, w, h, seed,
+         CAST((w + 1) // 2 AS INTEGER) AS w2,
+         CAST((h + 1) // 2 AS INTEGER) AS h2
+  FROM dims
+),
+px AS (
+  -- output raster index k2 over the max resized size (w2<=8, h2<=6);
+  -- source pixel of (r, c) = (2r, 2c) in the original raster
+  SELECT media_id, w2, h2,
+         SUM((seed + 7 * ((2 * (k2 // w2)) * w + (2 * (k2 % w2)))) % 256)
+           AS px_sum,
+         COUNT(*) AS n_px
+  FROM rdims, generate_series(0, 47) AS t(k2)
+  WHERE k2 < w2 * h2
+  GROUP BY 1, 2, 3
+)
+SELECT media_id,
+       'image/png' AS mime,
+       w2 AS width,
+       h2 AS height,
+       FLOOR((px_sum / n_px) / 255.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_luma,
+       substr(md5(CAST(w2 AS VARCHAR) || 'x' || CAST(h2 AS VARCHAR)
+                  || ':' || CAST(px_sum AS VARCHAR)), 1, 8) AS pixel_fp
+FROM px
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling plumbing (1→N row expansion in mapInPandas) with
     a full oracle: the stub's frame bytes are md5(content ‖ ':' ‖
@@ -1156,6 +1216,7 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("dedup_embedding_lsh", q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH,
      "ext:dedup-embedding-lsh scale path"),
     ("multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, "ext:multimodal"),
+    ("multimodal_resize", q_multimodal_resize, SQL_MULTIMODAL_RESIZE, "ext:multimodal"),
     ("multimodal_frames", q_multimodal_frames, SQL_MULTIMODAL_FRAMES,
      "ext:multimodal frame-sample"),
     ("multimodal_embed", q_multimodal_embed, SQL_MULTIMODAL_EMBED,

@@ -160,3 +160,43 @@ def test_media_embedding_shape(media):
     assert len(out) == 20
     assert all(len(r.embedding) == EMBED_DIM for r in out)
     assert all(0.0 <= x <= 1.0 for r in out for x in r.embedding)
+
+
+def test_resize_png_nearest_local():
+    """Pure-codec check: resized raster is exactly the stride-2
+    subsample of the decoded original, re-encoded as a valid PNG."""
+    from energydatalake_spark.multimodal.media import resize_png_nearest
+
+    data = encode_png(7)
+    w, h, px = decode_png(data)
+    out = resize_png_nearest(data, 2)
+    w2, h2, px2 = decode_png(out)
+    assert (w2, h2) == ((w + 1) // 2, (h + 1) // 2)
+    expect = bytes(
+        px[(2 * r) * w + (2 * c)] for r in range(h2) for c in range(w2)
+    )
+    assert px2 == expect
+    assert out[:8] == PNG_SIG
+
+
+def test_resize_media_updates_meta_and_roundtrips(spark, png_media):
+    from energydatalake_spark.multimodal.media import resize_media
+
+    rows = {r.media_id: r for r in resize_media(png_media, factor=2).collect()}
+    assert len(rows) == 20
+    for mid, r in rows.items():
+        w, h, _ = png_dims_for_id(mid)
+        assert (r.meta.width, r.meta.height) == ((w + 1) // 2, (h + 1) // 2)
+        w2, h2, _px = decode_png(bytes(r.content))  # still a valid PNG
+        assert (w2, h2) == (r.meta.width, r.meta.height)
+
+
+def test_resize_media_stub_mime_passthrough(spark, media):
+    """Non-PNG content passes through byte-identical (documented stub)."""
+    from energydatalake_spark.multimodal.media import resize_media
+
+    before = {r.media_id: bytes(r.content) for r in media.collect()}
+    after = {
+        r.media_id: bytes(r.content) for r in resize_media(media).collect()
+    }
+    assert after == before

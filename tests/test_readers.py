@@ -85,6 +85,54 @@ def test_read_table_int96_not_mangled(spark, tmp_path):
     assert row.ts == T0
 
 
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL source/sink: explicit-schema read, corrupt lines quarantine
+    into _corrupt_record instead of failing the job, write→read
+    round-trips values, empty folder is a clean no-op."""
+    import gzip
+    import json
+    import os
+
+    from energydatalake_spark.io.readers import read_jsonl_folder
+    from energydatalake_spark.io.writers import write_jsonl
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "hello"}) + "\n")
+        f.write("{not valid json\n")
+        f.write(json.dumps({"doc_id": 2, "text": "world"}) + "\n")
+
+    df = read_jsonl_folder(spark, str(src), "doc_id bigint, text string")
+    good = df.filter(df["_corrupt_record"].isNull())
+    bad = df.filter(df["_corrupt_record"].isNotNull())
+    assert {(r.doc_id, r.text) for r in good.collect()} == {
+        (1, "hello"),
+        (2, "world"),
+    }
+    # full-row collect: a corrupt-column-only query is disallowed by
+    # Spark (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — dead-letter routing
+    # carries whole rows, which sidesteps it by construction
+    assert len(bad.collect()) == 1  # quarantined, not fatal
+
+    out = str(tmp_path / "out")
+    write_jsonl(good.select("doc_id", "text"), out)
+    parts = [n for n in os.listdir(out) if n.startswith("part-")]
+    assert parts and all(n.endswith(".gz") for n in parts)
+    with gzip.open(os.path.join(out, parts[0]), "rt") as f:
+        assert json.loads(f.readline())["text"] in {"hello", "world"}
+    back = read_jsonl_folder(spark, out, "doc_id bigint, text string")
+    assert back is not None  # .gz shards must not hide from the reader
+    assert {(r.doc_id, r.text) for r in back.collect()} == {
+        (1, "hello"),
+        (2, "world"),
+    }
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert read_jsonl_folder(spark, str(empty), "doc_id bigint") is None
+
+
 def test_nanos_conf_not_leaked(spark, tmp_path):
     """read_table scopes the nanosAsLong conf to the call — the session
     must not silently accept nanos parquet afterwards."""
