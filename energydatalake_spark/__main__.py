@@ -1,14 +1,24 @@
-"""CLI: run the six reference pipelines end-to-end over a local lake.
+"""CLI: run the six reference pipelines end-to-end over a local lake,
+or any registry query ad hoc.
 
     python -m energydatalake_spark --base /tmp/lake [--fixtures]
+    python -m energydatalake_spark query pricing_summary [--sf-dir DIR]
+    python -m energydatalake_spark list-queries
 
-Mirrors the reference's operational layout (README.md:83-105: source
-folders → transform → warehouse tables → archive folders) on a local
-directory tree. ``--fixtures`` seeds the source folders with the
-deterministic synthetic feeds first; without it the CLI processes
-whatever CSVs are already in the source folders (re-running is a clean
-no-op thanks to the empty-source guard — the archive step drains the
-queues, exactly like the reference's cron re-runs).
+Pipelines mode mirrors the reference's operational layout
+(README.md:83-105: source folders → transform → warehouse tables →
+archive folders) on a local directory tree. ``--fixtures`` seeds the
+source folders with the deterministic synthetic feeds first; without
+it the CLI processes whatever CSVs are already in the source folders
+(re-running is a clean no-op thanks to the empty-source guard — the
+archive step drains the queues, exactly like the reference's cron
+re-runs).
+
+Query mode is the interactive analyst surface: every SURVEY.md §2
+operator is addressable by registry name, with ``--explain`` to print
+the formatted physical plan instead of rows and ``--limit`` to bound
+terminal output (the limit is applied to the PLAN, so Spark prunes
+work, not just display).
 """
 
 from __future__ import annotations
@@ -59,7 +69,46 @@ def build_configs(base: str) -> dict[str, PipelineConfig]:
     }
 
 
+def run_query_cli(argv: list[str]) -> None:
+    """`query <name>` / `list-queries` subcommands."""
+    from energydatalake_spark.plans.registry import QUERIES
+
+    if argv[0] == "list-queries":
+        for name, q in QUERIES.items():
+            oracle = "oracle" if q.oracle else "rows-only"
+            print(f"{name}\t[{q.survey_ops}]\t{oracle}")
+        return
+
+    ap = argparse.ArgumentParser(prog="energydatalake_spark query")
+    ap.add_argument("name", choices=sorted(QUERIES), metavar="name")
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="table directory (default $SPARK_GRAFT_SF_DIR or sf0.01)",
+    )
+    ap.add_argument("--limit", type=int, default=20, help="row cap (0 = all)")
+    ap.add_argument(
+        "--explain", action="store_true", help="print the physical plan, no rows"
+    )
+    args = ap.parse_args(argv[1:])
+
+    spark = get_spark("energydatalake_query")
+    df = QUERIES[args.name].build(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return
+    if args.limit:
+        df = df.limit(args.limit)
+    df.show(n=args.limit or 10_000_000, truncate=False)
+
+
 def main() -> None:
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] in ("query", "list-queries"):
+        run_query_cli(sys.argv[1:])
+        return
+
     ap = argparse.ArgumentParser(prog="energydatalake_spark")
     ap.add_argument("--base", required=True, help="lake root directory")
     ap.add_argument(

@@ -166,6 +166,30 @@ def test_cli_runner_end_to_end(spark, tmp_path, monkeypatch):
     ]
 
 
+def test_cli_query_surface(spark, capsys):
+    """`query <name>` and `list-queries` subcommands: every registry
+    entry addressable by name, plan mode prints a physical plan."""
+    from energydatalake_spark import __main__ as cli
+    from energydatalake_spark.plans.registry import QUERIES
+
+    cli.run_query_cli(["list-queries"])
+    listed = capsys.readouterr().out.strip().splitlines()
+    assert len(listed) == len(QUERIES)
+    assert listed[0].startswith("pricing_summary\t")
+
+    from tests.conftest import SF_SMOKE
+
+    cli.run_query_cli(["query", "group_count", "--sf-dir", SF_SMOKE])
+    out = capsys.readouterr().out
+    assert "event_type" in out and "n_rows" in out
+
+    cli.run_query_cli(
+        ["query", "group_count", "--sf-dir", SF_SMOKE, "--explain"]
+    )
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+
+
 def test_upsert_rerun_is_row_idempotent(spark, env):
     """Verdict r1 item 7: re-delivered files (crash between sink write
     and archive) must not duplicate rows — the warehouse append is an

@@ -179,6 +179,56 @@ def test_pack_chunks_invariants(spark, sizes, budget):
     assert bins == sorted(bins)  # monotone in chunk order
 
 
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 72),  # hour offset
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_prop_settings
+def test_resample_invariants(spark, obs):
+    """For ANY observation set: the grid is dense per key (bucket count
+    = span+1), n_obs sums to the input row count, filled_avg is never
+    null (the first bucket of each key has data by construction), and
+    gap buckets carry the previous bucket's value."""
+    import datetime
+
+    from energydatalake_spark.operators.resample import resample_locf
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (k, base + datetime.timedelta(hours=h), v) for k, h, v in obs
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    out = resample_locf(df).collect()
+    per_key: dict[str, list] = {}
+    for r in out:
+        per_key.setdefault(r.event_type, []).append(r)
+    seen_hours = {}
+    for k, h, _v in obs:
+        seen_hours.setdefault(k, set()).add(h)
+    assert sum(r.n_obs for r in out) == len(obs)
+    for k, rows_k in per_key.items():
+        hours = sorted(r.bucket_start for r in rows_k)
+        span = int((hours[-1] - hours[0]).total_seconds() // 3600)
+        assert len(rows_k) == span + 1  # dense grid, no missing buckets
+        prev_fill = None
+        for r in sorted(rows_k, key=lambda r: r.bucket_start):
+            assert r.filled_avg is not None
+            if r.n_obs == 0:
+                assert r.bucket_avg is None and r.filled_avg == prev_fill
+            else:
+                assert r.filled_avg == r.bucket_avg
+            prev_fill = r.filled_avg
+
+
 @given(docs=st.lists(
     st.text(alphabet="ab @.:/0123456789xyz\t\n", min_size=0, max_size=80),
     min_size=1, max_size=15,
