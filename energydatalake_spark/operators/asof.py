@@ -98,25 +98,75 @@ def _fill_and_project(
     left_cols: list[str],
     on: str,
     rvals: list[str],
-    window,
+    partition_cols: Sequence[str],
     tolerance_seconds: float | None,
     right_ts_alias: str | None,
+    direction: str = "backward",
 ) -> DataFrame:
-    filled = unioned.withColumn(
-        _PAYLOAD,
-        F.last(_PAYLOAD, ignorenulls=True).over(
-            window.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    out = filled.filter(F.col(_SIDE) == 1)
-    if tolerance_seconds is not None:
-        in_tol = (
-            _axis_double(unioned, F.col(on), on)
-            - _axis_double(unioned, F.col(f"{_PAYLOAD}.{on}"), on)
-        ) <= F.lit(float(tolerance_seconds))
-        out = out.withColumn(
-            _PAYLOAD, F.when(in_tol, F.col(_PAYLOAD)).otherwise(F.lit(None))
+    """Directional running fill(s) + tolerance + projection.
+
+    backward: ``last(payload, ignorenulls)`` over the preceding frame,
+    right rows ordered BEFORE left rows at equal ``on`` (inclusive
+    match), max payload wins right-side timestamp ties.
+    forward: the mirror image — ``first`` over the following frame,
+    left before right at equal ``on``, min payload wins ties.
+    nearest: both fills in the same partitioning (one shuffle, two
+    sorts), then the closer side per row; equal distances prefer the
+    backward row (pd.merge_asof parity, verified in the property suite).
+    Tolerance applies per direction before the nearest choice, so an
+    out-of-tolerance backward candidate loses to an in-tolerance
+    forward one.
+    """
+
+    def _ax(col) -> "F.Column":
+        return _axis_double(unioned, col, on)
+
+    def _fill(d: str):
+        if d == "backward":
+            w = Window.partitionBy(*partition_cols).orderBy(
+                F.col(on).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc()
+            )
+            return F.last(_PAYLOAD, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        w = Window.partitionBy(*partition_cols).orderBy(
+            F.col(on).asc(), F.col(_SIDE).desc(), F.col(_PAYLOAD).asc()
         )
+        return F.first(_PAYLOAD, ignorenulls=True).over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+
+    def _tol(payload, d: str):
+        if tolerance_seconds is None:
+            return payload
+        dist = (
+            _ax(F.col(on)) - _ax(payload[on])
+            if d == "backward"
+            else _ax(payload[on]) - _ax(F.col(on))
+        )
+        return F.when(dist <= F.lit(float(tolerance_seconds)), payload)
+
+    if direction == "nearest":
+        filled = unioned.withColumn("__pb", _fill("backward")).withColumn(
+            "__pf", _fill("forward")
+        )
+        out = filled.filter(F.col(_SIDE) == 1)
+        pb = _tol(F.col("__pb"), "backward")
+        pf = _tol(F.col("__pf"), "forward")
+        dist_b = _ax(F.col(on)) - _ax(F.col(f"__pb.{on}"))
+        dist_f = _ax(F.col(f"__pf.{on}")) - _ax(F.col(on))
+        choose = (
+            F.when(pb.isNull(), pf)
+            .when(pf.isNull(), pb)
+            .when(dist_b <= dist_f, pb)  # tie → backward (pandas parity)
+            .otherwise(pf)
+        )
+        out = out.withColumn(_PAYLOAD, choose)
+    else:
+        filled = unioned.withColumn(_PAYLOAD, _fill(direction))
+        out = filled.filter(F.col(_SIDE) == 1)
+        if tolerance_seconds is not None:
+            out = out.withColumn(_PAYLOAD, _tol(F.col(_PAYLOAD), direction))
     proj = [F.col(c) for c in left_cols]
     proj += [F.col(f"{_PAYLOAD}.{c}").alias(c) for c in rvals]
     if right_ts_alias:
@@ -132,15 +182,27 @@ def asof_join(
     tolerance_seconds: float | None = None,
     right_ts_alias: str | None = None,
     time_buckets: int = 64,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the most recent right row
-    with ``right.on <= left.on`` (within the same ``by`` key, if given).
+    """As-of join: for each left row, the matching right row within the
+    same ``by`` key (if given) —
+
+    - ``backward`` (default): most recent right with ``right.on <=
+      left.on`` (the reference's pd.merge_asof semantics, merge:59-79);
+    - ``forward``: earliest right with ``right.on >= left.on``;
+    - ``nearest``: whichever side is closer in absolute distance,
+      backward preferred on exact ties (pd.merge_asof parity).
 
     Right payload columns must not collide with left column names
     (rename before the call, as the reference's pipelines do with their
     disjoint feed schemas). ``right_ts_alias`` additionally exposes the
-    matched right timestamp.
+    matched right timestamp. Ties among right rows at one timestamp
+    resolve deterministically (max payload backward, min forward) —
+    pd.merge_asof's "last in input order" is not definable for
+    distributed input.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     by = list(by or [])
     rvals = _right_payload_fields(right, on, by)
     overlap = set(rvals) & set(left.columns)
@@ -148,17 +210,15 @@ def asof_join(
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
     unioned, _ = _tagged_union(left, right, on, by, rvals)
     if by:
-        # Trailing payload sort key: when several right rows share a
-        # timestamp (re-ingested feed before dedup), the running fill
-        # must pick a DETERMINISTIC winner — max payload by struct
-        # order, not whichever row the shuffle delivered last.
-        # (pd.merge_asof's "last in input order" is not a definable
-        # rule for distributed input.)
-        w = Window.partitionBy(*by).orderBy(
-            F.col(on).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc()
-        )
         return _fill_and_project(
-            unioned, left.columns, on, rvals, w, tolerance_seconds, right_ts_alias
+            unioned,
+            left.columns,
+            on,
+            rvals,
+            by,
+            tolerance_seconds,
+            right_ts_alias,
+            direction,
         )
     return _global_asof(
         unioned,
@@ -168,6 +228,7 @@ def asof_join(
         tolerance_seconds,
         right_ts_alias,
         time_buckets,
+        direction,
     )
 
 
@@ -179,17 +240,25 @@ def _global_asof(
     tolerance_seconds: float | None,
     right_ts_alias: str | None,
     time_buckets: int,
+    direction: str = "backward",
 ) -> DataFrame:
     """Keyless as-of without serializing into one window partition.
 
     Buckets come from fixed-width division of the epoch range into
     ``time_buckets`` slices between min and max (two passes: one tiny
-    min/max agg, then the fill). Each bucket fills locally; rows
-    whose nearest right row lives in an EARLIER bucket are fixed by
-    joining against the per-bucket "last right payload" table (tiny:
-    ``time_buckets`` rows, broadcast), made cumulative with a second
-    running fill over bucket index — so correctness holds even when some
-    buckets contain no right rows.
+    min/max agg, then the fill). Each bucket fills locally; rows whose
+    matching right row lives in a DIFFERENT bucket are fixed by joining
+    against a per-bucket edge-payload table (tiny: ``time_buckets``
+    rows, broadcast), made cumulative with a running fill over bucket
+    index — so correctness holds even when some buckets contain no
+    right rows. Directional symmetry: backward carries each bucket's
+    LAST right payload forward to later buckets (seed sorts before the
+    bucket's own rows, since earlier-bucket timestamps are strictly
+    smaller); forward carries each bucket's FIRST right payload back to
+    earlier buckets (seed sorts after); nearest seeds both — the seeds
+    cannot cross-contaminate because a backward seed precedes every row
+    in its bucket and therefore never appears in any row's FOLLOWING
+    frame, and vice versa.
     """
     stats = unioned.agg(
         F.min(_axis_double(unioned, F.col(on), on)).alias("lo"),
@@ -211,53 +280,62 @@ def _global_asof(
                 ).cast("int"),
             ),
         )
-    # Per-bucket last right payload, then cumulative over bucket index so
-    # empty buckets inherit from their predecessors. time_buckets rows → tiny.
-    per_bucket_last = (
-        bucketed.filter(F.col(_SIDE) == 0)
-        .groupBy(_BUCKET)
-        # max over (ts, payload) struct: deterministic under ts ties
-        # (same rule as the keyed window's trailing payload sort key)
-        .agg(
-            F.max(
-                F.struct(F.col(on).alias("o"), F.col(_PAYLOAD).alias("p"))
-            )["p"].alias("__last")
-        )
-    )
-    # Carry over EVERY bucket id (not only buckets containing right rows):
-    # a left-only bucket must still inherit the latest earlier payload.
+    # Per-bucket edge payload(s), then cumulative over bucket index so
+    # empty buckets inherit from their neighbours. time_buckets rows →
+    # tiny. Struct-over-(ts, payload) keeps ties deterministic (same
+    # rule as the keyed window's trailing payload sort key).
     spark = unioned.sparkSession
     all_buckets = spark.range(time_buckets).select(
         F.col("id").cast("int").alias(_BUCKET)
     )
-    w_buckets = Window.orderBy(_BUCKET).rowsBetween(Window.unboundedPreceding, -1)
-    carry = (
-        all_buckets.join(per_bucket_last, _BUCKET, "left")
-        .select(
-            F.col(_BUCKET),
-            F.last("__last", ignorenulls=True).over(w_buckets).alias("__carry"),
-        )
-    )
-    # Seed each bucket's fill with the carried payload as a synthetic row
-    # ordered before everything in the bucket.
+    rights = bucketed.filter(F.col(_SIDE) == 0)
+    edge_struct = F.struct(F.col(on).alias("o"), F.col(_PAYLOAD).alias("p"))
     left_types = {f.name: f.dataType for f in bucketed.schema.fields}
-    seed = carry.filter(F.col("__carry").isNotNull()).select(
-        F.col(_BUCKET),
-        F.col("__carry").alias(_PAYLOAD),
-        F.lit(0).alias(_SIDE),
-        F.col(f"__carry.{on}").alias(on),
-        *[
-            F.lit(None).cast(left_types[c]).alias(c)
-            for c in left_cols
-            if c != on
-        ],
-    )
-    union_seeded = bucketed.unionByName(seed.select(bucketed.columns))
-    w = Window.partitionBy(_BUCKET).orderBy(
-        F.col(on).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc()
-    )
+
+    def _seed(agg_fn, fill_fn, frame) -> DataFrame:
+        per_bucket = rights.groupBy(_BUCKET).agg(
+            agg_fn(edge_struct)["p"].alias("__edge")
+        )
+        w_buckets = Window.orderBy(_BUCKET).rowsBetween(*frame)
+        carry = all_buckets.join(per_bucket, _BUCKET, "left").select(
+            F.col(_BUCKET),
+            fill_fn("__edge", ignorenulls=True).over(w_buckets).alias("__carry"),
+        )
+        return carry.filter(F.col("__carry").isNotNull()).select(
+            F.col(_BUCKET),
+            F.col("__carry").alias(_PAYLOAD),
+            F.lit(0).alias(_SIDE),
+            F.col(f"__carry.{on}").alias(on),
+            *[
+                F.lit(None).cast(left_types[c]).alias(c)
+                for c in left_cols
+                if c != on
+            ],
+        )
+
+    seeds = []
+    if direction in ("backward", "nearest"):
+        # latest earlier right payload, carried into later buckets
+        seeds.append(
+            _seed(F.max, F.last, (Window.unboundedPreceding, -1))
+        )
+    if direction in ("forward", "nearest"):
+        # earliest later right payload, carried into earlier buckets
+        seeds.append(
+            _seed(F.min, F.first, (1, Window.unboundedFollowing))
+        )
+    union_seeded = bucketed
+    for s in seeds:
+        union_seeded = union_seeded.unionByName(s.select(bucketed.columns))
     return _fill_and_project(
-        union_seeded, left_cols, on, rvals, w, tolerance_seconds, right_ts_alias
+        union_seeded,
+        left_cols,
+        on,
+        rvals,
+        [_BUCKET],
+        tolerance_seconds,
+        right_ts_alias,
+        direction,
     )
 
 

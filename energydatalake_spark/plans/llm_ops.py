@@ -493,6 +493,141 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_ITER = 3
+
+
+def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a TRAINED codebook: KMEANS_ITER Lloyd iterations of
+    distributed spherical k-means (see similarity/search.py
+    ``kmeans_centroids`` — data stays on executors, only the few-KB
+    model returns to the driver per iteration), then the standard
+    probe/rerank flow. The oracle replays the IDENTICAL trajectory in
+    SQL — exact decimal per-dimension sums, 1e-9 centroid grid,
+    cell-id tie-breaks — so even the iterative training is value-hash
+    checked, not rows-counted."""
+    from energydatalake_spark.similarity.search import ivf_topk, kmeans_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(
+        emb, n_cells=IVF_CELLS, n_iter=KMEANS_ITER, round_digits=9
+    )
+    cent_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "vec_id int, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") < TOPK_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(
+        emb,
+        queries,
+        k=TOPK_K,
+        n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE,
+        centroids=cent_df,
+    )
+    return out.select(
+        "query_id", "vec_id", _r(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+def _sql_similarity_ivf_kmeans() -> str:
+    """Generate the k-means trajectory as chained CTEs: cent_0 = first
+    IVF_CELLS vectors; cent_{i+1} = per-cell, per-dimension exact
+    decimal means of the vectors assigned to cent_i (cosine argmax,
+    cell-id tie-break), snapped to the 1e-9 grid. Mirrors
+    kmeans_centroids step for step."""
+    dim = 64  # embeddings table contract (TESTDATA.md)
+    parts = [
+        f"""m AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+  FROM embeddings
+),
+cent_0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv
+  FROM m ORDER BY vec_id LIMIT {IVF_CELLS}
+)"""
+    ]
+    for i in range(KMEANS_ITER):
+        parts.append(
+            f"""assign_{i} AS (
+  SELECT vec_id, cell_id, v FROM (
+    SELECT m.vec_id, c.cell_id, m.v,
+           ROW_NUMBER() OVER (
+             PARTITION BY m.vec_id
+             ORDER BY list_dot_product(m.v, c.cv)
+                      / (m.nm * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell_id
+           ) AS rn
+    FROM m, cent_{i} c
+  ) WHERE rn = 1
+),
+cent_{i + 1} AS (
+  SELECT cell_id, list(mv ORDER BY i) AS cv FROM (
+    SELECT a.cell_id, t.i,
+           FLOOR(CAST(SUM(CAST(a.v[t.i] AS DECIMAL(38,28))) AS DOUBLE)
+                 / COUNT(*) * 1000000000.0 + 0.5) / 1000000000.0 AS mv
+    FROM assign_{i} a, range(1, {dim + 1}) AS t(i)
+    GROUP BY a.cell_id, t.i
+  ) GROUP BY cell_id
+)"""
+        )
+    final = f"cent_{KMEANS_ITER}"
+    parts.append(
+        f"""cent AS (
+  SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cnm FROM {final}
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT m.vec_id, cent.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY m.vec_id
+             ORDER BY list_dot_product(m.v, cent.cv) / (m.nm * cent.cnm) DESC,
+                      cent.cell_id
+           ) AS rn
+    FROM m, cent
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.vec_id AS query_id, cent.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, cent.cv) / (q.nm * cent.cnm) DESC,
+                      cent.cell_id
+           ) AS rn
+    FROM m q, cent WHERE q.vec_id < {TOPK_NQ}
+  ) WHERE rn <= {IVF_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(qm.v, cm.v) / (qm.nm * cm.nm) AS cos_raw
+  FROM probes p
+  JOIN assign a USING (cell_id)
+  JOIN m qm ON qm.vec_id = p.query_id
+  JOIN m cm ON cm.vec_id = a.vec_id
+  WHERE a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_raw DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT query_id, vec_id,
+       FLOOR(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+       rank
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
+SQL_SIMILARITY_IVF_KMEANS = _sql_similarity_ivf_kmeans()
+
+
 SQL_SIMILARITY_IVF = f"""
 WITH m AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -1231,6 +1366,12 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("similarity_topk", q_similarity_topk, SQL_SIMILARITY_TOPK, "ext:ann-bruteforce"),
     ("similarity_lsh", q_similarity_lsh, SQL_SIMILARITY_LSH, "ext:ann-lsh"),
     ("similarity_ivf", q_similarity_ivf, SQL_SIMILARITY_IVF, "ext:ann-ivf"),
+    (
+        "similarity_ivf_kmeans",
+        q_similarity_ivf_kmeans,
+        SQL_SIMILARITY_IVF_KMEANS,
+        "ext:ann-ivf-kmeans",
+    ),
     ("corpus_prep", q_corpus_prep, SQL_CORPUS_PREP, "ext:corpus-prep composition"),
     ("train_split", q_train_split, SQL_TRAIN_SPLIT, "ext:hash-split"),
     ("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE,

@@ -763,6 +763,50 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purcha
 """
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1, forward direction (engine extension): for each click, the
+    EARLIEST purchase by the same user at-or-after its timestamp — the
+    "next action after exposure" attribution query. Same one-shuffle
+    window plan as backward, mirrored frame; DuckDB's ASOF JOIN with
+    ``c.ts <= p.ts`` is the oracle. Full direction semantics (incl.
+    nearest and the keyless bucket path) are pinned against
+    pd.merge_asof in tests/test_properties.py."""
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by=["user_id"],
+        right_ts_alias="purchase_ts",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        _ms(F.col("ts")).alias("click_ts_ms"),
+        F.col("purchase_value"),
+        _ms(F.col("purchase_ts")).alias("purchase_ts_ms"),
+    )
+
+
+SQL_ASOF_FORWARD = """
+SELECT c.event_id,
+       c.user_id,
+       CAST(epoch_ms(c.ts) AS BIGINT) AS click_ts_ms,
+       p.value AS purchase_value,
+       CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ts_ms
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
 def q_forecast_vs_actual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-vintage as-of (SURVEY.md §1.3 note 3): the reference's
     load_forecast feed publishes several vintages per target hour
@@ -1099,6 +1143,7 @@ _register("dedup_latest", q_dedup_latest, SQL_DEDUP_LATEST, "F2-keyed")
 _register("union_all", q_union_all, SQL_UNION_ALL, "Set1")
 _register("band_join", q_band_join, SQL_BAND_JOIN, "J2")
 _register("asof_join", q_asof_join, SQL_ASOF_JOIN, "J1")
+_register("asof_forward", q_asof_forward, SQL_ASOF_FORWARD, "J1-forward")
 _register(
     "forecast_vs_actual",
     q_forecast_vs_actual,

@@ -160,6 +160,90 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 9,
+) -> list[tuple[int, list[float]]]:
+    """Distributed spherical k-means (Lloyd iterations) for the IVF
+    codebook — the iterative-algorithm pattern done Spark-style: the
+    DATA never leaves executors (assignment is a broadcast-literal
+    cross + argmax, the update is a posexplode → per-(cell, dim)
+    aggregate); only the MODEL (n_cells × dim doubles, a few KB)
+    returns to the driver each iteration, exactly like MLlib's
+    broadcast-model loop. Plans stay flat: each iteration's centroids
+    are literals, so iteration N does not drag N-1 plans behind it.
+
+    Determinism (the property that makes a cross-engine oracle
+    possible): initial centroids are the ``n_cells`` lowest-id vectors;
+    assignment ties break on cell_id; the per-dimension mean is an
+    EXACT decimal(38,28) sum divided by the count, then snapped to a
+    1e-{round_digits} grid with the portable floor-round — so both
+    engines walk the identical centroid trajectory and empty cells die
+    identically (standard Lloyd).
+
+    Returns the trained codebook as plain Python rows (cell_id, vec) —
+    callers hand it to :func:`ivf_topk` via ``spark.createDataFrame``.
+    """
+    spark = corpus.sparkSession
+    from pyspark.sql import Window
+
+    p = float(10**round_digits)
+    v = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    init = (
+        v.orderBy(F.col(id_col)).limit(n_cells).select(
+            F.col(id_col).cast("int").alias("cell_id"), F.col("v")
+        )
+    ).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (r.cell_id, list(r.v)) for r in init
+    ]
+    for _ in range(n_iter):
+        # Model → DataFrame → broadcast: one Arrow batch instead of
+        # n_cells × dim py4j literal calls (measured: literals cost
+        # ~10 s/iteration in plan construction alone).
+        cent_df = spark.createDataFrame(
+            [(cid, vec) for cid, vec in cents], "cell_id int, cv array<double>"
+        ).withColumn("cnm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        ex = v.crossJoin(F.broadcast(cent_df))
+        cos = dot(F.col("v"), F.col("cv")) / (F.col("nm") * F.col("cnm"))
+        w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cell_id"))
+        assigned = (
+            ex.withColumn("cos", cos)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("cell_id"), F.col("v"))
+        )
+        means = (
+            assigned.select(F.col("cell_id"), F.posexplode(F.col("v")))
+            .groupBy("cell_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("col").cast("decimal(38,28)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .withColumn("m", F.floor(F.col("m") * F.lit(p) + F.lit(0.5)) / F.lit(p))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+        cents = sorted(
+            ((r.cell_id, list(r.cv)) for r in means.collect()),
+            key=lambda t: t[0],
+        )
+    return cents
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (driver-side literals —
     tiny: n_planes × dim doubles, broadcast with the plan)."""

@@ -92,6 +92,109 @@ def test_keyed_asof_matches_merge_asof(spark, left, right):
     assert got == sorted(expect)
 
 
+def _pandas_asof_dir(left_ts, right_rows, direction, tolerance=None):
+    """merge_asof oracle with direction/tolerance on plain ints; right
+    deduped to one row per ts (max rv) so tie rules cannot differ."""
+    lp = pd.DataFrame({"ts": sorted(left_ts)})
+    rp = pd.DataFrame(right_rows, columns=["ts", "rv"])
+    rp = rp.groupby("ts", as_index=False)["rv"].max().sort_values("ts")
+    if len(rp):
+        merged = pd.merge_asof(
+            lp, rp, on="ts", direction=direction, tolerance=tolerance
+        )
+    else:
+        merged = lp.assign(rv=None)
+    return sorted(
+        (int(t), None if pd.isna(v) else int(v))
+        for t, v in zip(merged["ts"], merged["rv"])
+    )
+
+
+@given(
+    left=st.lists(TS, min_size=1, max_size=25),
+    right=st.lists(st.tuples(TS, st.integers(0, 100)), max_size=25),
+)
+@_prop_settings
+def test_keyless_asof_directions_match_merge_asof(spark, left, right):
+    """forward and nearest on the keyless (range-bucketed) path equal
+    pd.merge_asof for ANY input — including the cross-bucket carries."""
+    ldf = spark.createDataFrame([(t,) for t in left], "ts bigint")
+    rdf = (
+        spark.createDataFrame(right, "ts bigint, rv bigint")
+        if right
+        else spark.createDataFrame([], "ts bigint, rv bigint")
+    ).groupBy("ts").agg(F.max("rv").alias("rv"))
+    for direction in ("forward", "nearest"):
+        got = sorted(
+            (r.ts, r.rv)
+            for r in asof_join(
+                ldf, rdf, on="ts", time_buckets=4, direction=direction
+            ).collect()
+        )
+        assert got == _pandas_asof_dir(left, right, direction), direction
+
+
+@given(
+    left=st.lists(st.tuples(KEY, TS), min_size=1, max_size=20),
+    right=st.lists(st.tuples(KEY, TS, st.integers(0, 100)), max_size=20),
+)
+@_prop_settings
+def test_keyed_asof_directions_match_merge_asof(spark, left, right):
+    ldf = spark.createDataFrame(left, "k string, ts bigint")
+    rdf = (
+        spark.createDataFrame(right, "k string, ts bigint, rv bigint")
+        if right
+        else spark.createDataFrame([], "k string, ts bigint, rv bigint")
+    ).groupBy("k", "ts").agg(F.max("rv").alias("rv"))
+    for direction in ("forward", "nearest"):
+        got = sorted(
+            (r.k, r.ts, r.rv)
+            for r in asof_join(
+                ldf, rdf, on="ts", by=["k"], direction=direction
+            ).collect()
+        )
+        expect = []
+        for k in {k for k, _ in left}:
+            lts = [t for kk, t in left if kk == k]
+            rrows = [(t, v) for kk, t, v in right if kk == k]
+            expect += [(k, t, v) for t, v in _pandas_asof_dir(lts, rrows, direction)]
+        assert got == sorted(expect), direction
+
+
+@given(
+    left=st.lists(TS, min_size=1, max_size=20),
+    right=st.lists(st.tuples(TS, st.integers(0, 100)), max_size=20),
+    tol=st.integers(0, 60),
+)
+@_prop_settings
+def test_keyless_asof_tolerance_all_directions(spark, left, right, tol):
+    """Tolerance drops out-of-range matches per direction (and per SIDE
+    for nearest: an out-of-tolerance backward candidate must lose to an
+    in-tolerance forward one)."""
+    ldf = spark.createDataFrame([(t,) for t in left], "ts bigint")
+    rdf = (
+        spark.createDataFrame(right, "ts bigint, rv bigint")
+        if right
+        else spark.createDataFrame([], "ts bigint, rv bigint")
+    ).groupBy("ts").agg(F.max("rv").alias("rv"))
+    for direction in ("backward", "forward", "nearest"):
+        got = sorted(
+            (r.ts, r.rv)
+            for r in asof_join(
+                ldf,
+                rdf,
+                on="ts",
+                time_buckets=4,
+                tolerance_seconds=tol,
+                direction=direction,
+            ).collect()
+        )
+        assert got == _pandas_asof_dir(left, right, direction, tolerance=tol), (
+            direction,
+            tol,
+        )
+
+
 @given(rows=st.lists(st.tuples(KEY, st.integers(0, 3)), max_size=40))
 @_prop_settings
 def test_dedup_idempotent_and_set_equal(spark, rows):

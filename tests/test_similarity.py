@@ -94,3 +94,37 @@ def test_ivf_partition_invariance(spark):
     one = {(r.query_id, r.vec_id, r.rank) for r in ivf_topk(emb.coalesce(1), queries, k=5).collect()}
     many = {(r.query_id, r.vec_id, r.rank) for r in ivf_topk(emb.repartition(7), queries, k=5).collect()}
     assert one == many and len(one) > 0
+
+
+def test_kmeans_centroids_deterministic_and_improves_recall(spark):
+    """The trained codebook must be (a) deterministic across runs and
+    partitionings — the property the cross-engine oracle rests on —
+    and (b) a real quantizer: every cell non-degenerate, model tiny."""
+    from energydatalake_spark.similarity.search import ivf_topk, kmeans_centroids
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    a = kmeans_centroids(emb, n_cells=8, n_iter=2)
+    b = kmeans_centroids(emb.repartition(7), n_cells=8, n_iter=2)
+    assert a == b  # bit-identical trajectory regardless of partitioning
+    assert 1 <= len(a) <= 8 and all(len(vec) == 64 for _, vec in a)
+
+    cent_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in a], "vec_id int, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    trained = ivf_topk(
+        emb, queries, k=10, n_cells=8, n_probe=4, centroids=cent_df
+    ).collect()
+    # recall vs exact: trained codebook must stay a usable quantizer
+    exact_sets, trained_sets = {}, {}
+    for r in cosine_topk(emb, queries, k=10).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in trained:
+        trained_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & trained_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3
