@@ -547,6 +547,64 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (the ingest-QA pass every training-data
+    pipeline runs before anything else): one row per numeric column
+    with row/null counts, min/max, and a decimal-exact mean — ALL
+    columns in ONE scan + ONE aggregate (df.summary() runs the same
+    shape; a per-column loop would rescan the table N times at 100 TB).
+    The long (column-per-row) form comes from exploding an array of
+    structs over the single aggregate row — plan-side reshape, zero
+    extra passes."""
+    l = read_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"__cnt_{c}"),
+            F.min(F.col(c)).alias(f"__min_{c}"),
+            F.max(F.col(c)).alias(f"__max_{c}"),
+            F.sum(F.col(c).cast("decimal(25,8)")).alias(f"__sum_{c}"),
+        ]
+    one = l.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__cnt_{c}")).alias("n_nulls"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+                _r(
+                    F.col(f"__sum_{c}").cast("double") / F.col(f"__cnt_{c}"), 6
+                ).alias("mean_value"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def _sql_data_profile() -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column",
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       MIN({c}) AS min_value,
+       MAX({c}) AS max_value,
+       FLOOR(CAST(SUM(CAST({c} AS DECIMAL(25,8))) AS DOUBLE) / COUNT({c})
+             * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_DATA_PROFILE = _sql_data_profile()
+
+
 def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style gap-fill rollup: events bucketed onto a dense
     hourly grid per event_type, gaps forward-filled (LOCF) — the
@@ -1135,6 +1193,7 @@ _register("rollup_revenue", q_rollup_revenue, SQL_ROLLUP_REVENUE, "A-rollup")
 _register(
     "resample_hourly", q_resample_hourly, _resample_oracle(), "A-resample gap-fill"
 )
+_register("data_profile", q_data_profile, SQL_DATA_PROFILE, "A-profile")
 _register("pivot_revenue", q_pivot_revenue, SQL_PIVOT_REVENUE, "A-pivot")
 _register("null_profile", q_null_profile, SQL_NULL_PROFILE, "A2 P6")
 _register("drop_nulls", q_drop_nulls, SQL_DROP_NULLS, "F1")
