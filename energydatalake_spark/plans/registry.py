@@ -1329,6 +1329,57 @@ FROM ({inner})
 _register("sessionize", q_sessionize, _sessionize_oracle(), "ext:sessionize")
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (§2.9 extension): the events
+    STREAM joined per micro-batch against the static ``customer``
+    dimension (user attributes), aggregated to value by market segment.
+    This is the third core Structured Streaming shape after windowed
+    aggregation (streaming_hourly) and stateful dedup (streaming_dedup)
+    — the static side is planned once and broadcast-reused every
+    micro-batch, which is exactly how a 100 TB deployment enriches a
+    firehose with dimension tables without re-shuffling the stream.
+    Complete mode over a static replay equals the batch join+GROUP BY,
+    which is what the oracle asserts."""
+    from energydatalake_spark.io.readers import read_table_stream
+    from energydatalake_spark.streaming.windows import run_stream_to_memory
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,8)")).alias("__sum"),
+    )
+    _STREAM_SEQ[0] += 1
+    result = run_stream_to_memory(
+        spark,
+        agg,
+        f"stream_enrich_{_STREAM_SEQ[0]}",
+        "complete",
+        timeout_sec=120.0,
+        shuffle_partitions=8,
+    )
+    return result.select(
+        "c_mktsegment",
+        "n_events",
+        _r(F.col("__sum").cast("double"), 4).alias("sum_value"),
+    )
+
+
+SQL_STREAMING_ENRICH = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       FLOOR(CAST(SUM(CAST(e.value AS DECIMAL(25,8))) AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (§2.9 twin of F2/dedup_exact): documents
     replayed through a file-source stream; each distinct text hash is
@@ -1385,6 +1436,12 @@ SQL_STREAMING_DEDUP = "SELECT DISTINCT md5(text) AS text_md5 FROM documents"
 
 _register(
     "streaming_dedup", q_streaming_dedup, SQL_STREAMING_DEDUP, "§2.9 F2 streaming"
+)
+_register(
+    "streaming_enrich",
+    q_streaming_enrich,
+    SQL_STREAMING_ENRICH,
+    "§2.9 stream-static join",
 )
 
 

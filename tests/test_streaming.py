@@ -353,3 +353,36 @@ def test_run_stream_to_memory_survives_bad_first_attempt(spark, tmp_path):
         shuffle_partitions=4,
     )
     assert {(r.k, r["count"]) for r in out.collect()} == {("a", 2), ("b", 1)}
+
+
+def test_stream_static_join_enriches_across_batches(spark, tmp_path):
+    """Stream-static join: the static side must be re-joined on EVERY
+    micro-batch — keys arriving in later batches still enrich."""
+    import os
+
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pd.DataFrame({"k": [1, 1]}).to_parquet(os.path.join(src, "b0.parquet"))
+    dim = spark.createDataFrame([(1, "A"), (2, "B")], "k bigint, seg string")
+    stream = (
+        spark.readStream.schema("k bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream.join(F.broadcast(dim), "k").groupBy("seg").count()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pd.DataFrame({"k": [2, 2, 2]}).to_parquet(os.path.join(src, "b1.parquet"))
+        q.processAllAvailable()
+        got = {(r.seg, r["count"]) for r in spark.table("t_enrich").collect()}
+    finally:
+        q.stop()
+    assert got == {("A", 2), ("B", 3)}  # batch-1 keys enriched too
