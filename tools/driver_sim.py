@@ -13,10 +13,12 @@ from decimal import Decimal
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
 import duckdb
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.001")
 
 spark = (
     SparkSession.builder.master("local[8]")
