@@ -6,11 +6,17 @@ order-insensitive value multiset (exact string compare after a
 normalization mirroring what a value-hash would see). Exit code 0 only
 if every declared pair matches.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` writes the per-query verdict as a committed artifact
+(MIRROR_r{N}.json) so mirror coverage can be diffed without re-running
+Spark — the registry's driver window covers only the first 50 entries,
+and this artifact is the standing evidence for the parked remainder.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -83,8 +89,14 @@ def _type_mismatches(sdf, con, oracle_sql: str) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -102,6 +114,7 @@ def main() -> int:
         )
 
     failures = 0
+    verdicts: dict[str, dict] = {}
     for name, q in QUERIES.items():
         if only and name not in only:
             continue
@@ -113,10 +126,16 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
+            verdicts[name] = {"status": "FAIL", "detail": f"spark error: {exc}"[:500]}
             continue
         if q.oracle is None:
             print(f"ok*   {name}: rows-only ({len(s_rows)} rows, "
                   f"{time.time()-t0:.1f}s) — no oracle declared")
+            verdicts[name] = {
+                "status": "rows_only",
+                "rows": len(s_rows),
+                "sec": round(time.time() - t0, 2),
+            }
             continue
         try:
             rel = con.sql(q.oracle)
@@ -125,6 +144,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures += 1
+            verdicts[name] = {"status": "FAIL", "detail": f"duckdb error: {exc}"[:500]}
             continue
 
         msgs = []
@@ -144,10 +164,30 @@ def main() -> int:
         if msgs:
             failures += 1
             print(f"FAIL  {name}: " + "; ".join(msgs))
+            verdicts[name] = {"status": "FAIL", "detail": "; ".join(msgs)[:500]}
         else:
             print(f"OK    {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            verdicts[name] = {
+                "status": "OK",
+                "rows": len(s_rows),
+                "sec": round(time.time() - t0, 2),
+            }
 
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    if json_out:
+        payload = {
+            "tool": "tools/oracle_check.py",
+            "compare": "rowcount + column-name + typed order-insensitive "
+                       "value multiset vs DuckDB oracle SQL",
+            "sf_dir": sf_dir,
+            "n_queries": len(verdicts),
+            "n_fail": failures,
+            "queries": verdicts,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=False)
+            fh.write("\n")
+        print(f"# wrote {json_out}")
     return 1 if failures else 0
 
 
