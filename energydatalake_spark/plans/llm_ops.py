@@ -494,22 +494,35 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KMEANS_ITER = 3
+# Train the codebook on a deterministic 1/4 hash-sample: a codebook is a
+# summary statistic, so a bounded sample trains it as well as the full
+# corpus while cutting every Lloyd iteration's scan and shuffle — at
+# 100 TB the caller raises the mod so the sample stays ~1M vectors and
+# training cost becomes corpus-size-independent. The predicate is pure
+# integer arithmetic, so the DuckDB trajectory replay selects the exact
+# same rows.
+KMEANS_SAMPLE_MOD = 4
 
 
 def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a TRAINED codebook: KMEANS_ITER Lloyd iterations of
     distributed spherical k-means (see similarity/search.py
     ``kmeans_centroids`` — data stays on executors, only the few-KB
-    model returns to the driver per iteration), then the standard
-    probe/rerank flow. The oracle replays the IDENTICAL trajectory in
-    SQL — exact decimal per-dimension sums, 1e-9 centroid grid,
+    model returns to the driver per iteration), trained on the
+    KMEANS_SAMPLE_MOD hash-sample, then the standard probe/rerank flow.
+    The oracle replays the IDENTICAL trajectory in SQL — same sample
+    predicate, exact decimal per-dimension sums, 1e-9 centroid grid,
     cell-id tie-breaks — so even the iterative training is value-hash
     checked, not rows-counted."""
     from energydatalake_spark.similarity.search import ivf_topk, kmeans_centroids
 
     emb = read_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(
-        emb, n_cells=IVF_CELLS, n_iter=KMEANS_ITER, round_digits=9
+        emb,
+        n_cells=IVF_CELLS,
+        n_iter=KMEANS_ITER,
+        round_digits=9,
+        train_sample_mod=KMEANS_SAMPLE_MOD,
     )
     cent_df = spark.createDataFrame(
         [(cid, vec) for cid, vec in cents], "vec_id int, embedding array<double>"
@@ -531,21 +544,30 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_similarity_ivf_kmeans() -> str:
-    """Generate the k-means trajectory as chained CTEs: cent_0 = first
-    IVF_CELLS vectors; cent_{i+1} = per-cell, per-dimension exact
-    decimal means of the vectors assigned to cent_i (cosine argmax,
-    cell-id tie-break), snapped to the 1e-9 grid. Mirrors
-    kmeans_centroids step for step."""
+    """Generate the k-means trajectory as chained CTEs: m_train = the
+    KMEANS_SAMPLE_MOD hash-sample (identical arithmetic to
+    train_sample_predicate); cent_0 = first IVF_CELLS sampled vectors;
+    cent_{i+1} = per-cell, per-dimension exact decimal means of the
+    sampled vectors assigned to cent_i (cosine argmax, cell-id
+    tie-break), snapped to the 1e-9 grid. Mirrors kmeans_centroids step
+    for step; the final assignment/probe/rerank runs on the FULL
+    corpus, exactly like the Spark side."""
+    from energydatalake_spark.similarity.search import train_sample_sql
+
     dim = 64  # embeddings table contract (TESTDATA.md)
+    sample = train_sample_sql("vec_id", KMEANS_SAMPLE_MOD)
     parts = [
         f"""m AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
   FROM embeddings
 ),
+m_train AS (
+  SELECT vec_id, v, nm FROM m WHERE {sample}
+),
 cent_0 AS (
   SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv
-  FROM m ORDER BY vec_id LIMIT {IVF_CELLS}
+  FROM m_train ORDER BY vec_id LIMIT {IVF_CELLS}
 )"""
     ]
     for i in range(KMEANS_ITER):
@@ -559,7 +581,7 @@ cent_0 AS (
                       / (m.nm * sqrt(list_dot_product(c.cv, c.cv))) DESC,
                       c.cell_id
            ) AS rn
-    FROM m, cent_{i} c
+    FROM m_train m, cent_{i} c
   ) WHERE rn = 1
 ),
 cent_{i + 1} AS (

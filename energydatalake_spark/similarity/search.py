@@ -160,6 +160,34 @@ def ivf_topk(
     )
 
 
+# Knuth multiplicative-hash constant. The training sample predicate is
+# deliberately plain 64-bit integer arithmetic (no engine hash builtin)
+# so the EXACT same row set is selected by Spark and by any ANSI-SQL
+# oracle replaying the trajectory.
+_KNUTH = 2654435761
+
+
+def train_sample_predicate(id_col: Column, sample_mod: int) -> Column:
+    """Deterministic, engine-portable 1/sample_mod row sample:
+    multiplicative-hash the id and keep the hashes below
+    2^32/sample_mod. The range test reads the hash's HIGH bits (where
+    a multiplicative hash mixes well) — a residue test would collapse
+    to ``id % mod`` for power-of-two mods. Bounded so the intermediate
+    product never overflows signed 64-bit."""
+    h = ((id_col.cast("bigint") % F.lit(2147483648)) * F.lit(_KNUTH)) % F.lit(
+        4294967296
+    )
+    return h < F.lit(4294967296 // sample_mod)
+
+
+def train_sample_sql(id_expr: str, sample_mod: int) -> str:
+    """ANSI-SQL twin of :func:`train_sample_predicate`."""
+    return (
+        f"(({id_expr} % 2147483648) * {_KNUTH}) % 4294967296 "
+        f"< {4294967296 // sample_mod}"
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -167,6 +195,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 9,
+    train_sample_mod: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Distributed spherical k-means (Lloyd iterations) for the IVF
     codebook — the iterative-algorithm pattern done Spark-style: the
@@ -177,13 +206,23 @@ def kmeans_centroids(
     broadcast-model loop. Plans stay flat: each iteration's centroids
     are literals, so iteration N does not drag N-1 plans behind it.
 
+    ``train_sample_mod`` bounds training cost: when set (> 1), Lloyd
+    runs on the deterministic 1/mod hash-sample from
+    :func:`train_sample_predicate` instead of the full corpus — a
+    codebook is a summary statistic, a bounded sample trains it equally
+    well, and at 100 TB this makes training cost independent of corpus
+    size (pick mod so the sample lands ~1M vectors). The sampled frame
+    is persisted across iterations, so training reads the corpus ONCE
+    instead of once per iteration.
+
     Determinism (the property that makes a cross-engine oracle
-    possible): initial centroids are the ``n_cells`` lowest-id vectors;
-    assignment ties break on cell_id; the per-dimension mean is an
-    EXACT decimal(38,28) sum divided by the count, then snapped to a
-    1e-{round_digits} grid with the portable floor-round — so both
-    engines walk the identical centroid trajectory and empty cells die
-    identically (standard Lloyd).
+    possible): the sample predicate is pure integer arithmetic (same
+    rows in any engine); initial centroids are the ``n_cells``
+    lowest-id sampled vectors; assignment ties break on cell_id; the
+    per-dimension mean is an EXACT decimal(38,28) sum divided by the
+    count, then snapped to a 1e-{round_digits} grid with the portable
+    floor-round — so both engines walk the identical centroid
+    trajectory and empty cells die identically (standard Lloyd).
 
     Returns the trained codebook as plain Python rows (cell_id, vec) —
     callers hand it to :func:`ivf_topk` via ``spark.createDataFrame``.
@@ -195,11 +234,21 @@ def kmeans_centroids(
     v = corpus.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("nm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    if train_sample_mod is not None and train_sample_mod > 1:
+        v = v.filter(train_sample_predicate(F.col(id_col), train_sample_mod))
+    v = v.persist()
     init = (
         v.orderBy(F.col(id_col)).limit(n_cells).select(
             F.col(id_col).cast("int").alias("cell_id"), F.col("v")
         )
     ).collect()
+    if len(init) < n_cells:
+        v.unpersist()
+        raise ValueError(
+            f"k-means training input has only {len(init)} vectors for "
+            f"n_cells={n_cells}; lower train_sample_mod "
+            f"({train_sample_mod}) or n_cells"
+        )
     cents: list[tuple[int, list[float]]] = [
         (r.cell_id, list(r.v)) for r in init
     ]
@@ -241,6 +290,7 @@ def kmeans_centroids(
             ((r.cell_id, list(r.cv)) for r in means.collect()),
             key=lambda t: t[0],
         )
+    v.unpersist()
     return cents
 
 

@@ -128,3 +128,40 @@ def test_kmeans_centroids_deterministic_and_improves_recall(spark):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_kmeans_sample_training(spark):
+    """Sampled Lloyd training: same determinism contract as the full
+    path, on a strict subset selected by engine-portable arithmetic —
+    training cost becomes corpus-size-independent at scale."""
+    import pytest
+
+    from energydatalake_spark.similarity.search import (
+        kmeans_centroids,
+        train_sample_predicate,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    n_sampled = emb.filter(
+        train_sample_predicate(F.col("vec_id"), 4)
+    ).count()
+    n_total = emb.count()
+    # ~1/4 of the corpus, not a degenerate residue-class pick
+    assert 0 < n_sampled < n_total
+    assert abs(n_sampled / n_total - 0.25) < 0.15
+
+    a = kmeans_centroids(emb, n_cells=8, n_iter=2, train_sample_mod=4)
+    b = kmeans_centroids(
+        emb.repartition(5), n_cells=8, n_iter=2, train_sample_mod=4
+    )
+    assert a == b  # bit-identical trajectory regardless of partitioning
+    assert 1 <= len(a) <= 8 and all(len(vec) == 64 for _, vec in a)
+
+    # the sample is actually applied: a different training set walks a
+    # different trajectory
+    full = kmeans_centroids(emb, n_cells=8, n_iter=2)
+    assert a != full
+
+    # too-aggressive sampling fails loudly, not with a silent bad model
+    with pytest.raises(ValueError, match="lower train_sample_mod"):
+        kmeans_centroids(emb, n_cells=300, n_iter=1, train_sample_mod=4)
