@@ -94,13 +94,23 @@ def ivf_topk(
 
     ``centroids`` defaults to the first ``n_cells`` corpus vectors by id
     — a deterministic stand-in for a k-means codebook (swap in trained
-    centroids without touching the flow). Scale shape: the centroid set
-    is broadcast (tiny), cell assignment is a map-side argmax (no
-    shuffle of the corpus beyond the final cell-id equi-join), and the
-    candidate join fans each query out to n_probe/n_cells of the corpus
-    — the classic IVF sub-linear probe. Everything is JVM-side
-    (``aggregate``/``zip_with`` folds + windows), no Python in the path.
+    centroids without touching the flow).
+
+    Scale shape: the codebook is MODEL-sized by construction (n_cells ×
+    dim doubles, a few KB), so it is collected once and rides into the
+    plan as literals. Cell assignment and query probing are then pure
+    map-side expressions — an ``aggregate`` argmax fold over the
+    per-cell cosine array — so the corpus is never shuffled, duplicated
+    or nested-loop-joined (the previous shape cross-joined corpus ×
+    centroids and re-sorted all n_cells copies by id through an
+    Exchange). The only remaining shuffle is the per-query rerank
+    window over the candidate set (~n_probe/n_cells of the corpus) —
+    the classic IVF sub-linear probe. Everything stays JVM-side
+    (``aggregate``/``zip_with`` folds + one window), no Python in the
+    path.
     """
+    import math
+
     from pyspark.sql import Window
 
     c = with_norm(corpus, vec_col, "c_norm").select(
@@ -110,36 +120,80 @@ def ivf_topk(
         # First n_cells vectors by id — deterministic for ANY id space
         # (dense, sparse, hashed), not just 0-based.
         centroids = corpus.orderBy(F.col(id_col)).limit(n_cells)
-    cent = with_norm(centroids, vec_col, "k_norm").select(
-        F.col(id_col).alias("cell_id"),
-        F.col(vec_col).alias("k_vec"),
-        F.col("k_norm"),
+    # Model-sized collect (bounded by n_cells): the codebook becomes
+    # plan literals, like any broadcast model.
+    cent_rows = centroids.select(
+        F.col(id_col).cast("int").alias("cell_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).collect()
+    if not cent_rows:
+        raise ValueError("ivf_topk: empty centroid set")
+    cents = sorted((r.cell_id, list(r.cv)) for r in cent_rows)
+
+    def _py_norm(vec: list[float]) -> float:
+        # Same op sequence as dot(v, v) → sqrt: sequential fold of
+        # products, then IEEE sqrt — bit-identical to the engine.
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        return math.sqrt(acc)
+
+    # One literal codebook array; the cosine shows up ONCE, inside the
+    # transform lambda — not inlined per cell, which keeps the analyzed
+    # expression tree (and plan-construction time) small.
+    codebook = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cell_id"),
+                F.lit(cv).alias("cv"),
+                F.lit(_py_norm(cv)).alias("cnm"),
+            )
+            for cid, cv in cents
+        ]
     )
-    cent_cos = dot(F.col("c_vec"), F.col("k_vec")) / (F.col("c_norm") * F.col("k_norm"))
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.desc("cent_cos"), F.asc("cell_id")
-    )
-    assigned = (
-        c.join(F.broadcast(cent), how="cross")
-        .withColumn("cent_cos", cent_cos)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("c_vec"), F.col("c_norm"), F.col("cell_id"))
+
+    def _cell_array(vec: Column, norm: Column) -> Column:
+        # array<struct<cos,cell_id>> in ascending cell_id order.
+        return F.transform(
+            codebook,
+            lambda s: F.struct(
+                (dot(vec, s["cv"]) / (norm * s["cnm"])).alias("cos"),
+                s["cell_id"].alias("cell_id"),
+            ),
+        )
+
+    # Map-side argmax: strict > keeps the FIRST max in ascending
+    # cell_id order — same tie-break as the former desc-cos/asc-cell
+    # window, with no shuffle.
+    def _argmax_cell(vec: Column, norm: Column) -> Column:
+        return F.aggregate(
+            _cell_array(vec, norm),
+            F.struct(
+                F.lit(float("-inf")).alias("cos"), F.lit(-1).alias("cell_id")
+            ),
+            lambda acc, x: F.when(x["cos"] > acc["cos"], x).otherwise(acc),
+        )["cell_id"]
+
+    assigned = c.withColumn(
+        "cell_id", _argmax_cell(F.col("c_vec"), F.col("c_norm"))
     )
     q = with_norm(queries, vec_col, "q_norm").select(
         F.col(query_id_col), F.col(vec_col).alias("q_vec"), F.col("q_norm")
     )
-    probe_cos = dot(F.col("q_vec"), F.col("k_vec")) / (F.col("q_norm") * F.col("k_norm"))
-    w_probe = Window.partitionBy(query_id_col).orderBy(
-        F.desc("probe_cos"), F.asc("cell_id")
+    # Map-side probe selection: sort the per-cell cosine array (desc
+    # cos, asc cell_id — the former window's order), slice n_probe,
+    # explode.
+    probe_sorted = F.array_sort(
+        _cell_array(F.col("q_vec"), F.col("q_norm")),
+        lambda a, b: F.when(a["cos"] > b["cos"], F.lit(-1))
+        .when(a["cos"] < b["cos"], F.lit(1))
+        .when(a["cell_id"] < b["cell_id"], F.lit(-1))
+        .when(a["cell_id"] > b["cell_id"], F.lit(1))
+        .otherwise(F.lit(0)),
     )
-    probes = (
-        q.join(F.broadcast(cent), how="cross")
-        .withColumn("probe_cos", probe_cos)
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= n_probe)
-        .select(F.col(query_id_col), F.col("q_vec"), F.col("q_norm"), F.col("cell_id"))
-    )
+    probes = q.withColumn(
+        "cell_id", F.explode(F.slice(probe_sorted, 1, n_probe)["cell_id"])
+    ).select(F.col(query_id_col), F.col("q_vec"), F.col("q_norm"), F.col("cell_id"))
     pairs = assigned.join(F.broadcast(probes), "cell_id").filter(
         F.col(id_col) != F.col(query_id_col)
     )
