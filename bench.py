@@ -87,6 +87,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # A failed query contributes NO time, so the total is only
+        # comparable round-over-round when nothing failed and the query
+        # sets match — mark that explicitly instead of letting a broken
+        # round read as a speedup.
+        "n_queries": len(timings),
+        "n_failed": len(errors),
+        "comparable": not errors,
     }
     if errors:
         payload["errors"] = errors

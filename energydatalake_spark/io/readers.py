@@ -17,6 +17,7 @@ tiny jobs. Here:
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import os
 
@@ -101,6 +102,13 @@ def read_jsonl_folder(
         return None
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
+    if bad_records_col in schema.fieldNames():
+        raise ValueError(
+            f"read_jsonl_folder: schema already contains "
+            f"{bad_records_col!r} — the quarantine column is appended "
+            f"automatically; pass a different bad_records_col or drop "
+            f"it from the schema"
+        )
     schema = T.StructType(
         list(schema.fields) + [T.StructField(bad_records_col, T.StringType())]
     )
@@ -202,20 +210,42 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # mutating the shared session permanently: a later direct
         # spark.read.parquet of nanos files should fail loudly, not
         # silently surface LongType columns.
-        key = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, "true")
-        try:
+        with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
             df = spark.read.parquet(path)
-        finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
         df = _normalize_time_axis(df, ns_cols, ntz_cols)
     else:
         df = _normalize_time_axis(spark.read.parquet(path), ns_cols, ntz_cols)
     return df
+
+
+@contextlib.contextmanager
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+@contextlib.contextmanager
+def scoped_nanos_conf(spark: SparkSession, sf_dir: str, name: str):
+    """Keep ``spark.sql.legacy.parquet.nanosAsLong`` on while a stream
+    over ``name`` drains, IF the table is nanos-encoded; a no-op for
+    every other encoding. The conf is session-level and the streaming
+    source converts footers per micro-batch, so callers must hold this
+    open around the whole build-stream → run-to-completion span — not
+    just the :func:`read_table_stream` call."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols, _, _ = _footer_probe(path)
+    if not ns_cols:
+        yield
+        return
+    with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        yield
 
 
 def _normalize_time_axis(df: DataFrame, ns_cols, ntz_cols) -> DataFrame:
@@ -248,13 +278,19 @@ def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The ``nanosAsLong`` legacy conf is session-level and must stay on
     while the stream drains — callers that read nanos-era files should
-    keep :func:`scoped_nanos_conf` open around the stream run. For the
-    NTZ/normal shapes no session conf is needed.
+    keep :func:`scoped_nanos_conf` open around the stream run (it's a
+    no-op on other encodings, so streaming queries wrap it
+    unconditionally). The batch schema probe below scopes the conf
+    itself, so THIS call never raises on nanos files either way.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols, ntz_cols, all_cols = _footer_probe(path)
     _schema_canary(path, all_cols)
-    raw_schema = spark.read.parquet(path).schema
+    if ns_cols:
+        with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+            raw_schema = spark.read.parquet(path).schema
+    else:
+        raw_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(raw_schema).parquet(path + "*")
     # Session tz pins UTC: NTZ cast keeps the instant, yields the
     # watermark-capable LTZ type; dtype branching per column as in batch.

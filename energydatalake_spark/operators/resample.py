@@ -22,7 +22,10 @@ Scale shape (100 TB):
 - Guard: a key spanning years at 1-minute grain generates its range
   bucket count; ``max_buckets_per_key`` fails loudly instead of letting
   ``sequence`` materialize a runaway array (Spark hard-caps sequence
-  length; we fail with a better message and a knob).
+  length; we fail with a better message and a knob). The guard is a
+  ``raise_error`` expression INSIDE the grid stage — checked on the
+  same single pass as the real computation, not via a separate
+  guard-only job that would double the heaviest scan at 100 TB.
 """
 
 from __future__ import annotations
@@ -48,14 +51,23 @@ def resample_locf(
     gaps). The bucket average is computed as an exact decimal sum over
     doubles divided by the count, so it is engine-portable.
 
-    ``bucket`` is any ``date_trunc`` unit (hour/day/week/...).
+    ``bucket`` ∈ {minute, hour, day, week, month, year} — the
+    ``date_trunc`` units whose grid ``sequence`` can step (month/year
+    steps are calendar-aware in both Spark and DuckDB). Anything else
+    raises immediately.
+
+    A key whose span exceeds ``max_buckets_per_key`` fails at execution
+    time (``raise_error`` in the grid stage, message contains
+    ``max_buckets_per_key``) — the check rides the query's own pass
+    instead of running a separate guard job over the input.
     """
-    step = {
-        "minute": F.expr("interval 1 minute"),
-        "hour": F.expr("interval 1 hour"),
-        "day": F.expr("interval 1 day"),
-        "week": F.expr("interval 1 week"),
-    }[bucket]
+    supported = ("minute", "hour", "day", "week", "month", "year")
+    if bucket not in supported:
+        raise ValueError(
+            f"resample_locf: unsupported bucket {bucket!r}; "
+            f"expected one of {supported}"
+        )
+    step = F.expr(f"interval 1 {bucket}")
     ts = F.col(ts_col)
     if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
         ts = ts.cast("timestamp")
@@ -73,24 +85,39 @@ def resample_locf(
         F.max("bucket_start").alias("hi"),
         F.count(F.lit(1)).alias("n_buckets_observed"),
     )
-    # Loud guard before sequence() materializes anything.
-    unit_sec = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}[bucket]
-    spans = spans.withColumn(
-        "__span",
-        (F.unix_timestamp("hi") - F.unix_timestamp("lo")) / F.lit(unit_sec) + 1,
+    # Span in buckets: fixed-width units via epoch arithmetic;
+    # month/year via months_between (exact integers on truncated
+    # bucket starts).
+    if bucket == "month":
+        span = F.months_between(F.col("hi"), F.col("lo")) + 1
+    elif bucket == "year":
+        span = F.months_between(F.col("hi"), F.col("lo")) / 12 + 1
+    else:
+        unit_sec = {
+            "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+        }[bucket]
+        span = (
+            F.unix_timestamp("hi") - F.unix_timestamp("lo")
+        ) / F.lit(unit_sec) + 1
+    # Loud guard before sequence() materializes anything — evaluated on
+    # the SAME pass as the grid (raise_error short-circuits the stage),
+    # never as a separate driver-side pre-scan of the input.
+    guard_msg = F.format_string(
+        "resample_locf: key %s spans %s " + bucket + " buckets > "
+        f"max_buckets_per_key={max_buckets_per_key}; widen the bucket or "
+        "raise the cap deliberately",
+        F.col(key_col).cast("string"),
+        span.cast("bigint").cast("string"),
     )
-    overflow = spans.filter(F.col("__span") > max_buckets_per_key).limit(1)
-    bad = overflow.collect()  # 0-or-1 row by construction
-    if bad:
-        r = bad[0]
-        raise ValueError(
-            f"resample_locf: key {r[0]!r} spans {int(r['__span'])} {bucket} "
-            f"buckets > max_buckets_per_key={max_buckets_per_key}; widen the "
-            f"bucket or raise the cap deliberately"
-        )
+    hi_guarded = F.when(
+        span > F.lit(max_buckets_per_key),
+        F.raise_error(guard_msg).cast("timestamp"),
+    ).otherwise(F.col("hi"))
     grid = spans.select(
         F.col(key_col),
-        F.explode(F.sequence(F.col("lo"), F.col("hi"), step)).alias("bucket_start"),
+        F.explode(
+            F.sequence(F.col("lo"), hi_guarded, step)
+        ).alias("bucket_start"),
     )
     dense = grid.join(agg, [key_col, "bucket_start"], "left")
     w = (

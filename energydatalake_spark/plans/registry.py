@@ -1241,22 +1241,18 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink. Complete mode keeps every window, so the static-replay result
     equals the batch GROUP BY — which is exactly what the oracle
     asserts."""
-    from energydatalake_spark.io.readers import read_table_stream
+    from energydatalake_spark.io.readers import read_table_stream, scoped_nanos_conf
     from energydatalake_spark.streaming.windows import (
         hourly_rollup,
         run_stream_to_memory,
     )
 
-    # Scoped like read_table: the conf matters while the stream drains
-    # (run_stream_to_memory blocks to completion inside the guard); the
-    # returned memory-table select never re-reads parquet. The dtype
-    # branching itself (nanos-long vs TIMESTAMP_NTZ vs LTZ — the
-    # generator has shipped all three across rounds) lives in
-    # read_table_stream, shared with the batch reader.
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "true")
-    try:
+    # The conf matters while the stream drains (run_stream_to_memory
+    # blocks to completion inside the guard); the returned memory-table
+    # select never re-reads parquet. scoped_nanos_conf no-ops unless the
+    # table is actually nanos-encoded; the dtype branching itself lives
+    # in read_table_stream, shared with the batch reader.
+    with scoped_nanos_conf(spark, sf_dir, "events"):
         stream = read_table_stream(spark, sf_dir, "events")
         roll = hourly_rollup(stream, "ts", "value", keys=["event_type"])
         _STREAM_SEQ[0] += 1
@@ -1268,11 +1264,6 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeout_sec=120.0,
             shuffle_partitions=8,
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
     return result.select(
         _ms(F.col("hour_start")).alias("hour_ms"),
         F.col("event_type"),
@@ -1340,29 +1331,30 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     firehose with dimension tables without re-shuffling the stream.
     Complete mode over a static replay equals the batch join+GROUP BY,
     which is what the oracle asserts."""
-    from energydatalake_spark.io.readers import read_table_stream
+    from energydatalake_spark.io.readers import read_table_stream, scoped_nanos_conf
     from energydatalake_spark.streaming.windows import run_stream_to_memory
 
-    stream = read_table_stream(spark, sf_dir, "events")
-    dim = read_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey"), F.col("c_mktsegment")
-    )
-    enriched = stream.join(
-        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
-    )
-    agg = enriched.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(25,8)")).alias("__sum"),
-    )
-    _STREAM_SEQ[0] += 1
-    result = run_stream_to_memory(
-        spark,
-        agg,
-        f"stream_enrich_{_STREAM_SEQ[0]}",
-        "complete",
-        timeout_sec=120.0,
-        shuffle_partitions=8,
-    )
+    with scoped_nanos_conf(spark, sf_dir, "events"):
+        stream = read_table_stream(spark, sf_dir, "events")
+        dim = read_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey"), F.col("c_mktsegment")
+        )
+        enriched = stream.join(
+            F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+        )
+        agg = enriched.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,8)")).alias("__sum"),
+        )
+        _STREAM_SEQ[0] += 1
+        result = run_stream_to_memory(
+            spark,
+            agg,
+            f"stream_enrich_{_STREAM_SEQ[0]}",
+            "complete",
+            timeout_sec=120.0,
+            shuffle_partitions=8,
+        )
     return result.select(
         "c_mktsegment",
         "n_events",
@@ -1409,18 +1401,21 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     print("# streaming_dedup: entered", file=sys.stderr, flush=True)
     path = os.path.join(sf_dir, "documents.parquet")
     try:
-        stream = read_table_stream(spark, sf_dir, "documents")
-        keyed = stream.select(F.md5(F.col("text")).alias("text_md5"))
-        out = streaming_dedup(keyed, ["text_md5"])
-        _STREAM_SEQ[0] += 1
-        return run_stream_to_memory(
-            spark,
-            out,
-            f"stream_dedup_{_STREAM_SEQ[0]}",
-            "append",
-            timeout_sec=120.0,
-            shuffle_partitions=8,
-        )
+        from energydatalake_spark.io.readers import scoped_nanos_conf
+
+        with scoped_nanos_conf(spark, sf_dir, "documents"):
+            stream = read_table_stream(spark, sf_dir, "documents")
+            keyed = stream.select(F.md5(F.col("text")).alias("text_md5"))
+            out = streaming_dedup(keyed, ["text_md5"])
+            _STREAM_SEQ[0] += 1
+            return run_stream_to_memory(
+                spark,
+                out,
+                f"stream_dedup_{_STREAM_SEQ[0]}",
+                "append",
+                timeout_sec=120.0,
+                shuffle_partitions=8,
+            )
     except Exception as exc:
         warnings.warn(
             f"streaming_dedup: stateful stream failed ({exc!r}); "

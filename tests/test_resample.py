@@ -55,8 +55,38 @@ def test_resample_span_guard_raises(spark):
         [("a", _ts(0), 1.0), ("a", datetime.datetime(2024, 3, 9, 0), 2.0)],
         "event_type string, ts timestamp, value double",
     )
-    with pytest.raises(ValueError, match="max_buckets_per_key"):
-        resample_locf(df, max_buckets_per_key=100)  # 8 days > 100 hours
+    # The guard is a raise_error INSIDE the grid stage (single-pass, no
+    # separate guard job) — so it fires at execution, not at build.
+    out = resample_locf(df, max_buckets_per_key=100)  # 8 days > 100 hours
+    with pytest.raises(Exception, match="max_buckets_per_key"):
+        out.collect()
+
+
+def test_resample_rejects_unknown_bucket(spark):
+    df = spark.createDataFrame(
+        [("a", _ts(0), 1.0)], "event_type string, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="unsupported bucket"):
+        resample_locf(df, bucket="fortnight")
+
+
+def test_resample_month_bucket(spark):
+    """Calendar-aware month grid: Jan..Apr inclusive with a Feb-Mar gap
+    forward-filled."""
+    df = spark.createDataFrame(
+        [
+            ("a", datetime.datetime(2024, 1, 10), 2.0),
+            ("a", datetime.datetime(2024, 4, 20), 8.0),
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    rows = sorted(
+        resample_locf(df, bucket="month").collect(),
+        key=lambda r: r.bucket_start,
+    )
+    assert [r.bucket_start.month for r in rows] == [1, 2, 3, 4]
+    assert [r.n_obs for r in rows] == [1, 0, 0, 1]
+    assert [r.filled_avg for r in rows] == [2.0, 2.0, 2.0, 8.0]
 
 
 def test_resample_ntz_axis(spark, tmp_path):
