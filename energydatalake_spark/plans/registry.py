@@ -1440,6 +1440,102 @@ _register(
 )
 
 
+STREAMING_ASOF_TOLERANCE = "2 days"
+
+
+def q_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of enrich (§2.9, J1's streaming twin — the
+    reference's fm+load merge as a watermarked stream-stream join, see
+    streaming/asof.py): clicks and purchases replayed as two event-time
+    streams; the interval join emits every purchase within the
+    tolerance window at-or-before each click, with watermarks bounding
+    both join states; the terminal per-click latest-purchase reduction
+    runs on the bounded join output (sink side — append mode cannot
+    flush a chained stateful aggregate on a bounded replay). Inner
+    semantics: clicks with no in-window purchase drop. The oracle is
+    the identical interval-join + argmax in SQL."""
+    from energydatalake_spark.io.readers import read_table_stream, scoped_nanos_conf
+    from energydatalake_spark.streaming.asof import (
+        asof_reduce,
+        streaming_asof_candidates,
+    )
+    from energydatalake_spark.streaming.windows import run_stream_to_memory
+
+    with scoped_nanos_conf(spark, sf_dir, "events"):
+        clicks = (
+            read_table_stream(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts")
+        )
+        purchases = (
+            read_table_stream(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts", F.col("value").alias("purchase_value"))
+        )
+        cand = streaming_asof_candidates(
+            clicks,
+            purchases,
+            on="ts",
+            by="user_id",
+            tolerance=STREAMING_ASOF_TOLERANCE,
+            right_ts_alias="purchase_ts",
+        )
+        _STREAM_SEQ[0] += 1
+        mem = run_stream_to_memory(
+            spark,
+            cand,
+            f"stream_asof_{_STREAM_SEQ[0]}",
+            "append",
+            timeout_sec=120.0,
+            shuffle_partitions=8,
+        )
+    out = asof_reduce(
+        mem, "event_id", "purchase_ts", tie_break=["purchase_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _ms(F.col("ts")).alias("click_ts_ms"),
+        F.col("purchase_value"),
+        _ms(F.col("purchase_ts")).alias("purchase_ts_ms"),
+    )
+
+
+SQL_STREAMING_ASOF = """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), cand AS (
+  SELECT c.event_id, c.user_id, c.ts,
+         p.value AS purchase_value, p.ts AS purchase_ts
+  FROM c JOIN p
+    ON c.user_id = p.user_id
+   AND p.ts BETWEEN c.ts - INTERVAL 2 DAY AND c.ts
+), ranked AS (
+  SELECT event_id, user_id, ts, purchase_value, purchase_ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_id
+           ORDER BY purchase_ts DESC, purchase_value DESC
+         ) AS rn
+  FROM cand
+)
+SELECT event_id,
+       user_id,
+       CAST(epoch_ms(ts) AS BIGINT) AS click_ts_ms,
+       purchase_value,
+       CAST(epoch_ms(purchase_ts) AS BIGINT) AS purchase_ts_ms
+FROM ranked WHERE rn = 1
+"""
+
+_register(
+    "streaming_asof",
+    q_streaming_asof,
+    SQL_STREAMING_ASOF,
+    "§2.9 J1 streaming as-of",
+)
+
+
 # ------------------------------------------------------- driver window
 #
 # The driver records CORRECTNESS rows for only the FIRST 50 registry
@@ -1481,9 +1577,11 @@ _DRIVER_WINDOW_FIRST = [
     "streaming_hourly",
     "sessionize",
     "streaming_enrich",
+    "streaming_asof",
 ]
 
 _DRIVER_WINDOW_PARKED = [
+    "mix_percentage",
     "decimal_cast",
     "timestamp_parse",
     "tz_convert",

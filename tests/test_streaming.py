@@ -386,3 +386,81 @@ def test_stream_static_join_enriches_across_batches(spark, tmp_path):
     finally:
         q.stop()
     assert got == {("A", 2), ("B", 3)}  # batch-1 keys enriched too
+
+
+def test_streaming_asof_matches_across_batches(spark, tmp_path):
+    """The interval join must match a click against a purchase that
+    arrives in a DIFFERENT micro-batch — i.e. the join retains state
+    across batches (watermark + tolerance bound it, not batch edges)."""
+    import datetime
+
+    from energydatalake_spark.streaming.asof import (
+        asof_reduce,
+        streaming_asof_candidates,
+    )
+
+    src = tmp_path / "asof_src"
+    src.mkdir()
+    schema = (
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double"
+    )
+    t0 = datetime.datetime(2024, 1, 5, 12, 0, 0)
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    # File 1: the click. File 2 (a later micro-batch under
+    # maxFilesPerTrigger=1): two purchases before the click — the later
+    # one inside the tolerance must win; plus one after it (no match).
+    _write("f1", [(1, 7, t0, "click", 0.0)])
+    _write(
+        "f2",
+        [
+            (2, 7, t0 - datetime.timedelta(hours=30), "purchase", 10.0),
+            (3, 7, t0 - datetime.timedelta(hours=2), "purchase", 20.0),
+            (4, 7, t0 + datetime.timedelta(hours=1), "purchase", 30.0),
+        ],
+    )
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    cand = streaming_asof_candidates(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        tolerance="2 days",
+        right_ts_alias="purchase_ts",
+    )
+    mem = run_stream_to_memory(
+        spark, cand, "asof_xbatch", "append", timeout_sec=120.0,
+        shuffle_partitions=4,
+    )
+    # Both in-window purchases are candidates despite arriving in a
+    # different batch than the click; the post-hours one is not.
+    got = {(r.event_id, r.purchase_value) for r in mem.collect()}
+    assert got == {(1, 10.0), (1, 20.0)}
+
+    reduced = asof_reduce(
+        mem, "event_id", "purchase_ts", tie_break=["purchase_value"]
+    ).collect()
+    assert len(reduced) == 1
+    assert reduced[0].purchase_value == 20.0
