@@ -27,6 +27,65 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side vector norm with the same op sequence as
+    ``sqrt(dot(v, v))`` in-engine: sequential fold of products, then
+    IEEE sqrt — bit-identical to the engine's value."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _codebook_literal(cents: list[tuple[int, list[float]]]) -> Column:
+    """The model-sized codebook as an array of (cell_id, cv, cnm)
+    structs, ascending cell_id — it rides into the plan like any
+    broadcast model. Built from THREE nested-list Literal nodes zipped
+    together, not n_cells struct expressions: a per-cell expression
+    tree costs the analyzer ~1 s per k-means iteration at n_cells=16,
+    dim=64; three Literals are effectively free."""
+    ids = F.lit([cid for cid, _ in cents])
+    vecs = F.lit([cv for _, cv in cents])
+    norms = F.lit([_py_norm(cv) for _, cv in cents])
+    return F.zip_with(
+        ids,
+        F.zip_with(
+            vecs,
+            norms,
+            lambda v, n: F.struct(v.alias("cv"), n.alias("cnm")),
+        ),
+        lambda i, s: F.struct(
+            i.alias("cell_id"), s["cv"].alias("cv"), s["cnm"].alias("cnm")
+        ),
+    )
+
+
+def _cell_cosine_array(codebook: Column, vec: Column, norm: Column) -> Column:
+    """array<struct<cos,cell_id>> of per-cell cosines, ascending
+    cell_id. The cosine expression appears ONCE, inside the transform
+    lambda — not inlined per cell — keeping the analyzed tree small."""
+    return F.transform(
+        codebook,
+        lambda s: F.struct(
+            (dot(vec, s["cv"]) / (norm * s["cnm"])).alias("cos"),
+            s["cell_id"].alias("cell_id"),
+        ),
+    )
+
+
+def _argmax_cell(codebook: Column, vec: Column, norm: Column) -> Column:
+    """Map-side nearest-cell argmax: strict > keeps the FIRST max in
+    ascending cell_id order — the desc-cos/asc-cell tie-break of a
+    row_number window, with no shuffle."""
+    return F.aggregate(
+        _cell_cosine_array(codebook, vec, norm),
+        F.struct(F.lit(float("-inf")).alias("cos"), F.lit(-1).alias("cell_id")),
+        lambda acc, x: F.when(x["cos"] > acc["cos"], x).otherwise(acc),
+    )["cell_id"]
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (deterministic summation order)."""
     return F.aggregate(
@@ -109,8 +168,6 @@ def ivf_topk(
     (``aggregate``/``zip_with`` folds + one window), no Python in the
     path.
     """
-    import math
-
     from pyspark.sql import Window
 
     c = with_norm(corpus, vec_col, "c_norm").select(
@@ -129,53 +186,10 @@ def ivf_topk(
     if not cent_rows:
         raise ValueError("ivf_topk: empty centroid set")
     cents = sorted((r.cell_id, list(r.cv)) for r in cent_rows)
-
-    def _py_norm(vec: list[float]) -> float:
-        # Same op sequence as dot(v, v) → sqrt: sequential fold of
-        # products, then IEEE sqrt — bit-identical to the engine.
-        acc = 0.0
-        for x in vec:
-            acc += x * x
-        return math.sqrt(acc)
-
-    # One literal codebook array; the cosine shows up ONCE, inside the
-    # transform lambda — not inlined per cell, which keeps the analyzed
-    # expression tree (and plan-construction time) small.
-    codebook = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cell_id"),
-                F.lit(cv).alias("cv"),
-                F.lit(_py_norm(cv)).alias("cnm"),
-            )
-            for cid, cv in cents
-        ]
-    )
-
-    def _cell_array(vec: Column, norm: Column) -> Column:
-        # array<struct<cos,cell_id>> in ascending cell_id order.
-        return F.transform(
-            codebook,
-            lambda s: F.struct(
-                (dot(vec, s["cv"]) / (norm * s["cnm"])).alias("cos"),
-                s["cell_id"].alias("cell_id"),
-            ),
-        )
-
-    # Map-side argmax: strict > keeps the FIRST max in ascending
-    # cell_id order — same tie-break as the former desc-cos/asc-cell
-    # window, with no shuffle.
-    def _argmax_cell(vec: Column, norm: Column) -> Column:
-        return F.aggregate(
-            _cell_array(vec, norm),
-            F.struct(
-                F.lit(float("-inf")).alias("cos"), F.lit(-1).alias("cell_id")
-            ),
-            lambda acc, x: F.when(x["cos"] > acc["cos"], x).otherwise(acc),
-        )["cell_id"]
+    codebook = _codebook_literal(cents)
 
     assigned = c.withColumn(
-        "cell_id", _argmax_cell(F.col("c_vec"), F.col("c_norm"))
+        "cell_id", _argmax_cell(codebook, F.col("c_vec"), F.col("c_norm"))
     )
     q = with_norm(queries, vec_col, "q_norm").select(
         F.col(query_id_col), F.col(vec_col).alias("q_vec"), F.col("q_norm")
@@ -184,7 +198,7 @@ def ivf_topk(
     # cos, asc cell_id — the former window's order), slice n_probe,
     # explode.
     probe_sorted = F.array_sort(
-        _cell_array(F.col("q_vec"), F.col("q_norm")),
+        _cell_cosine_array(codebook, F.col("q_vec"), F.col("q_norm")),
         lambda a, b: F.when(a["cos"] > b["cos"], F.lit(-1))
         .when(a["cos"] < b["cos"], F.lit(1))
         .when(a["cell_id"] < b["cell_id"], F.lit(-1))
@@ -282,8 +296,6 @@ def kmeans_centroids(
     callers hand it to :func:`ivf_topk` via ``spark.createDataFrame``.
     """
     spark = corpus.sparkSession
-    from pyspark.sql import Window
-
     p = float(10**round_digits)
     v = corpus.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
@@ -306,21 +318,40 @@ def kmeans_centroids(
     cents: list[tuple[int, list[float]]] = [
         (r.cell_id, list(r.v)) for r in init
     ]
+    # The only shuffle per iteration is the (cell, dim)-keyed mean —
+    # model-bounded cardinality (n_cells × dim groups), so scope the
+    # shuffle width down for the training loop instead of paying
+    # n_iter × full-width task scheduling on a few hundred groups. The
+    # result is partitioning-invariant (pytest-pinned), this only
+    # trims per-iteration overhead.
+    conf_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        cents = _lloyd_iterations(v, cents, n_iter, p)
+    finally:
+        spark.conf.set(conf_key, prev_parts)
+    v.unpersist()
+    return cents
+
+
+def _lloyd_iterations(
+    v: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    n_iter: int,
+    p: float,
+) -> list[tuple[int, list[float]]]:
     for _ in range(n_iter):
-        # Model → DataFrame → broadcast: one Arrow batch instead of
-        # n_cells × dim py4j literal calls (measured: literals cost
-        # ~10 s/iteration in plan construction alone).
-        cent_df = spark.createDataFrame(
-            [(cid, vec) for cid, vec in cents], "cell_id int, cv array<double>"
-        ).withColumn("cnm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
-        ex = v.crossJoin(F.broadcast(cent_df))
-        cos = dot(F.col("v"), F.col("cv")) / (F.col("nm") * F.col("cnm"))
-        w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cell_id"))
-        assigned = (
-            ex.withColumn("cos", cos)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("cell_id"), F.col("v"))
+        # Map-side assignment over the literal codebook (shared with
+        # ivf_topk): per-row argmax, NO cross-join and NO per-iteration
+        # shuffle of the training vectors — the only shuffle left in an
+        # iteration is the (cell, dim)-keyed mean aggregate, whose
+        # cardinality is the model size, not the data size.
+        assigned = v.select(
+            _argmax_cell(
+                _codebook_literal(cents), F.col("v"), F.col("nm")
+            ).alias("cell_id"),
+            F.col("v"),
         )
         means = (
             assigned.select(F.col("cell_id"), F.posexplode(F.col("v")))
@@ -344,7 +375,6 @@ def kmeans_centroids(
             ((r.cell_id, list(r.cv)) for r in means.collect()),
             key=lambda t: t[0],
         )
-    v.unpersist()
     return cents
 
 
