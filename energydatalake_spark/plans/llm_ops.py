@@ -1366,7 +1366,187 @@ FROM p
 SQL_CORPUS_PREP_FULL = _sql_corpus_prep_full()
 
 
+# ------------------------------------------- repetition / contamination / mix
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-class repetition quality signals per document (duplicate
+    words / most-frequent-word fraction / duplicate 3-grams) — pure
+    map-side higher-order folds, zero shuffle (text/stats.py
+    ``repetition_stats``)."""
+    from energydatalake_spark.text.stats import repetition_stats
+
+    return repetition_stats(read_table(spark, sf_dir, "documents"))
+
+
+SQL_DOC_REPETITION = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), w AS (
+  SELECT doc_id, unnest(ws) AS tok FROM d
+), cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top FROM cnt GROUP BY 1
+), base AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS nt,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS nd,
+         CASE WHEN len(ws) >= 3
+              THEN list_transform(generate_series(1, len(ws) - 2),
+                                  i -> array_to_string(ws[i:i+2], ' '))
+              ELSE [] END AS grams
+  FROM d
+), g AS (
+  SELECT doc_id, nt, nd,
+         CAST(len(grams) AS BIGINT) AS ng,
+         CAST(len(list_distinct(grams)) AS BIGINT) AS ngd
+  FROM base
+)
+SELECT g.doc_id,
+       g.nt AS n_words,
+       g.nd AS n_distinct_words,
+       top.top AS top_word_count,
+       (g.nt - g.nd) / CAST(g.nt AS DOUBLE) AS dup_word_frac,
+       top.top / CAST(g.nt AS DOUBLE) AS top_word_frac,
+       CASE WHEN g.ng > 0 THEN (g.ng - g.ngd) / CAST(g.ng AS DOUBLE)
+            ELSE 0.0 END AS dup_ngram_frac
+FROM g JOIN top USING (doc_id)
+"""
+
+
+#: Pseudo-benchmark designation: the deterministic 1/16 hash-sample of
+#: documents stands in for a held-out eval suite. In production the
+#: benchmark side is the real test sets — a few MB, always
+#: broadcastable.
+CONTAM_BENCH_MOD = 16
+CONTAM_NGRAM = 5
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥1 exact
+    word 5-gram with any pseudo-benchmark document, with the shared
+    shingle count per (doc, bench) pair. Scale shape: distinct shingles
+    explode per side, join on the 60-bit portable shingle hash with the
+    benchmark side BROADCAST — the corpus never shuffles; cost is one
+    scan + a map-side hash join, the standard n-gram-overlap
+    decontamination pass (e.g. GPT-3 appendix C)."""
+    from energydatalake_spark.similarity.search import train_sample_predicate
+    from energydatalake_spark.text.stats import _hex15_to_long, shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    pred = train_sample_predicate(F.col("doc_id"), CONTAM_BENCH_MOD)
+    sh = F.explode(shingles("text", CONTAM_NGRAM))
+    bench = docs.filter(pred).select(
+        F.col("doc_id").alias("bench_id"), sh.alias("s")
+    )
+    corpus = docs.filter(~pred).select("doc_id", sh.alias("s"))
+    h = lambda d: d.withColumn("h", _hex15_to_long(F.md5("s"))).drop("s")  # noqa: E731
+    out = (
+        h(corpus)
+        .join(F.broadcast(h(bench)), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return out
+
+
+def _sql_contamination() -> str:
+    from energydatalake_spark.similarity.search import train_sample_sql
+
+    bench_pred = train_sample_sql("doc_id", CONTAM_BENCH_MOD)
+    n = CONTAM_NGRAM
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             generate_series(1, len(ws) - {n} + 1),
+             i -> array_to_string(ws[i:i+{n}-1], ' ')))) AS s
+    FROM d WHERE len(ws) >= {n}
+  )
+), bench AS (
+  SELECT doc_id AS bench_id, h FROM sh WHERE {bench_pred}
+), corp AS (
+  SELECT doc_id, h FROM sh WHERE NOT ({bench_pred})
+)
+SELECT corp.doc_id, bench.bench_id, COUNT(*) AS n_shared
+FROM corp JOIN bench USING (h)
+GROUP BY 1, 2
+"""
+
+
+#: Training-mix weights per language domain — up-sampling en 2.5x,
+#: down-sampling es to 0.25x, defaults at 1.0 — the standard
+#: domain-reweighting knob for corpus assembly.
+MIX_WEIGHTS = {"en": 2.5, "fr": 1.5, "es": 0.25}
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain re-mixing summary: every document emitted
+    floor(w) times plus a hash-fractional extra copy
+    (text/sampling.py ``weighted_upsample`` — map-side generator
+    explode, no shuffle), aggregated to per-domain realized counts and
+    an order-insensitive copy checksum."""
+    from energydatalake_spark.text.sampling import weighted_upsample
+
+    docs = read_table(spark, sf_dir, "documents")
+    up = weighted_upsample(docs, MIX_WEIGHTS, domain_col="lang", default=1.0)
+    return up.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.col("doc_id") * F.col("copy_idx"))
+        .cast("bigint")
+        .alias("checksum"),
+    )
+
+
+def _sql_corpus_mix() -> str:
+    from energydatalake_spark.text.sampling import N_BUCKETS, _sql_hash_bucket
+
+    def n_copies_sql(w: float) -> str:
+        base = int(w)
+        extra_cut = int(round((w - base) * N_BUCKETS))
+        return f"{base} + CASE WHEN bucket < {extra_cut} THEN 1 ELSE 0 END"
+
+    cases = " ".join(
+        f"WHEN '{dom}' THEN {n_copies_sql(w)}"
+        for dom, w in MIX_WEIGHTS.items()
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, {_sql_hash_bucket('doc_id', 'v1')} AS bucket
+  FROM documents
+), n AS (
+  SELECT doc_id, lang,
+         CASE lang {cases} ELSE {n_copies_sql(1.0)} END AS n
+  FROM b
+), e AS (
+  SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy_idx
+  FROM n WHERE n > 0
+)
+SELECT lang,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(doc_id * copy_idx) AS BIGINT) AS checksum
+FROM e GROUP BY lang
+"""
+
+
+SQL_CONTAMINATION = _sql_contamination()
+SQL_CORPUS_MIX = _sql_corpus_mix()
+
+
 LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
+    ("doc_repetition", q_doc_repetition, SQL_DOC_REPETITION,
+     "ext:repetition-quality"),
+    ("contamination", q_contamination, SQL_CONTAMINATION,
+     "ext:benchmark-decontamination"),
+    ("corpus_mix", q_corpus_mix, SQL_CORPUS_MIX, "ext:domain-mix-upsample"),
     ("text_stats", q_text_stats, SQL_TEXT_STATS, "ext:text-stats"),
     ("token_count", q_token_count, SQL_TOKEN_COUNT, "ext:token-count"),
     ("dedup_embedding", q_dedup_embedding, SQL_DEDUP_EMBEDDING, "ext:dedup-embedding"),

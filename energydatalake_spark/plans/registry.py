@@ -1578,9 +1578,15 @@ _DRIVER_WINDOW_FIRST = [
     "sessionize",
     "streaming_enrich",
     "streaming_asof",
+    "doc_repetition",
+    "contamination",
+    "corpus_mix",
 ]
 
 _DRIVER_WINDOW_PARKED = [
+    "multikey_avg",
+    "band_join",
+    "outer_join",
     "mix_percentage",
     "decimal_cast",
     "timestamp_parse",

@@ -168,3 +168,41 @@ def pack_chunks(
         "shard",
         bin_id.cast("bigint").alias("bin_id"),
     )
+
+
+def weighted_upsample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "lang",
+    default: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Domain mixing with weights ≥ 0, including UP-sampling (the
+    "high-quality source × 3" training-mix knob stratified_sample's
+    filter cannot express): every row is emitted ``floor(w)`` times
+    plus one more with probability ``frac(w)`` by deterministic hash —
+    so the realized mix is exact in expectation and reproducible
+    row-for-row. Emission is a map-side ``explode(sequence(...))``
+    (generator, no shuffle); ``copy_idx`` distinguishes the copies so a
+    downstream global shuffle can interleave them."""
+    if any(w < 0 for w in weights.values()) or default < 0:
+        raise ValueError("upsample weights must be >= 0")
+    bucket = _hash_bucket(F.col(id_col), salt)
+
+    def n_copies(w: float) -> Column:
+        base = int(w)
+        extra_cut = int(round((w - base) * N_BUCKETS))
+        return F.lit(base) + (bucket < F.lit(extra_cut)).cast("int")
+
+    copies: Column = n_copies(default)
+    for domain, w in weights.items():
+        copies = F.when(F.col(domain_col) == domain, n_copies(w)).otherwise(
+            copies
+        )
+    return (
+        df.withColumn("__n", copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )

@@ -168,3 +168,65 @@ def fingerprints(
         F.md5(F.col(text_col)).alias("md5_fp"),
         min_shingle.cast("bigint").alias("min_shingle_fp"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Per-document repetition profile — the Gopher-class repetition
+    quality signals (duplicate-word fraction, most-frequent-word
+    fraction, duplicate n-gram fraction) used to drop boilerplate and
+    degenerate generations from LLM corpora.
+
+    Everything is a map-side higher-order-function fold over the token
+    array (split / array_sort / aggregate / transform) — per-row
+    codegen, zero shuffle, linear at any corpus size. The
+    most-frequent-word count is the longest run in the SORTED token
+    array, computed with one ``aggregate`` fold instead of an
+    explode + double-group (which would shuffle every token)."""
+    toks = tokens(text_col)
+    nt = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    run_state = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top = run_state["best"]
+    t = f"split({text_col}, ' ')"
+    grams = F.expr(
+        f"CASE WHEN size({t}) >= {ngram} THEN "
+        f"transform(sequence(1, size({t}) - {ngram} + 1),"
+        f" i -> concat_ws(' ', slice({t}, i, {ngram}))) "
+        f"ELSE array() END"
+    )
+    ng = F.size(grams)
+    ngd = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        nt.cast("bigint").alias("n_words"),
+        nd.cast("bigint").alias("n_distinct_words"),
+        top.cast("bigint").alias("top_word_count"),
+        # Divisions of identical integers — bit-exact cross-engine.
+        ((nt - nd) / nt).alias("dup_word_frac"),
+        (top / nt).alias("top_word_frac"),
+        F.when(ng > 0, (ng - ngd) / ng).otherwise(F.lit(0.0)).alias(
+            "dup_ngram_frac"
+        ),
+    )

@@ -156,3 +156,37 @@ def test_normalize_text_masks_and_collapses(spark):
     assert got[2] == "see <url> twice ok"
     assert got[3] == "call <num> ext 9"
     assert got[4] == "plain text"
+
+
+def test_weighted_upsample_mix(spark):
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.text.sampling import weighted_upsample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(200)],
+        "doc_id bigint, lang string",
+    )
+    up = weighted_upsample(df, {"en": 3.0, "zh": 0.5}, domain_col="lang")
+    by_lang = {
+        r.lang: r
+        for r in up.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("d"),
+            F.max("copy_idx").alias("mx"),
+        )
+        .collect()
+    }
+    # en: every doc exactly 3 copies (integer weight)
+    assert by_lang["en"].n == 300 and by_lang["en"].mx == 3
+    # zh: ~half the docs kept once, deterministic hash choice
+    assert 20 <= by_lang["zh"].n <= 80 and by_lang["zh"].mx == 1
+    # reproducible row-for-row
+    again = weighted_upsample(df, {"en": 3.0, "zh": 0.5}, domain_col="lang")
+    assert sorted(map(tuple, up.collect())) == sorted(map(tuple, again.collect()))
+    # zero weight drops the domain entirely
+    none = weighted_upsample(df, {"zh": 0.0}, domain_col="lang", default=0.0)
+    assert none.count() == 0
+    with pytest.raises(ValueError, match=">= 0"):
+        weighted_upsample(df, {"en": -1.0}, domain_col="lang")

@@ -159,3 +159,32 @@ def test_shingle_cache_release(spark, docs):
     released = release_shingle_cache(blocking=True)
     assert released >= 2 and not _SHINGLE_CACHE
     assert all(not c.is_cached for c in cached)
+
+
+def test_repetition_stats_known_values(spark):
+    from energydatalake_spark.text.stats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),            # all distinct
+            (2, "x x x x"),              # one word repeated 4x
+            (3, "a b a b a b a b"),      # ab-gram loop
+            (4, "q r"),                  # too short for 3-grams
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_distinct_words, r1.top_word_count) == (5, 5, 1)
+    assert r1.dup_word_frac == 0.0 and r1.dup_ngram_frac == 0.0
+    r2 = rows[2]
+    assert (r2.n_words, r2.n_distinct_words, r2.top_word_count) == (4, 1, 4)
+    assert r2.top_word_frac == 1.0
+    # "x x x" twice out of 2 grams -> all grams duplicate one another
+    assert r2.dup_ngram_frac == 0.5
+    r3 = rows[3]
+    assert r3.top_word_count == 4 and r3.dup_word_frac == 0.75
+    # grams: "a b a" x3, "b a b" x3 -> (6 - 2) / 6
+    assert abs(r3.dup_ngram_frac - 4 / 6) < 1e-12
+    r4 = rows[4]
+    assert r4.n_words == 2 and r4.dup_ngram_frac == 0.0
