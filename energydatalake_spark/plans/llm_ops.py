@@ -1541,12 +1541,59 @@ SQL_CONTAMINATION = _sql_contamination()
 SQL_CORPUS_MIX = _sql_corpus_mix()
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster formation — pairwise MinHash matches
+    (identical parameters to `minhash_pairs`) closed into connected
+    components by iterative min-label propagation
+    (operators/graph.py), every document labeled with its component's
+    min doc_id and the minimum member marked canonical: the actual
+    keep-one dedup decision a corpus build executes, not just the pair
+    list. The oracle replays the same closure as a recursive CTE over
+    the same pair SQL."""
+    from energydatalake_spark.operators.graph import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs(
+        docs, n=MH_N, bands=MH_BANDS, rows=MH_ROWS, threshold=MH_THRESHOLD
+    )
+    cc = connected_components(
+        pairs.select("id_a", "id_b"), nodes=docs, node_col="doc_id"
+    )
+    return cc.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("v")).alias("is_canonical"),
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_PAIRS}),
+edges AS (
+  SELECT id_a AS v, id_b AS u FROM pairs
+  UNION
+  SELECT id_b AS v, id_a AS u FROM pairs
+),
+reach AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents
+  UNION
+  SELECT e.v, reach.r FROM edges e JOIN reach ON reach.v = e.u
+)
+SELECT v AS doc_id,
+       MIN(r) AS cluster_id,
+       (MIN(r) = v) AS is_canonical
+FROM reach GROUP BY v
+"""
+
+
 LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("doc_repetition", q_doc_repetition, SQL_DOC_REPETITION,
      "ext:repetition-quality"),
     ("contamination", q_contamination, SQL_CONTAMINATION,
      "ext:benchmark-decontamination"),
     ("corpus_mix", q_corpus_mix, SQL_CORPUS_MIX, "ext:domain-mix-upsample"),
+    ("dedup_clusters", q_dedup_clusters, _sql_dedup_clusters(),
+     "ext:dedup-cluster-cc"),
     ("text_stats", q_text_stats, SQL_TEXT_STATS, "ext:text-stats"),
     ("token_count", q_token_count, SQL_TOKEN_COUNT, "ext:token-count"),
     ("dedup_embedding", q_dedup_embedding, SQL_DEDUP_EMBEDDING, "ext:dedup-embedding"),

@@ -1581,9 +1581,11 @@ _DRIVER_WINDOW_FIRST = [
     "doc_repetition",
     "contamination",
     "corpus_mix",
+    "dedup_clusters",
 ]
 
 _DRIVER_WINDOW_PARKED = [
+    "pearson_corr",
     "multikey_avg",
     "band_join",
     "outer_join",

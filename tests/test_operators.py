@@ -183,3 +183,39 @@ def test_pearson_corr_matches_numpy(spark):
         a = np.array(pairs)
         expect = float(np.corrcoef(a[:, 0], a[:, 1])[0, 1])
         assert math.isclose(got[flag], expect, abs_tol=1e-6), (flag, got[flag], expect)
+
+
+def test_connected_components_path_and_singletons(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id bigint"
+    )
+    got = {
+        r.v: r.label
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    # path 1-2-3-4 collapses to min id 1 (diameter > 1: needs real
+    # propagation, not a single neighbor hop); 10-11 to 10; singleton
+    # 99 labels itself
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+    # partitioning-invariant fixpoint
+    again = {
+        r.v: r.label
+        for r in connected_components(
+            edges.repartition(7), nodes=nodes.repartition(3)
+        ).collect()
+    }
+    assert again == got
+
+    # refusing to return a half-converged labeling
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(edges, nodes=nodes, max_iter=1)
