@@ -1541,6 +1541,85 @@ SQL_CONTAMINATION = _sql_contamination()
 SQL_CORPUS_MIX = _sql_corpus_mix()
 
 
+VOCAB_TOPK = 100
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word-frequency table, top-VOCAB_TOPK — the first
+    pass of tokenizer training (BPE/unigram start from exactly this
+    count table). Scale shape: token explode → ONE map-side-combined
+    groupBy (partial counts per partition, tiny merged state), then a
+    global top-k sort on the (vocab-sized, not corpus-sized)
+    aggregate. Ties break lexicographically so the row set is
+    engine-deterministic."""
+    from energydatalake_spark.text.stats import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.orderBy(F.desc("n"), F.asc("w")).limit(VOCAB_TOPK)
+
+
+SQL_VOCAB_TOPK = f"""
+SELECT w, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w
+ORDER BY n DESC, w
+LIMIT {VOCAB_TOPK}
+"""
+
+
+SHUFFLE_SHARDS = 16
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle summary (text/sampling.py
+    ``shuffle_shards``): per-shard row count, doc checksum, and the
+    position-weighted checksum that pins the WITHIN-shard permutation
+    — so the oracle verifies the full reproducible training order, not
+    just the shard split."""
+    from energydatalake_spark.text.sampling import shuffle_shards
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = shuffle_shards(docs, n_shards=SHUFFLE_SHARDS)
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("doc_checksum"),
+        F.sum(F.col("doc_id") * F.col("shard_pos"))
+        .cast("bigint")
+        .alias("order_checksum"),
+    )
+
+
+def _sql_shuffle_shards() -> str:
+    from energydatalake_spark.text.sampling import _sql_hash_key
+
+    key = _sql_hash_key("doc_id", "v1")
+    return f"""
+WITH k AS (
+  SELECT doc_id, {key} AS sort_key FROM documents
+), s AS (
+  SELECT doc_id, sort_key,
+         CAST(sort_key % {SHUFFLE_SHARDS} AS INTEGER) AS shard
+  FROM k
+), p AS (
+  SELECT doc_id, shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                 ORDER BY sort_key, doc_id) AS BIGINT)
+           AS shard_pos
+  FROM s
+)
+SELECT shard,
+       COUNT(*) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_checksum,
+       CAST(SUM(doc_id * shard_pos) AS BIGINT) AS order_checksum
+FROM p GROUP BY shard
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster formation — pairwise MinHash matches
     (identical parameters to `minhash_pairs`) closed into connected
@@ -1594,6 +1673,9 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("corpus_mix", q_corpus_mix, SQL_CORPUS_MIX, "ext:domain-mix-upsample"),
     ("dedup_clusters", q_dedup_clusters, _sql_dedup_clusters(),
      "ext:dedup-cluster-cc"),
+    ("vocab_topk", q_vocab_topk, SQL_VOCAB_TOPK, "ext:vocab-counts"),
+    ("shuffle_shards", q_shuffle_shards, _sql_shuffle_shards(),
+     "ext:global-shuffle"),
     ("text_stats", q_text_stats, SQL_TEXT_STATS, "ext:text-stats"),
     ("token_count", q_token_count, SQL_TOKEN_COUNT, "ext:token-count"),
     ("dedup_embedding", q_dedup_embedding, SQL_DEDUP_EMBEDDING, "ext:dedup-embedding"),

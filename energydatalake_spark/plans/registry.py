@@ -1582,9 +1582,13 @@ _DRIVER_WINDOW_FIRST = [
     "contamination",
     "corpus_mix",
     "dedup_clusters",
+    "vocab_topk",
+    "shuffle_shards",
 ]
 
 _DRIVER_WINDOW_PARKED = [
+    "quantiles",
+    "forecast_vs_actual",
     "pearson_corr",
     "multikey_avg",
     "band_join",

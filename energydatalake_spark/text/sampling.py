@@ -37,13 +37,18 @@ def _hash_bucket(id_col: Column, salt: str) -> Column:
     )
 
 
+def _sql_hash_key(id_expr: str, salt: str) -> str:
+    """DuckDB twin of the raw 60-bit (salt, id) hash key."""
+    return (
+        f"(('0x' || substr(md5('{salt}' || '|' || CAST({id_expr} AS VARCHAR)), 1, 15))"
+        f"::BIGINT)"
+    )
+
+
 def _sql_hash_bucket(id_expr: str, salt: str) -> str:
     """DuckDB twin of _hash_bucket (module-level so oracle generators
     stay in lockstep with the Spark expression)."""
-    return (
-        f"(('0x' || substr(md5('{salt}' || '|' || CAST({id_expr} AS VARCHAR)), 1, 15))"
-        f"::BIGINT % {N_BUCKETS})"
-    )
+    return f"({_sql_hash_key(id_expr, salt)} % {N_BUCKETS})"
 
 
 def hash_split(
@@ -205,4 +210,32 @@ def weighted_upsample(
         .filter(F.col("__n") > 0)
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__n")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: a portable
+    md5 sort key decorrelates row order from ingest order, ``shard``
+    (key mod n_shards) names the output file, and ``shard_pos`` is the
+    row's position within its shard — so a trainer reads shards in
+    order and sees a reproducible, ingest-independent permutation.
+    One range-free shuffle (the per-shard window); re-salting yields a
+    fresh epoch permutation without touching the data."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql import Window
+
+    key = _hex15_to_long(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        df.withColumn("sort_key", key)
+        .withColumn("shard", F.pmod(F.col("sort_key"), F.lit(n_shards)).cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
     )

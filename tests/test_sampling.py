@@ -190,3 +190,43 @@ def test_weighted_upsample_mix(spark):
     assert none.count() == 0
     with pytest.raises(ValueError, match=">= 0"):
         weighted_upsample(df, {"en": -1.0}, domain_col="lang")
+
+
+def test_shuffle_shards_deterministic_permutation(spark):
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.text.sampling import shuffle_shards
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id bigint"
+    )
+    a = shuffle_shards(df, n_shards=8).select(
+        "doc_id", "shard", "shard_pos"
+    )
+    b = shuffle_shards(df.repartition(11), n_shards=8).select(
+        "doc_id", "shard", "shard_pos"
+    )
+    ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    assert ra == rb  # partitioning-invariant permutation
+    # every shard position is a dense 1..n sequence
+    per_shard = (
+        a.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("shard_pos").alias("mx"))
+        .collect()
+    )
+    assert all(r.n == r.mx for r in per_shard)
+    assert sum(r.n for r in per_shard) == 500
+    # order decorrelates from doc_id: the first shard's sequence is not
+    # simply sorted by id
+    first = [
+        r.doc_id
+        for r in a.filter(F.col("shard") == 0)
+        .orderBy("shard_pos")
+        .collect()
+    ]
+    assert first != sorted(first)
+    # a new salt is a fresh epoch permutation
+    c = shuffle_shards(df, n_shards=8, salt="epoch2").select(
+        "doc_id", "shard", "shard_pos"
+    )
+    assert sorted(map(tuple, c.collect())) != ra
