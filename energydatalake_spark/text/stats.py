@@ -218,15 +218,32 @@ def repetition_stats(
     )
     ng = F.size(grams)
     ngd = F.size(F.array_distinct(grams))
-    return df.select(
+    # Two-stage projection: each fold/array expression is evaluated
+    # ONCE per row in the first select (referencing `top` in both the
+    # count and the fraction would otherwise run the whole sort+fold
+    # twice — measured 2x the query cost at sf0.1).
+    counts = df.select(
         F.col(id_col),
         nt.cast("bigint").alias("n_words"),
         nd.cast("bigint").alias("n_distinct_words"),
         top.cast("bigint").alias("top_word_count"),
+        ng.cast("bigint").alias("__ng"),
+        ngd.cast("bigint").alias("__ngd"),
+    )
+    return counts.select(
+        F.col(id_col),
+        "n_words",
+        "n_distinct_words",
+        "top_word_count",
         # Divisions of identical integers — bit-exact cross-engine.
-        ((nt - nd) / nt).alias("dup_word_frac"),
-        (top / nt).alias("top_word_frac"),
-        F.when(ng > 0, (ng - ngd) / ng).otherwise(F.lit(0.0)).alias(
-            "dup_ngram_frac"
-        ),
+        (
+            (F.col("n_words") - F.col("n_distinct_words")) / F.col("n_words")
+        ).alias("dup_word_frac"),
+        (F.col("top_word_count") / F.col("n_words")).alias("top_word_frac"),
+        F.when(
+            F.col("__ng") > 0,
+            (F.col("__ng") - F.col("__ngd")) / F.col("__ng"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_frac"),
     )
