@@ -47,14 +47,26 @@ def connected_components(
     )
     sym = sym.union(
         sym.select(F.col("u").alias("v"), F.col("v").alias("u"))
-    ).distinct()
-    if nodes is not None:
-        vertex = nodes.select(
-            F.col(node_col).cast("bigint").alias("v")
-        ).distinct()
-    else:
-        vertex = sym.select("v").distinct()
-    labels = vertex.select("v", F.col("v").alias("label")).persist()
+    ).distinct().persist()
+    # Iterate ONLY over edge-endpoint nodes: an isolated node's label
+    # never changes, and at corpus scale the duplicate graph is a tiny
+    # fraction of the vertex set — singletons join back self-labeled
+    # after convergence instead of riding every round's join.
+    # Materialize the symmetrized edge cache at the CALLER's shuffle
+    # width — edge generation is corpus-sized work (e.g. MinHash
+    # banding) and must not run under the narrowed loop conf below.
+    sym.count()
+    endpoint = sym.select("v").distinct()
+    labels = endpoint.select("v", F.col("v").alias("label")).persist()
+    # The iterated frames are duplicate-graph-sized, not corpus-sized —
+    # scope the shuffle width down for the loop so each round pays a
+    # handful of tasks, not a full-width stage per join/aggregate. (At
+    # genuinely large duplicate graphs, raise spark.sql.shuffle
+    # .partitions around the call; AQE coalesces either way.)
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
     # Labels are monotonically non-increasing under least(), so the
     # label-sum is stationary iff every label is — one cheap scalar
     # action per round instead of a changed-rows join.
@@ -91,12 +103,27 @@ def connected_components(
                 # must not accumulate executor storage across queries).
                 out = labels.localCheckpoint(eager=True)
                 labels.unpersist()
+                sym.unpersist()
+                if nodes is not None:
+                    singles = (
+                        nodes.select(
+                            F.col(node_col).cast("bigint").alias("v")
+                        )
+                        .distinct()
+                        .join(out, "v", "left_anti")
+                        .select("v", F.col("v").alias("label"))
+                    )
+                    out = out.union(singles)
                 return out
             prev_sum = new_sum
     except Exception:
         labels.unpersist()
+        sym.unpersist()
         raise
+    finally:
+        spark.conf.set(conf_key, prev_parts)
     labels.unpersist()
+    sym.unpersist()
     raise RuntimeError(
         f"connected_components: not converged after {max_iter} rounds — "
         f"component diameter exceeds the iteration budget; raise max_iter"
