@@ -57,7 +57,17 @@ def connected_components(
     # banding) and must not run under the narrowed loop conf below.
     sym.count()
     endpoint = sym.select("v").distinct()
-    labels = endpoint.select("v", F.col("v").alias("label")).persist()
+    # localCheckpoint (not persist) at EVERY step: each round's plan
+    # references `labels` twice (the neighbor-min join and the least
+    # join), so an uncut lineage DOUBLES per iteration — exponential
+    # plan growth that OOMs the driver around diameter ~20 (caught by
+    # the randomized union-find cross-check). Checkpointing truncates
+    # the plan to a materialized leaf each round; superseded checkpoint
+    # RDDs are unreferenced after reassignment and the ContextCleaner
+    # reclaims them.
+    labels = endpoint.select("v", F.col("v").alias("label")).localCheckpoint(
+        eager=True
+    )
     # The iterated frames are duplicate-graph-sized, not corpus-sized —
     # scope the shuffle width down for the loop so each round pays a
     # handful of tasks, not a full-width stage per join/aggregate. (At
@@ -91,18 +101,11 @@ def connected_components(
                         F.col("label"), F.coalesce("nbr_min", F.col("label"))
                     ).alias("label"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-            labels.unpersist()
             labels = new_labels
             if new_sum == prev_sum:
-                # Truncate the iterative lineage so downstream consumers
-                # re-read a materialized result, not the whole loop; the
-                # interim cache is then released (bench/correctness runs
-                # must not accumulate executor storage across queries).
-                out = labels.localCheckpoint(eager=True)
-                labels.unpersist()
                 sym.unpersist()
                 if nodes is not None:
                     singles = (
@@ -110,19 +113,17 @@ def connected_components(
                             F.col(node_col).cast("bigint").alias("v")
                         )
                         .distinct()
-                        .join(out, "v", "left_anti")
+                        .join(labels, "v", "left_anti")
                         .select("v", F.col("v").alias("label"))
                     )
-                    out = out.union(singles)
-                return out
+                    labels = labels.union(singles)
+                return labels
             prev_sum = new_sum
     except Exception:
-        labels.unpersist()
         sym.unpersist()
         raise
     finally:
         spark.conf.set(conf_key, prev_parts)
-    labels.unpersist()
     sym.unpersist()
     raise RuntimeError(
         f"connected_components: not converged after {max_iter} rounds — "

@@ -219,3 +219,42 @@ def test_connected_components_path_and_singletons(spark):
     # refusing to return a half-converged labeling
     with pytest.raises(RuntimeError, match="not converged"):
         connected_components(edges, nodes=nodes, max_iter=1)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized cross-check against a driver-side union-find on a
+    seeded graph with mixed component shapes (chains, cycles, stars,
+    singletons)."""
+    import random
+
+    from energydatalake_spark.operators.graph import connected_components
+
+    rng = random.Random(42)
+    n = 60
+    edge_list = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(55)
+    ] + [(i, i + 1) for i in range(50, 55)]  # guaranteed chain
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in edge_list:
+        parent[find(x)] = find(y)
+    # canonical label = min member id of each component
+    comp_min = {}
+    for v in range(n):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = {v: comp_min[find(v)] for v in range(n)}
+
+    edges = spark.createDataFrame(edge_list, "id_a bigint, id_b bigint")
+    nodes = spark.createDataFrame([(v,) for v in range(n)], "doc_id bigint")
+    got = {
+        r.v: r.label for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == expected
