@@ -1665,7 +1665,214 @@ FROM reach GROUP BY v
 """
 
 
+TFIDF_K = 5
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k salient terms by tf-idf
+    (text/relevance.py) — the keyword-extraction / relevance
+    primitive and the feature front-end of linear quality
+    classifiers. One token explode feeds both count tables (the tf
+    exchange is reused for the df aggregate); ranking is over the
+    1e-6-quantized score with lexicographic term tie-break, so the
+    row set is engine-deterministic."""
+    from energydatalake_spark.text.relevance import tfidf_topk
+
+    return tfidf_topk(read_table(spark, sf_dir, "documents"), k=TFIDF_K)
+
+
+SQL_TFIDF_TOPK = f"""
+WITH tf AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         FLOOR(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df)
+               * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank
+FROM ranked WHERE rank <= {TFIDF_K}
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM fluency scoring (text/relevance.py
+    ``bigram_lm_scores``) — every document's average token
+    log-probability under an add-one-smoothed bigram model trained on
+    the corpus itself: the deterministic stand-in for the
+    KenLM-perplexity filters of CCNet/Gopher-class pipelines.
+    Per-bigram log-probs are quantized to bigint micro-nats BEFORE
+    the per-doc sum, so the distributed reduction is
+    addition-order-independent and the value hash is portable."""
+    from energydatalake_spark.text.relevance import bigram_lm_scores
+
+    return bigram_lm_scores(read_table(spark, sf_dir, "documents"))
+
+
+SQL_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w2) AS vsz FROM bg),
+term AS (
+  SELECT bg.doc_id,
+         CAST(FLOOR(LN(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.vsz AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lp
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       FLOOR(CAST(SUM(lp) AS DOUBLE) / 1000000.0 / COUNT(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_logp
+FROM term GROUP BY doc_id
+"""
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space corpus clustering summary
+    (similarity/search.py ``assign_cells``): every vector
+    coarse-quantized to its nearest codebook cell by a map-side
+    argmax over plan-literal centroids (ZERO shuffles for
+    assignment — same machinery as IVF), then one vocab-sized
+    aggregate: member count, canonical (min-id) member, and the
+    average vector norm per cluster. The norm average sums
+    1e-6-quantized bigint micro-units, so it is
+    addition-order-independent. This is the corpus-topology profile
+    (cluster balance, outlier cells) that drives cluster-balanced
+    sampling of training data."""
+    from energydatalake_spark.similarity.search import assign_cells
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = assign_cells(emb, n_cells=IVF_CELLS)
+    nm_micro = F.floor(F.col("norm") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    per_cell = assigned.select(
+        "vec_id", "cell_id", nm_micro.alias("nm")
+    ).groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("canonical_vec_id"),
+        F.sum("nm").alias("nm_sum"),
+    )
+    return per_cell.select(
+        "cell_id",
+        "n_members",
+        "canonical_vec_id",
+        _r(
+            F.col("nm_sum") / F.lit(1e6) / F.col("n_members").cast("double"), 6
+        ).alias("avg_norm"),
+    )
+
+
+SQL_EMBEDDING_CLUSTERS = f"""
+WITH m AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cell_id, v AS cv, nm AS cnm FROM m WHERE vec_id < {IVF_CELLS}),
+assign AS (
+  SELECT vec_id, cell_id, nm FROM (
+    SELECT m.vec_id, cent.cell_id, m.nm,
+           ROW_NUMBER() OVER (
+             PARTITION BY m.vec_id
+             ORDER BY list_dot_product(m.v, cent.cv) / (m.nm * cent.cnm) DESC,
+                      cent.cell_id
+           ) AS rn
+    FROM m, cent
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id, cell_id,
+         CAST(FLOOR(nm * 1000000.0 + 0.5) AS BIGINT) AS nmq
+  FROM assign
+)
+SELECT CAST(cell_id AS INTEGER) AS cell_id,
+       COUNT(*) AS n_members,
+       MIN(vec_id) AS canonical_vec_id,
+       FLOOR(CAST(SUM(nmq) AS DOUBLE) / 1000000.0 / COUNT(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_norm
+FROM q GROUP BY cell_id
+"""
+
+
+OUTLIER_LO, OUTLIER_HI = 0.05, 0.95
+
+
+def q_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier trim: documents outside the corpus's exact
+    [p5, p95] character-length band, flagged by side — the
+    distribution-tail cleaning step (truncated boilerplate on the
+    short side, concatenation junk on the long side) that precedes
+    model-based quality filters. EXACT percentiles (sort-based, one
+    shuffle on nothing — a global aggregate), not a sketch: t-digest
+    bounds are merge-order-dependent and would break the value hash.
+    The bounds ride back in as a broadcast one-row aggregate and the
+    filter compares against the 1e-6-rounded bounds, which both
+    engines agree on (the raw interpolated double's last ulp does
+    not survive the rounding)."""
+    docs = read_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.percentile(
+            F.col("n_chars"), F.array(F.lit(OUTLIER_LO), F.lit(OUTLIER_HI))
+        ).alias("q")
+    ).select(
+        _r(F.element_at("q", 1), 6).alias("lo"),
+        _r(F.element_at("q", 2), 6).alias("hi"),
+    )
+    flagged = docs.join(F.broadcast(bounds)).filter(
+        (F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi"))
+    )
+    return flagged.select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("n_chars") < F.col("lo"), F.lit("short"))
+        .otherwise(F.lit("long"))
+        .alias("side"),
+        "lo",
+        "hi",
+    )
+
+
+SQL_DOC_OUTLIERS = f"""
+WITH b AS (
+  SELECT FLOOR(quantile_cont(n_chars, {OUTLIER_LO}) * 1000000.0 + 0.5)
+           / 1000000.0 AS lo,
+         FLOOR(quantile_cont(n_chars, {OUTLIER_HI}) * 1000000.0 + 0.5)
+           / 1000000.0 AS hi
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CASE WHEN n_chars < b.lo THEN 'short' ELSE 'long' END AS side,
+       b.lo, b.hi
+FROM documents CROSS JOIN b
+WHERE n_chars < b.lo OR n_chars > b.hi
+"""
+
+
 LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
+    ("tfidf_topk", q_tfidf_topk, SQL_TFIDF_TOPK, "ext:tfidf-keywords"),
+    ("lm_score", q_lm_score, SQL_LM_SCORE, "ext:bigram-lm-quality"),
+    ("embedding_clusters", q_embedding_clusters, SQL_EMBEDDING_CLUSTERS,
+     "ext:embedding-clustering"),
+    ("doc_outliers", q_doc_outliers, SQL_DOC_OUTLIERS, "ext:length-outlier-trim"),
     ("doc_repetition", q_doc_repetition, SQL_DOC_REPETITION,
      "ext:repetition-quality"),
     ("contamination", q_contamination, SQL_CONTAMINATION,

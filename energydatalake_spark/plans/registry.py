@@ -1584,9 +1584,20 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_clusters",
     "vocab_topk",
     "shuffle_shards",
+    "tfidf_topk",
+    "lm_score",
+    "embedding_clusters",
+    "doc_outliers",
 ]
 
 _DRIVER_WINDOW_PARKED = [
+    # Parked later in r6 to make room for the four new corpus ops —
+    # all four parked names are driver-green since r1/r2 and carry
+    # standing pytest + mirror coverage.
+    "skew_join",
+    "asof_join",
+    "text_stats",
+    "token_count",
     "quantiles",
     "forecast_vs_actual",
     "pearson_corr",

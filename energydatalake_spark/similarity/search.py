@@ -228,6 +228,45 @@ def ivf_topk(
     )
 
 
+def assign_cells(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Coarse-quantize every corpus vector to its nearest codebook
+    cell — the shared front half of IVF search and of embedding-space
+    corpus clustering (per-cluster stats, cluster-balanced sampling).
+    Returns (id_col, cell_id, norm).
+
+    ``centroids`` defaults to the first ``n_cells`` corpus vectors by
+    id (the same deterministic stand-in ``ivf_topk`` uses; pass
+    ``kmeans_centroids`` output for a trained codebook). The codebook
+    is model-sized and rides into the plan as literals, so assignment
+    is a pure map-side argmax fold — ZERO shuffles, the corpus is
+    never duplicated, and the op scales linearly to any corpus size.
+    """
+    c = with_norm(corpus, vec_col, "c_norm").select(
+        F.col(id_col), F.col(vec_col).alias("c_vec"), F.col("c_norm")
+    )
+    if centroids is None:
+        centroids = corpus.orderBy(F.col(id_col)).limit(n_cells)
+    cent_rows = centroids.select(
+        F.col(id_col).cast("int").alias("cell_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).collect()
+    if not cent_rows:
+        raise ValueError("assign_cells: empty centroid set")
+    cents = sorted((r.cell_id, list(r.cv)) for r in cent_rows)
+    codebook = _codebook_literal(cents)
+    return c.select(
+        F.col(id_col),
+        _argmax_cell(codebook, F.col("c_vec"), F.col("c_norm")).alias("cell_id"),
+        F.col("c_norm").alias("norm"),
+    )
+
+
 # Knuth multiplicative-hash constant. The training sample predicate is
 # deliberately plain 64-bit integer arithmetic (no engine hash builtin)
 # so the EXACT same row set is selected by Spark and by any ANSI-SQL

@@ -1,0 +1,161 @@
+"""Corpus relevance / fluency scoring for LLM-data pipelines
+(BASELINE.json north-star extension; the reference is pure energy
+telemetry and has no text tier — see SURVEY.md §2 extensions).
+
+Two corpus-statistics operators that sit beside ``text/stats.py``'s
+per-row signals:
+
+* :func:`tfidf_topk` — per-document top-k salient terms by tf-idf,
+  the classic keyword-extraction / relevance primitive (and the
+  feature front-end of linear quality classifiers).
+* :func:`bigram_lm_scores` — an add-one-smoothed corpus bigram
+  language model scoring every document by average token log-prob;
+  the deterministic stand-in for the KenLM-style perplexity filters
+  used by CCNet/Gopher-class cleaning pipelines.
+
+Scale shape (both): token/bigram explode → map-side-combined counts
+(vocab-sized aggregates, never corpus-sized state), count-table joins
+back onto the exploded stream on term keys (AQE broadcasts them while
+they fit, sort-merge beyond), one per-doc aggregate. No Python in the
+path; everything whole-stage-codegens.
+
+Cross-engine determinism: counts are integers; the single
+non-portable scalar op is ``ln`` — its result feeds a fixed-point
+``floor(x*1e6+0.5)`` quantization, so a last-ulp ``ln`` difference
+between engines only matters on an exact rounding boundary. Per-doc
+log-prob SUMS are taken over the *quantized* bigint micro-units, so
+they are addition-order-independent (double-sum order drift, the
+classic distributed-float trap, cannot occur). Rankings order by the
+quantized score with integer/lexicographic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from energydatalake_spark.text.stats import tokens
+
+
+def _r(col, n: int = 6):
+    # Portable rounding — same floor form both engines (registry.py).
+    p = 10**n
+    return F.floor(col * F.lit(float(p)) + F.lit(0.5)) / F.lit(float(p))
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` terms per document by tf-idf (idf = ln(N/df); ties
+    break on the rounded score then lexicographic term).
+
+    Plan: ONE token explode feeds both the (doc, term) tf aggregate
+    and, through it, the vocab-sized df aggregate — Spark reuses the
+    tf exchange for both branches (ReusedExchange), so the corpus is
+    scanned and shuffled once. N rides in as a broadcast one-row
+    aggregate, never a driver round-trip. The final top-k is a
+    per-doc window over the (already doc-partitioned) tf frame.
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # One row per (doc, term) ⇒ count(*) per term IS the doc frequency.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            _r(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def bigrams(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Explode each document into its (w1, w2) adjacent-token bigrams
+    (docs with <2 tokens contribute nothing). Pure codegen: a
+    slice/transform struct zip, no Python."""
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("t")
+    ).filter(F.size("t") >= 2)
+    pair = F.explode(
+        F.expr(
+            "transform(slice(t, 1, size(t) - 1), (w, i) -> "
+            "struct(w as w1, t[i + 1] as w2))"
+        )
+    ).alias("b")
+    return toks.select(F.col(id_col), pair).select(
+        id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document by its average bigram log-probability under
+    an add-one-smoothed corpus bigram model:
+
+        P(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V)
+
+    with V = |distinct continuation vocabulary|. Low scores flag
+    disfluent / out-of-distribution text — the perplexity-filter
+    primitive of CCNet-style cleaning, built from two count tables
+    instead of an external LM binary.
+
+    Docs with <2 tokens have no bigrams and are absent from the
+    output (a perplexity over zero events is undefined — callers
+    treat absence as "no signal", not "bad").
+
+    Determinism: per-bigram log-probs are quantized to bigint
+    micro-nats BEFORE the per-doc sum, so the reduction is
+    order-independent; c(w1) is derived from the bigram count table
+    (SUM over c2), which lets Spark reuse the c2 exchange instead of
+    re-aggregating the corpus.
+    """
+    bg = bigrams(docs, text_col, id_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vsz = bg.agg(F.countDistinct("w2").alias("vsz"))
+    lp_micro = F.floor(
+        F.log(
+            (F.col("c2") + F.lit(1)).cast("double")
+            / (F.col("c1") + F.col("vsz")).cast("double")
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    term = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(F.broadcast(vsz))
+        .select(F.col(id_col), lp_micro.alias("lp"))
+    )
+    per_doc = term.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp").alias("lp_sum")
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        _r(
+            F.col("lp_sum") / F.lit(1e6) / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("avg_logp"),
+    )

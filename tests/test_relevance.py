@@ -1,0 +1,144 @@
+"""Known-answer tests for text/relevance.py (tf-idf, bigram LM) and
+the embedding cluster-assignment / length-outlier operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from energydatalake_spark.text.relevance import bigram_lm_scores, bigrams, tfidf_topk
+
+
+def _r6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a a b"),
+        (2, "a c"),
+        (3, "b b c c"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_tfidf_known(spark, docs):
+    out = tfidf_topk(docs, k=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # df: a→2 docs, b→2, c→2; N=3 ⇒ idf = ln(3/2) for every term.
+    idf = math.log(3 / 2)
+    d1 = {r.term: r for r in by_doc[1]}
+    assert d1["a"].tf == 2 and d1["a"].df == 2
+    assert d1["a"].tfidf == _r6(2 * idf)
+    assert d1["b"].tfidf == _r6(1 * idf)
+    # rank: higher score first, term asc on ties
+    assert [r.term for r in sorted(by_doc[1], key=lambda r: r.rank)] == ["a", "b"]
+    d3 = {r.term: r for r in by_doc[3]}
+    assert d3["b"].tf == 2 and d3["c"].tf == 2
+    # equal scores → lexicographic term order
+    assert [r.term for r in sorted(by_doc[3], key=lambda r: r.rank)] == ["b", "c"]
+
+
+def test_tfidf_k_cap(spark, docs):
+    out = tfidf_topk(docs, k=1).collect()
+    assert {r.doc_id: r.term for r in out} == {1: "a", 2: "a", 3: "b"}
+    assert all(r.rank == 1 for r in out)
+
+
+def test_bigrams_explode(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "x"), (3, "p q")], "doc_id bigint, text string"
+    )
+    got = {(r.doc_id, r.w1, r.w2) for r in bigrams(df).collect()}
+    # doc 2 has one token → no bigrams
+    assert got == {(1, "a", "b"), (1, "b", "c"), (3, "p", "q")}
+
+
+def test_bigram_lm_known(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "x")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    # bigrams: d1 (a,b)(b,a)(a,b), d2 (b,a); c2[(a,b)]=2, c2[(b,a)]=2,
+    # c1[a]=2, c1[b]=2, V=|{a,b}|=2 ⇒ every P = (2+1)/(2+2)=0.75.
+    lp = math.floor(math.log(0.75) * 1e6 + 0.5)  # quantized micro-nats
+    assert 3 not in out  # single-token doc has no bigrams
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_logp == _r6(3 * lp / 1e6 / 3)
+    assert out[2].n_bigrams == 1
+    assert out[2].avg_logp == _r6(lp / 1e6 / 1)
+
+
+def test_bigram_lm_flags_disfluent(spark):
+    """A shuffled/disfluent doc scores below a doc made of corpus-
+    frequent transitions."""
+    rows = [(i, "the cat sat on the mat") for i in range(1, 9)]
+    rows.append((9, "mat the on sat cat the"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.avg_logp for r in bigram_lm_scores(df).collect()}
+    assert out[9] < out[1]
+
+
+def test_assign_cells_matches_bruteforce(spark):
+    import numpy as np
+
+    from energydatalake_spark.similarity.search import assign_cells
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r.vec_id: r.cell_id for r in assign_cells(df, n_cells=4).collect()}
+    v64 = vecs.astype("float64")
+    cents = v64[:4]
+    for i in range(40):
+        cos = (cents @ v64[i]) / (
+            np.linalg.norm(cents, axis=1) * np.linalg.norm(v64[i])
+        )
+        assert got[i] == int(np.argmax(cos)), f"vec {i}"
+
+
+def test_assign_cells_no_shuffle(spark):
+    """Assignment must stay map-side: no Exchange in the plan."""
+    from energydatalake_spark.similarity.search import assign_cells
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id bigint, embedding array<float>",
+    )
+    plan = (
+        assign_cells(df, n_cells=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_doc_outliers_band(spark, tmp_path):
+    """Rows outside the exact [p5, p95] n_chars band flag by side."""
+    import numpy as np
+
+    from energydatalake_spark.plans.llm_ops import q_doc_outliers
+
+    # Write a miniature documents table; lengths 10..109 (100 rows).
+    rows = [(i, "x" * (10 + i), "en", "web", 10 + i) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = q_doc_outliers(spark, str(tmp_path)).collect()
+    lens = np.array([10 + i for i in range(100)], dtype="float64")
+    lo = math.floor(np.percentile(lens, 5) * 1e6 + 0.5) / 1e6
+    hi = math.floor(np.percentile(lens, 95) * 1e6 + 0.5) / 1e6
+    expect = {
+        (int(n), "short" if n < lo else "long")
+        for n in lens
+        if n < lo or n > hi
+    }
+    assert {(r.n_chars, r.side) for r in out} == expect
+    assert all(r.lo == lo and r.hi == hi for r in out)
