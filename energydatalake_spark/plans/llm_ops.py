@@ -1867,8 +1867,255 @@ WHERE n_chars < b.lo OR n_chars > b.hi
 """
 
 
+def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) dataset-card rollup — doc counts, token and
+    char totals, corpus share, and average quality — the aggregate
+    view that drives sampling-mix decisions and is published beside a
+    released corpus. ONE scan: per-row stats pass source/lang through
+    (``text_stats(keep_cols=...)``, no doc_id re-join), then one
+    map-side-combined group aggregate; the corpus total rides back in
+    as a broadcast one-row count. Per-row quality doubles are
+    quantized to bigint micro-units before the group sum, so the
+    reduction is addition-order-independent."""
+    from energydatalake_spark.text.stats import text_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    st = text_stats(docs, keep_cols=("source", "lang"))
+    q_micro = F.floor(
+        F.col("quality_score") * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    grouped = (
+        st.select("source", "lang", "n_tokens", "n_chars", q_micro.alias("qm"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("qm").alias("q_sum"),
+        )
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("corpus_docs"))
+    return grouped.join(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        _r(
+            F.col("q_sum") / F.lit(1e6) / F.col("n_docs").cast("double"), 6
+        ).alias("avg_quality"),
+        _r(
+            F.col("n_docs").cast("double")
+            / F.col("corpus_docs")
+            * F.lit(100.0),
+            6,
+        ).alias("pct_docs"),
+    )
+
+
+SQL_SOURCE_PROFILE = f"""
+WITH t AS (
+  SELECT doc_id, source, lang, text,
+         string_split(text, ' ') AS toks, length(text) AS nc
+  FROM documents
+), m AS (
+  SELECT source, lang, nc,
+         len(toks) AS nt,
+         len(list_distinct(toks)) AS nu,
+         len(list_filter(toks, x -> x IN ({_sql_in_list(STOPWORDS["en"])}))) AS nstop,
+         nc - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS npunct
+  FROM t
+), q AS (
+  SELECT source, lang, nc, nt,
+         CAST(FLOOR((
+             least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.25
+           + (1 - CAST(npunct AS DOUBLE) / nc) * 0.25
+           + (CAST(nu AS DOUBLE) / nt) * 0.25
+           + least((CAST(nstop AS DOUBLE) / nt) * 10.0, 1.0) * 0.25
+         ) * 1000000.0 + 0.5) AS BIGINT) AS qm
+  FROM m
+), total AS (SELECT COUNT(*) AS corpus_docs FROM documents)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       CAST(SUM(nc) AS BIGINT) AS total_chars,
+       FLOOR(CAST(SUM(qm) AS DOUBLE) / 1000000.0 / COUNT(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_quality,
+       FLOOR(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(corpus_docs) * 100.0
+             * 1000000.0 + 0.5) / 1000000.0 AS pct_docs
+FROM q CROSS JOIN total
+GROUP BY source, lang
+"""
+
+
+INCR_MOD = 5  # doc_id % INCR_MOD == 0 plays the incoming batch
+
+
+def q_corpus_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion — the production loop of a living
+    corpus: an incoming batch (deterministically, every INCR_MOD-th
+    doc) is admitted against the existing corpus with exact-dup
+    rejection first (md5 join), then near-dup rejection (MinHash LSH
+    pairs crossing the batch/corpus boundary, same parameters as
+    `minhash_pairs`), else accepted. Every batch doc gets a verdict
+    and the minimum matching corpus doc_id (null when accepted).
+
+    Scale shape: the exact tier is one hash equi-join; the near-dup
+    tier reuses the banded-LSH candidate generation (never
+    all-pairs). At production scale the existing corpus's signatures
+    and band buckets are a persisted index appended per batch, not
+    recomputed — the plan here recomputes them because the oracle
+    replays one self-contained expression; the operator surface
+    (`text/dedup.py minhash_pairs`) is the same either way."""
+    docs = read_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % INCR_MOD == 0
+    new_h = docs.filter(is_new).select("doc_id", F.md5("text").alias("h"))
+    old_h = docs.filter(~is_new).select(
+        F.col("doc_id").alias("old_id"), F.md5("text").alias("h")
+    )
+    exact = new_h.join(old_h, "h").groupBy("doc_id").agg(
+        F.min("old_id").alias("exact_id")
+    )
+    pairs = minhash_pairs(
+        docs, n=MH_N, bands=MH_BANDS, rows=MH_ROWS, threshold=MH_THRESHOLD
+    )
+    a_new = F.col("id_a") % INCR_MOD == 0
+    b_new = F.col("id_b") % INCR_MOD == 0
+    near = (
+        pairs.filter(a_new != b_new)
+        .select(
+            F.when(a_new, F.col("id_a")).otherwise(F.col("id_b")).alias("doc_id"),
+            F.when(a_new, F.col("id_b")).otherwise(F.col("id_a")).alias("old_id"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("near_id"))
+    )
+    batch = docs.filter(is_new).select("doc_id")
+    return (
+        batch.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+            .when(F.col("near_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("accept"))
+            .alias("verdict"),
+            F.coalesce("exact_id", "near_id").alias("matched_doc_id"),
+        )
+    )
+
+
+def _sql_corpus_increment() -> str:
+    return f"""
+WITH pairs AS ({SQL_MINHASH_PAIRS}),
+newdocs AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % {INCR_MOD} = 0
+),
+olddocs AS (
+  SELECT doc_id AS old_id, md5(text) AS h
+  FROM documents WHERE doc_id % {INCR_MOD} <> 0
+),
+exact AS (
+  SELECT n.doc_id, MIN(o.old_id) AS exact_id
+  FROM newdocs n JOIN olddocs o USING (h) GROUP BY n.doc_id
+),
+near AS (
+  SELECT CASE WHEN id_a % {INCR_MOD} = 0 THEN id_a ELSE id_b END AS doc_id,
+         MIN(CASE WHEN id_a % {INCR_MOD} = 0 THEN id_b ELSE id_a END) AS near_id
+  FROM pairs
+  WHERE (id_a % {INCR_MOD} = 0) <> (id_b % {INCR_MOD} = 0)
+  GROUP BY 1
+)
+SELECT n.doc_id,
+       CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+            WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+            ELSE 'accept' END AS verdict,
+       COALESCE(e.exact_id, nr.near_id) AS matched_doc_id
+FROM (SELECT doc_id FROM documents WHERE doc_id % {INCR_MOD} = 0) n
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN near nr USING (doc_id)
+"""
+
+
+BOILER_N, BOILER_DF = 3, 2  # 3-gram shingles; in >BOILER_DF docs = boilerplate
+
+
+def q_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-dominated document filter — the cross-document
+    repeated-phrase signal (headers, footers, licence blocks) that
+    intra-doc `doc_repetition` cannot see: each doc's distinct
+    word-3-gram shingles are scored by corpus doc-frequency, and the
+    doc is kept iff at most half its shingles are corpus-boilerplate
+    (df > BOILER_DF docs). The RefinedWeb/CCNet line-dedup analogue
+    for corpora without line structure.
+
+    Scale shape: shingles shuffle as md5-reduced 8-byte longs, never
+    strings; the df table is shingle-vocab-sized with map-side
+    partial counts; the keep decision is pure integer arithmetic
+    (2·n_boiler ≤ n_shingles), so no float threshold can drift
+    cross-engine. Docs with fewer than BOILER_N tokens have no
+    shingles and are absent (no signal ≠ bad)."""
+    from energydatalake_spark.text.stats import _hex15_to_long, shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles("text", BOILER_N)).alias("s")
+    ).select("doc_id", _hex15_to_long(F.md5(F.col("s"))).alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") > BOILER_DF, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_boiler",
+        _r(
+            F.col("n_boiler").cast("double") / F.col("n_shingles"), 6
+        ).alias("boiler_frac"),
+        (F.lit(2) * F.col("n_boiler") <= F.col("n_shingles")).alias("keep"),
+    )
+
+
+SQL_BOILERPLATE_FILTER = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(tk[i:i + {BOILER_N - 1}], ' ')),
+                         1, 15))::BIGINT AS sh
+  FROM t, UNNEST(range(1, len(tk) - {BOILER_N} + 2)) AS u(i)
+  WHERE len(tk) >= {BOILER_N}
+),
+dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df > {BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       FLOOR(CAST(SUM(CASE WHEN df > {BOILER_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS boiler_frac,
+       2 * SUM(CASE WHEN df > {BOILER_DF} THEN 1 ELSE 0 END) <= COUNT(*)
+         AS keep
+FROM sh JOIN dfreq USING (sh)
+GROUP BY doc_id
+"""
+
+
 LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("tfidf_topk", q_tfidf_topk, SQL_TFIDF_TOPK, "ext:tfidf-keywords"),
+    ("source_profile", q_source_profile, SQL_SOURCE_PROFILE,
+     "ext:dataset-card-rollup"),
+    ("corpus_increment", q_corpus_increment, _sql_corpus_increment(),
+     "ext:incremental-ingest-dedup"),
+    ("boilerplate_filter", q_boilerplate_filter, SQL_BOILERPLATE_FILTER,
+     "ext:boilerplate-phrase-filter"),
     ("lm_score", q_lm_score, SQL_LM_SCORE, "ext:bigram-lm-quality"),
     ("embedding_clusters", q_embedding_clusters, SQL_EMBEDDING_CLUSTERS,
      "ext:embedding-clustering"),

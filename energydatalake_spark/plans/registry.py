@@ -1588,16 +1588,22 @@ _DRIVER_WINDOW_FIRST = [
     "lm_score",
     "embedding_clusters",
     "doc_outliers",
+    "source_profile",
+    "corpus_increment",
+    "boilerplate_filter",
 ]
 
 _DRIVER_WINDOW_PARKED = [
-    # Parked later in r6 to make room for the four new corpus ops —
-    # all four parked names are driver-green since r1/r2 and carry
+    # Parked later in r6 to make room for the seven new corpus ops —
+    # every parked name is driver-green since r1/r2 and carries
     # standing pytest + mirror coverage.
     "skew_join",
     "asof_join",
     "text_stats",
     "token_count",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
     "quantiles",
     "forecast_vs_actual",
     "pearson_corr",

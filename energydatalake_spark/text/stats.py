@@ -33,10 +33,17 @@ def tokens(text_col: str | Column) -> Column:
     return F.split(col, " ")
 
 
-def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document stats: char/token counts, average token length,
     unique-token ratio, punctuation ratio, English-stopword ratio, and
-    a composite quality score in [0,1]."""
+    a composite quality score in [0,1]. ``keep_cols`` passes grouping
+    metadata (source, lang, …) through so downstream rollups don't
+    need a doc_id re-join back onto the input."""
     toks = tokens(text_col)
     n_chars = F.length(F.col(text_col))
     n_tokens = F.size(toks)
@@ -57,6 +64,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_chars.cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
         n_uniq.cast("bigint").alias("n_uniq_tokens"),

@@ -1,0 +1,105 @@
+"""Known-answer tests for the r6 corpus ops: per-source dataset-card
+rollup, incremental ingest dedup, and the boilerplate phrase filter."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from energydatalake_spark.plans.llm_ops import (
+    q_boilerplate_filter,
+    q_corpus_increment,
+    q_source_profile,
+)
+
+
+def _write_documents(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_source_profile_rollup(spark, tmp_path):
+    rows = [
+        (1, "the cat sat on the mat", "en", "web", 22),
+        (2, "the dog ran", "en", "web", 11),
+        (3, "le chat est la", "fr", "books", 14),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {(r.source, r.lang): r for r in q_source_profile(spark, sf).collect()}
+    web = out[("web", "en")]
+    assert web.n_docs == 2
+    assert web.total_tokens == 6 + 3
+    assert web.total_chars == 22 + 11
+    assert web.pct_docs == math.floor(2 / 3 * 100 * 1e6 + 0.5) / 1e6
+    books = out[("books", "fr")]
+    assert books.n_docs == 1 and books.pct_docs == math.floor(1 / 3 * 100 * 1e6 + 0.5) / 1e6
+    # avg_quality stays in the score's [0,1] range
+    assert 0.0 < web.avg_quality <= 1.0
+
+
+def test_corpus_increment_verdicts(spark, tmp_path):
+    base = "the cat sat on the mat and the dog ran around today"
+    rows = [
+        # existing corpus (doc_id % 5 != 0)
+        (1, base, "en", "web", len(base)),
+        (2, "completely different text with unrelated words here now", "en", "web", 55),
+        # incoming batch (doc_id % 5 == 0)
+        (5, base, "en", "web", len(base)),  # exact dup of 1
+        (10, base.replace("ran around", "walked home"), "en", "web", 50),  # near-dup of 1
+        (15, "nothing in common with anything else at all whatsoever", "en", "web", 54),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in q_corpus_increment(spark, sf).collect()}
+    assert set(out) == {5, 10, 15}
+    assert out[5].verdict == "exact" and out[5].matched_doc_id == 1
+    assert out[10].verdict == "near_dup" and out[10].matched_doc_id == 1
+    assert out[15].verdict == "accept" and out[15].matched_doc_id is None
+
+
+def test_corpus_increment_exact_beats_near(spark, tmp_path):
+    """A doc that is BOTH an exact dup and an LSH near-dup candidate
+    reports the exact verdict (precedence)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (5, base, "en", "web", len(base)),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in q_corpus_increment(spark, sf).collect()}
+    assert out[5].verdict == "exact" and out[5].matched_doc_id == 1
+
+
+def test_boilerplate_filter_known(spark, tmp_path):
+    # 'copyright all rights reserved' contributes shingles shared by
+    # 3+ docs → df > BOILER_DF(=2) → boilerplate.
+    boiler = "copyright all rights reserved"
+    rows = [
+        (1, f"unique words one {boiler}", "en", "web", 1),
+        (2, f"other tokens two {boiler}", "en", "web", 1),
+        (3, f"more stuff three {boiler}", "en", "web", 1),
+        (4, boiler, "en", "web", 1),  # pure boilerplate → keep = False
+        (5, "entirely fresh content with no repeats in it", "en", "web", 1),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in q_boilerplate_filter(spark, sf).collect()}
+    # doc 4: shingles = ('copyright all rights', 'all rights reserved'),
+    # each in all 4 docs → both boilerplate.
+    assert out[4].n_shingles == 2 and out[4].n_boiler == 2
+    assert out[4].keep is False
+    assert out[5].n_boiler == 0 and out[5].keep is True
+    # mixed docs keep: 5 shingles, 2 boilerplate → 2*2 <= 5
+    assert out[1].keep is True and out[1].n_boiler == 2
+
+
+def test_boilerplate_filter_short_docs_absent(spark, tmp_path):
+    rows = [
+        (1, "one two", "en", "web", 7),  # < 3 tokens → no shingles
+        (2, "alpha beta gamma delta", "en", "web", 22),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.doc_id for r in q_boilerplate_filter(spark, sf).collect()}
+    assert out == {2}
