@@ -56,7 +56,13 @@ def connected_components(
     # width — edge generation is corpus-sized work (e.g. MinHash
     # banding) and must not run under the narrowed loop conf below.
     sym.count()
-    endpoint = sym.select("v").distinct()
+    # Fused first round: with labels initialized to each node's own id,
+    # round 1's neighbor-min is just min(v, min(u)) — one aggregate over
+    # the symmetrized edges, no label join. Starting the loop from that
+    # state saves a full join+aggregate round every call (and for the
+    # dedup-graph common case of pairs/stars, it IS the fixpoint, so
+    # the loop's first iteration doubles as the convergence check).
+    #
     # localCheckpoint (not persist) at EVERY step: each round's plan
     # references `labels` twice (the neighbor-min join and the least
     # join), so an uncut lineage DOUBLES per iteration — exponential
@@ -65,8 +71,10 @@ def connected_components(
     # the plan to a materialized leaf each round; superseded checkpoint
     # RDDs are unreferenced after reassignment and the ContextCleaner
     # reclaims them.
-    labels = endpoint.select("v", F.col("v").alias("label")).localCheckpoint(
-        eager=True
+    labels = (
+        sym.groupBy("v")
+        .agg(F.least(F.col("v"), F.min("u")).alias("label"))
+        .localCheckpoint(eager=True)
     )
     # The iterated frames are duplicate-graph-sized, not corpus-sized —
     # scope the shuffle width down for the loop so each round pays a
