@@ -224,12 +224,15 @@ def repetition_stats(
         ),
     )
     top = run_state["best"]
-    t = f"split({text_col}, ' ')"
+    # Token array bound once per row (see shingles() — HOF lambdas have
+    # no cross-lambda subexpression elimination, so an inlined split
+    # would re-split the doc for every n-gram).
     grams = F.expr(
-        f"CASE WHEN size({t}) >= {ngram} THEN "
-        f"transform(sequence(1, size({t}) - {ngram} + 1),"
-        f" i -> concat_ws(' ', slice({t}, i, {ngram}))) "
-        f"ELSE array() END"
+        f"element_at(transform(array(split({text_col}, ' ')), tk -> "
+        f"CASE WHEN size(tk) >= {ngram} THEN "
+        f"transform(sequence(1, size(tk) - {ngram} + 1),"
+        f" i -> concat_ws(' ', slice(tk, i, {ngram}))) "
+        f"ELSE array() END), 1)"
     )
     ng = F.size(grams)
     ngd = F.size(F.array_distinct(grams))
