@@ -357,3 +357,103 @@ def test_normalize_text_output_is_clean(spark, docs):
         assert not re.search(r"[\x00-\x08\x0b\x0c\x0e-\x1f\t\n\r]", t)
         assert not re.search(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", t)
         assert out2[i] == t  # idempotent
+
+
+# ---------------------------------------------------------------- relevance
+
+WORD = st.sampled_from(["a", "b", "c", "dd", "eee"])
+DOC = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
+
+
+def _py_bigram_lm(texts):
+    """Pure-Python twin of bigram_lm_scores: add-one-smoothed corpus
+    bigram model, per-doc mean of micro-nat-quantized log-probs."""
+    import math
+    from collections import Counter
+
+    bg = {}
+    c2: Counter = Counter()
+    vocab = set()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        pairs = list(zip(toks, toks[1:])) if len(toks) >= 2 else []
+        bg[i] = pairs
+        c2.update(pairs)
+        vocab.update(w2 for _, w2 in pairs)
+    c1: Counter = Counter()
+    for (w1, _), n in c2.items():
+        c1[w1] += n
+    v = len(vocab)
+    out = {}
+    for i, pairs in bg.items():
+        if not pairs:
+            continue
+        lps = [
+            math.floor(math.log((c2[p] + 1) / (c1[p[0]] + v)) * 1e6 + 0.5)
+            for p in pairs
+        ]
+        out[i] = (
+            len(pairs),
+            math.floor(sum(lps) / 1e6 / len(pairs) * 1e6 + 0.5) / 1e6,
+        )
+    return out
+
+
+@given(st.lists(DOC, min_size=1, max_size=8))
+@_prop_settings
+def test_bigram_lm_matches_python_model(spark, texts):
+    from energydatalake_spark.text.relevance import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logp)
+        for r in bigram_lm_scores(df).collect()
+    }
+    assert got == _py_bigram_lm(texts)
+
+
+def _py_tfidf_topk(texts, k):
+    import math
+    from collections import Counter
+
+    tf = {i: Counter(t.split(" ")) for i, t in enumerate(texts)}
+    df_counts: Counter = Counter()
+    for c in tf.values():
+        df_counts.update(set(c))
+    n = len(texts)
+    out = {}
+    for i, c in tf.items():
+        scored = [
+            (
+                math.floor(cnt * math.log(n / df_counts[w]) * 1e6 + 0.5) / 1e6,
+                w,
+                cnt,
+            )
+            for w, cnt in c.items()
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        out[i] = [
+            (w, cnt, df_counts[w], s, r + 1)
+            for r, (s, w, cnt) in enumerate(scored[:k])
+        ]
+    return out
+
+
+@given(st.lists(DOC.filter(bool), min_size=1, max_size=8))
+@_prop_settings
+def test_tfidf_matches_python_model(spark, texts):
+    from energydatalake_spark.text.relevance import tfidf_topk
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {}
+    for r in tfidf_topk(df, k=3).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.term, r.tf, r.df, r.tfidf, r.rank)
+        )
+    for i in got:
+        got[i].sort(key=lambda x: x[4])
+    assert got == _py_tfidf_topk(texts, 3)
