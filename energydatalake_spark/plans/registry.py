@@ -1221,6 +1221,50 @@ _register("tz_convert", q_tz_convert, SQL_TZ_CONVERT, "P7")
 _register("normalize_names", q_normalize_names, SQL_NORMALIZE_NAMES, "P1")
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON extraction (§2.8 scalar-function tier —
+    the semi-structured column every event feed carries):
+    ``events.props`` parsed with an explicit ``from_json`` schema
+    (typed struct, whole-stage codegen, malformed rows → NULL instead
+    of a job failure), then one map-side-combined aggregate per event
+    type over the extracted field — counts, sum/min/max, and the
+    null-parse count that audits feed health. No Python, no UDF: the
+    JSON path stays JVM-side, and at 100 TB the parse cost is the
+    scan stage's CPU, never a shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k BIGINT").alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.sum(F.when(F.col("k").isNull(), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_null"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       MIN(k) AS k_min,
+       MAX(k) AS k_max,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+FROM p GROUP BY event_type
+"""
+
+
+_register("json_extract", q_json_extract, SQL_JSON_EXTRACT, "§2.8 json schema-on-read")
+
+
 # LLM-data-pipeline extension queries (imported late: llm_ops imports
 # helpers from this module).
 from energydatalake_spark.plans import llm_ops  # noqa: E402
@@ -1591,6 +1635,7 @@ _DRIVER_WINDOW_FIRST = [
     "source_profile",
     "corpus_increment",
     "boilerplate_filter",
+    "json_extract",
 ]
 
 _DRIVER_WINDOW_PARKED = [
@@ -1604,6 +1649,7 @@ _DRIVER_WINDOW_PARKED = [
     "lang_id",
     "doc_fingerprint",
     "dedup_exact",
+    "moving_avg",
     "quantiles",
     "forecast_vs_actual",
     "pearson_corr",

@@ -103,3 +103,26 @@ def test_boilerplate_filter_short_docs_absent(spark, tmp_path):
     sf = _write_documents(spark, tmp_path, rows)
     out = {r.doc_id for r in q_boilerplate_filter(spark, sf).collect()}
     assert out == {2}
+
+
+def test_json_extract_malformed_tolerant(spark, tmp_path):
+    """from_json yields NULL for malformed/missing fields instead of
+    failing the job; the null-parse count audits feed health."""
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.plans.registry import q_json_extract
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0, '{"k": 7}'),
+        (2, "2024-01-01 00:00:01", 1, "click", 1.0, "not json at all"),
+        (3, "2024-01-01 00:00:02", 1, "click", 1.0, '{"other": 1}'),
+        (4, "2024-01-01 00:00:03", 1, "view", 1.0, '{"k": 3}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in q_json_extract(spark, str(tmp_path)).collect()}
+    click = out["click"]
+    assert click.n_events == 3 and click.k_sum == 7 and click.n_null == 2
+    assert out["view"].k_sum == 3 and out["view"].n_null == 0
