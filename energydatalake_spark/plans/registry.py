@@ -1265,6 +1265,76 @@ FROM p GROUP BY event_type
 _register("json_extract", q_json_extract, SQL_JSON_EXTRACT, "§2.8 json schema-on-read")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the audit twin of S4's idempotent upsert: given
+    two versions of a table, classify every key as added / removed /
+    modified / unchanged, the CDC reconciliation every warehouse MERGE
+    implies but the reference never surfaces as a queryable op. The
+    two versions derive deterministically from the documents table
+    (v1 = doc_id % 7 != 0; v2 = doc_id % 5 != 0, with every
+    doc_id % 11 == 0 row's text amended), so the oracle replays the
+    identical derivation.
+
+    Scale shape: ONE full-outer join on the key with md5 content
+    hashes computed in the scan projection — the classic
+    sort-merge-join diff. Content comparison ships 16-byte hashes
+    through the shuffle, never the documents; per-class counts come
+    from the (tiny) classified frame."""
+    docs = read_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("h1")
+    )
+    v2 = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    )
+    classified = v1.join(v2, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+    return classified.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 7 <> 0
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h2
+  FROM documents WHERE doc_id % 5 <> 0
+),
+c AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN h1 <> h2 THEN 'modified'
+              ELSE 'unchanged' END AS change
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT change,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM c GROUP BY change
+"""
+
+
+_register("snapshot_diff", q_snapshot_diff, SQL_SNAPSHOT_DIFF, "S4-audit CDC diff")
+
+
 # LLM-data-pipeline extension queries (imported late: llm_ops imports
 # helpers from this module).
 from energydatalake_spark.plans import llm_ops  # noqa: E402
@@ -1636,6 +1706,7 @@ _DRIVER_WINDOW_FIRST = [
     "corpus_increment",
     "boilerplate_filter",
     "json_extract",
+    "snapshot_diff",
 ]
 
 _DRIVER_WINDOW_PARKED = [
@@ -1650,6 +1721,7 @@ _DRIVER_WINDOW_PARKED = [
     "doc_fingerprint",
     "dedup_exact",
     "moving_avg",
+    "cumulative_revenue",
     "quantiles",
     "forecast_vs_actual",
     "pearson_corr",

@@ -126,3 +126,27 @@ def test_json_extract_malformed_tolerant(spark, tmp_path):
     click = out["click"]
     assert click.n_events == 3 and click.k_sum == 7 and click.n_null == 2
     assert out["view"].k_sum == 3 and out["view"].n_null == 0
+
+
+def test_snapshot_diff_classes(spark, tmp_path):
+    """Every change class on a handcrafted id space:
+    id 35 (v1-only: %7==0 drops from... ) — derive expectations
+    directly from the derivation rules."""
+    rows = [(i, f"text number {i}", "en", "web", 10) for i in range(1, 80)]
+    sf = _write_documents(spark, tmp_path, rows)
+    from energydatalake_spark.plans.registry import q_snapshot_diff
+
+    out = {r.change: r for r in q_snapshot_diff(spark, sf).collect()}
+    ids = range(1, 80)
+    v1 = {i for i in ids if i % 7 != 0}
+    v2 = {i for i in ids if i % 5 != 0}
+    expect = {
+        "added": len(v2 - v1),
+        "removed": len(v1 - v2),
+        "modified": len({i for i in v1 & v2 if i % 11 == 0}),
+        "unchanged": len({i for i in v1 & v2 if i % 11 != 0}),
+    }
+    assert {k: v.n_docs for k, v in out.items()} == expect
+    assert out["modified"].first_doc_id == min(
+        i for i in v1 & v2 if i % 11 == 0
+    )
