@@ -457,3 +457,42 @@ def test_tfidf_matches_python_model(spark, texts):
     for i in got:
         got[i].sort(key=lambda x: x[4])
     assert got == _py_tfidf_topk(texts, 3)
+
+
+def _py_boilerplate(texts, n=3, df_max=2):
+    out = {}
+    sh = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        grams = {
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        } if len(toks) >= n else set()
+        if grams:
+            sh[i] = grams
+    from collections import Counter
+
+    dfc: Counter = Counter()
+    for grams in sh.values():
+        dfc.update(grams)
+    for i, grams in sh.items():
+        nb = sum(1 for g in grams if dfc[g] > df_max)
+        out[i] = (len(grams), nb, 2 * nb <= len(grams))
+    return out
+
+
+@given(st.lists(st.lists(WORD, min_size=0, max_size=8).map(" ".join), min_size=1, max_size=10))
+@_prop_settings
+def test_boilerplate_filter_matches_python_model(spark, tmp_path_factory, texts):
+    from energydatalake_spark.plans.llm_ops import BOILER_DF, BOILER_N, q_boilerplate_filter
+
+    tmp = tmp_path_factory.mktemp("bp")
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_shingles, r.n_boiler, r.keep)
+        for r in q_boilerplate_filter(spark, str(tmp)).collect()
+    }
+    assert got == _py_boilerplate(texts, n=BOILER_N, df_max=BOILER_DF)
