@@ -63,6 +63,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Files: pack many small files into tasks; split big ones at 128 MiB.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Runtime bloom-filter pushdown for selective joins (on by
+        # default in recent Spark; pinned explicitly because at 100 TB
+        # a fact-side scan pruned by a dimension filter is the
+        # difference between reading a partition and reading a table).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
