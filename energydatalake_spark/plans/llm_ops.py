@@ -50,31 +50,45 @@ def _sql_in_list(words) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
-SQL_TEXT_STATS = f"""
+#: The composite quality score as a SQL fragment over the m-CTE column
+#: names (nc/nt/nu/nstop/npunct) — the SINGLE source for every SQL
+#: twin that replays text_stats's Spark-side formula (text_stats,
+#: source_profile, and the corpus-prep compositions via SQL_TEXT_STATS).
+_SQL_QUALITY_EXPR = """least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.25
+         + (1 - CAST(npunct AS DOUBLE) / nc) * 0.25
+         + (CAST(nu AS DOUBLE) / nt) * 0.25
+         + least((CAST(nstop AS DOUBLE) / nt) * 10.0, 1.0) * 0.25"""
+
+
+def _sql_stats_m_cte(extra_cols: str = "doc_id") -> str:
+    """The tokenize-and-count m CTE shared by the text_stats twins."""
+    return f"""
 WITH t AS (
-  SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS nc
+  SELECT {extra_cols}, text, string_split(text, ' ') AS toks,
+         length(text) AS nc
   FROM documents
 ), m AS (
-  SELECT doc_id,
+  SELECT {extra_cols},
          nc,
          len(toks) AS nt,
          len(list_distinct(toks)) AS nu,
          len(list_filter(toks, x -> x IN ({_sql_in_list(STOPWORDS["en"])}))) AS nstop,
          nc - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS npunct
   FROM t
-)
+)"""
+
+
+SQL_TEXT_STATS = f"""
+{_sql_stats_m_cte()}
 SELECT doc_id,
        CAST(nc AS BIGINT) AS n_chars,
        CAST(nt AS BIGINT) AS n_tokens,
        CAST(nu AS BIGINT) AS n_uniq_tokens,
        CAST(nstop AS BIGINT) AS n_stopwords,
        CAST(nu AS DOUBLE) / nt AS uniq_ratio,
-       CAST(npunct AS DOUBLE) / nc AS punct_ratio,
+       CASE WHEN nc > 0 THEN CAST(npunct AS DOUBLE) / nc END AS punct_ratio,
        CAST(nstop AS DOUBLE) / nt AS stop_ratio,
-       least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.25
-         + (1 - CAST(npunct AS DOUBLE) / nc) * 0.25
-         + (CAST(nu AS DOUBLE) / nt) * 0.25
-         + least((CAST(nstop AS DOUBLE) / nt) * 10.0, 1.0) * 0.25 AS quality_score
+       CASE WHEN nc > 0 THEN {_SQL_QUALITY_EXPR} END AS quality_score
 FROM m
 """
 
@@ -1758,7 +1772,8 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6-quantized bigint micro-units, so it is
     addition-order-independent. This is the corpus-topology profile
     (cluster balance, outlier cells) that drives cluster-balanced
-    sampling of training data."""
+    sampling of training data. Zero-norm vectors are excluded in both
+    engines (no direction → no defined nearest cell)."""
     from energydatalake_spark.similarity.search import assign_cells
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1797,6 +1812,7 @@ assign AS (
                       cent.cell_id
            ) AS rn
     FROM m, cent
+    WHERE m.nm > 0
   ) WHERE rn = 1
 ),
 q AS (
@@ -1881,9 +1897,16 @@ def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     st = text_stats(docs, keep_cols=("source", "lang"))
-    q_micro = F.floor(
-        F.col("quality_score") * F.lit(1e6) + F.lit(0.5)
-    ).cast("bigint")
+    # Empty-text guard: n_chars = 0 makes punct_ratio 0/0 (NaN), which
+    # Spark's bigint cast would silently turn into 0 while DuckDB's
+    # raises — so an empty doc scores NULL in BOTH engines, is skipped
+    # by the sum, and the average divides by the scored count.
+    q_micro = F.when(
+        F.col("n_chars") > 0,
+        F.floor(F.col("quality_score") * F.lit(1e6) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
     grouped = (
         st.select("source", "lang", "n_tokens", "n_chars", q_micro.alias("qm"))
         .groupBy("source", "lang")
@@ -1892,6 +1915,7 @@ def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
             F.sum("qm").alias("q_sum"),
+            F.count("qm").alias("q_cnt"),
         )
     )
     total = docs.agg(F.count(F.lit(1)).alias("corpus_docs"))
@@ -1901,8 +1925,12 @@ def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "total_tokens",
         "total_chars",
-        _r(
-            F.col("q_sum") / F.lit(1e6) / F.col("n_docs").cast("double"), 6
+        F.when(
+            F.col("q_cnt") > 0,
+            _r(
+                F.col("q_sum") / F.lit(1e6) / F.col("q_cnt").cast("double"),
+                6,
+            ),
         ).alias("avg_quality"),
         _r(
             F.col("n_docs").cast("double")
@@ -1914,33 +1942,21 @@ def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SOURCE_PROFILE = f"""
-WITH t AS (
-  SELECT doc_id, source, lang, text,
-         string_split(text, ' ') AS toks, length(text) AS nc
-  FROM documents
-), m AS (
-  SELECT source, lang, nc,
-         len(toks) AS nt,
-         len(list_distinct(toks)) AS nu,
-         len(list_filter(toks, x -> x IN ({_sql_in_list(STOPWORDS["en"])}))) AS nstop,
-         nc - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS npunct
-  FROM t
-), q AS (
+{_sql_stats_m_cte("doc_id, source, lang")}, q AS (
   SELECT source, lang, nc, nt,
-         CAST(FLOOR((
-             least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.25
-           + (1 - CAST(npunct AS DOUBLE) / nc) * 0.25
-           + (CAST(nu AS DOUBLE) / nt) * 0.25
-           + least((CAST(nstop AS DOUBLE) / nt) * 10.0, 1.0) * 0.25
-         ) * 1000000.0 + 0.5) AS BIGINT) AS qm
+         CASE WHEN nc > 0 THEN
+           CAST(FLOOR(({_SQL_QUALITY_EXPR}) * 1000000.0 + 0.5) AS BIGINT)
+         END AS qm
   FROM m
 ), total AS (SELECT COUNT(*) AS corpus_docs FROM documents)
 SELECT source, lang,
        COUNT(*) AS n_docs,
        CAST(SUM(nt) AS BIGINT) AS total_tokens,
        CAST(SUM(nc) AS BIGINT) AS total_chars,
-       FLOOR(CAST(SUM(qm) AS DOUBLE) / 1000000.0 / COUNT(*)
-             * 1000000.0 + 0.5) / 1000000.0 AS avg_quality,
+       CASE WHEN COUNT(qm) > 0 THEN
+         FLOOR(CAST(SUM(qm) AS DOUBLE) / 1000000.0 / COUNT(qm)
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS avg_quality,
        FLOOR(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(corpus_docs) * 100.0
              * 1000000.0 + 0.5) / 1000000.0 AS pct_docs
 FROM q CROSS JOIN total

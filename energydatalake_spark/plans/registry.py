@@ -33,6 +33,7 @@ from energydatalake_spark.operators.band import band_join
 from energydatalake_spark.operators.clean import dedup, null_profile
 from energydatalake_spark.operators.setops import union_all
 from energydatalake_spark.operators.topk import top_k_per_group
+from energydatalake_spark.portable import portable_round
 
 
 @dataclass(frozen=True)
@@ -49,8 +50,7 @@ class Query:
 
 def _r(col: Column, n: int) -> Column:
     """Cross-engine-stable rounding (see module docstring)."""
-    p = float(10**n)
-    return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
+    return portable_round(col, n)
 
 
 def _dsum(col: Column, precision: int = 25, scale: int = 8) -> Column:
@@ -1249,7 +1249,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JSON_EXTRACT = """
 WITH p AS (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS k
   FROM events
 )
 SELECT event_type,

@@ -173,20 +173,9 @@ def ivf_topk(
     c = with_norm(corpus, vec_col, "c_norm").select(
         F.col(id_col), F.col(vec_col).alias("c_vec"), F.col("c_norm")
     )
-    if centroids is None:
-        # First n_cells vectors by id — deterministic for ANY id space
-        # (dense, sparse, hashed), not just 0-based.
-        centroids = corpus.orderBy(F.col(id_col)).limit(n_cells)
-    # Model-sized collect (bounded by n_cells): the codebook becomes
-    # plan literals, like any broadcast model.
-    cent_rows = centroids.select(
-        F.col(id_col).cast("int").alias("cell_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).collect()
-    if not cent_rows:
-        raise ValueError("ivf_topk: empty centroid set")
-    cents = sorted((r.cell_id, list(r.cv)) for r in cent_rows)
-    codebook = _codebook_literal(cents)
+    codebook = _collect_codebook(
+        corpus, centroids, n_cells, vec_col, id_col, "ivf_topk"
+    )
 
     assigned = c.withColumn(
         "cell_id", _argmax_cell(codebook, F.col("c_vec"), F.col("c_norm"))
@@ -228,6 +217,31 @@ def ivf_topk(
     )
 
 
+def _collect_codebook(
+    corpus: DataFrame,
+    centroids: DataFrame | None,
+    n_cells: int,
+    vec_col: str,
+    id_col: str,
+    caller: str,
+) -> Column:
+    """Shared codebook construction for IVF search and cell
+    assignment: default centroids = first ``n_cells`` corpus vectors
+    by id (deterministic for ANY id space), model-sized collect, and
+    the plan-literal codebook column. One home so the centroid
+    convention can never desynchronize between the two consumers."""
+    if centroids is None:
+        centroids = corpus.orderBy(F.col(id_col)).limit(n_cells)
+    cent_rows = centroids.select(
+        F.col(id_col).cast("int").alias("cell_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).collect()
+    if not cent_rows:
+        raise ValueError(f"{caller}: empty centroid set")
+    cents = sorted((r.cell_id, list(r.cv)) for r in cent_rows)
+    return _codebook_literal(cents)
+
+
 def assign_cells(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -250,17 +264,13 @@ def assign_cells(
     c = with_norm(corpus, vec_col, "c_norm").select(
         F.col(id_col), F.col(vec_col).alias("c_vec"), F.col("c_norm")
     )
-    if centroids is None:
-        centroids = corpus.orderBy(F.col(id_col)).limit(n_cells)
-    cent_rows = centroids.select(
-        F.col(id_col).cast("int").alias("cell_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).collect()
-    if not cent_rows:
-        raise ValueError("assign_cells: empty centroid set")
-    cents = sorted((r.cell_id, list(r.cv)) for r in cent_rows)
-    codebook = _codebook_literal(cents)
-    return c.select(
+    codebook = _collect_codebook(
+        corpus, centroids, n_cells, vec_col, id_col, "assign_cells"
+    )
+    # Zero-norm vectors have no direction, so cosine assignment is
+    # undefined (the argmax fold would emit its -1 sentinel while a
+    # NULL-ordering SQL replay lands elsewhere) — excluded, documented.
+    return c.filter(F.col("c_norm") > 0).select(
         F.col(id_col),
         _argmax_cell(codebook, F.col("c_vec"), F.col("c_norm")).alias("cell_id"),
         F.col("c_norm").alias("norm"),

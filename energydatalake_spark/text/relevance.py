@@ -34,13 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from energydatalake_spark.portable import portable_round as _r
 from energydatalake_spark.text.stats import tokens
-
-
-def _r(col, n: int = 6):
-    # Portable rounding — same floor form both engines (registry.py).
-    p = 10**n
-    return F.floor(col * F.lit(float(p)) + F.lit(0.5)) / F.lit(float(p))
 
 
 def tfidf_topk(

@@ -52,7 +52,11 @@ def text_stats(
     stop_list = STOPWORDS["en"]
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop_list)))
     uniq_ratio = n_uniq.cast("double") / n_tokens
-    punct_ratio = n_punct.cast("double") / n_chars
+    # n_chars = 0 (empty text) guard: ANSI-mode Spark RAISES on 0/0
+    # and DuckDB yields NaN — both wrong; an empty doc has no defined
+    # punctuation ratio (and hence no quality score), so both are NULL
+    # in both engines. n_tokens needs no guard (split('') → ['']).
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars)
     stop_ratio = n_stop.cast("double") / n_tokens
     # Composite quality: long enough, low punctuation noise, diverse
     # vocabulary, some stopword mass (fluent text has function words).

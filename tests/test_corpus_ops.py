@@ -150,3 +150,69 @@ def test_snapshot_diff_classes(spark, tmp_path):
     assert out["modified"].first_doc_id == min(
         i for i in v1 & v2 if i % 11 == 0
     )
+
+
+def _duck(sf_dir, sql, tables=("documents",)):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark writes a part-file directory
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.sql(sql).fetchall()
+
+
+def test_source_profile_empty_text_matches_oracle(spark, tmp_path):
+    """An empty-text doc must score NULL quality in BOTH engines (not
+    Spark-NaN-cast-to-0 vs a DuckDB conversion error) and be excluded
+    from the average's denominator."""
+    from energydatalake_spark.plans.llm_ops import SQL_SOURCE_PROFILE
+
+    rows = [
+        (1, "the cat sat", "en", "web", 11),
+        (2, "", "en", "web", 0),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {(r.source, r.lang): r for r in q_source_profile(spark, sf).collect()}
+    web = got[("web", "en")]
+    oracle = {(r[0], r[1]): r for r in _duck(sf, SQL_SOURCE_PROFILE)}
+    o = oracle[("web", "en")]
+    assert web.n_docs == 2 == o[2]
+    assert web.avg_quality == o[5]  # averaged over the ONE scored doc
+    assert web.avg_quality is not None
+
+
+def test_json_extract_oracle_tolerates_malformed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.plans.registry import SQL_JSON_EXTRACT, q_json_extract
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0, '{"k": 7}'),
+        (2, "2024-01-01 00:00:01", 1, "click", 1.0, "not json at all"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.event_type: r for r in q_json_extract(spark, str(tmp_path)).collect()}
+    oracle = {r[0]: r for r in _duck(str(tmp_path), SQL_JSON_EXTRACT, ("events",))}
+    assert got["click"].n_null == 1 == oracle["click"][5]
+    assert got["click"].k_sum == 7 == oracle["click"][2]
+
+
+def test_embedding_clusters_zero_norm_excluded(spark, tmp_path):
+    from energydatalake_spark.plans.llm_ops import SQL_EMBEDDING_CLUSTERS
+    from energydatalake_spark.similarity.search import assign_cells
+
+    rows = [(i, [float(i + 1), 1.0]) for i in range(20)]
+    rows.append((20, [0.0, 0.0]))  # zero-norm: no direction
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = assign_cells(df, n_cells=2).collect()
+    assert {r.vec_id for r in out} == set(range(20))  # 20 excluded
+    assert all(r.cell_id in (0, 1) for r in out)  # no -1 sentinel
