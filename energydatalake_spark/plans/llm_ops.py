@@ -2124,10 +2124,105 @@ GROUP BY doc_id
 """
 
 
+FUNNEL_REP_MAX = 0.12  # drop docs whose top word exceeds 12% of tokens
+FUNNEL_LM_MIN = -3.43  # drop the least-fluent tail of the bigram-LM score
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality funnel — the cleaning pipeline's per-stage
+    survival report, chaining every r6 quality signal the way a real
+    corpus build does: boilerplate phrase filter → repetition filter
+    (top-word fraction) → bigram-LM fluency floor → exact dedup
+    (keep-min-id per md5). One row of monotone non-increasing counts:
+    exactly the funnel chart a data-curation review reads.
+
+    Thresholds compare bit-identical values cross-engine: the
+    repetition fraction is a division of identical integers, the LM
+    score is already 1e-6-quantized, and keep flags are integer
+    arithmetic. Docs below a signal's support (no shingles / no
+    bigrams) pass that stage — no signal is not evidence of badness.
+    Canonical-dedup membership is defined over the whole corpus (min
+    doc_id per content hash), independent of the other gates, so the
+    stages stay independently auditable.
+
+    Scale shape: each signal is its own count-table pipeline (all
+    individually audited under their standalone queries); the funnel
+    joins four doc-keyed flag frames and takes ONE conditional-count
+    aggregate — no new shuffle class."""
+    from energydatalake_spark.text.relevance import bigram_lm_scores
+    from energydatalake_spark.text.stats import repetition_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    bp = q_boilerplate_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_bp")
+    )
+    rep = repetition_stats(docs).select("doc_id", "top_word_frac")
+    lm = bigram_lm_scores(docs).select("doc_id", "avg_logp")
+    canon = docs.select("doc_id", F.md5("text").alias("h"))
+    canon = canon.join(
+        canon.groupBy("h").agg(F.min("doc_id").alias("keep_id")), "h"
+    ).select("doc_id", (F.col("doc_id") == F.col("keep_id")).alias("is_canon"))
+    flags = (
+        docs.select("doc_id")
+        .join(bp, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .join(canon, "doc_id")
+        .select(
+            F.coalesce("keep_bp", F.lit(True)).alias("s1"),
+            (F.coalesce(F.col("top_word_frac") <= FUNNEL_REP_MAX, F.lit(True))).alias("r_ok"),
+            (F.coalesce(F.col("avg_logp") >= FUNNEL_LM_MIN, F.lit(True))).alias("l_ok"),
+            F.col("is_canon"),
+        )
+    )
+    c = lambda col: F.sum(F.when(col, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        c(F.col("s1")).alias("n_after_boilerplate"),
+        c(F.col("s1") & F.col("r_ok")).alias("n_after_repetition"),
+        c(F.col("s1") & F.col("r_ok") & F.col("l_ok")).alias("n_after_fluency"),
+        c(
+            F.col("s1") & F.col("r_ok") & F.col("l_ok") & F.col("is_canon")
+        ).alias("n_after_dedup"),
+    )
+
+
+def _sql_corpus_funnel() -> str:
+    return f"""
+WITH bp AS ({SQL_BOILERPLATE_FILTER}),
+rep AS ({SQL_DOC_REPETITION}),
+lm AS ({SQL_LM_SCORE}),
+canon AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canon
+  FROM documents
+),
+flags AS (
+  SELECT COALESCE(bp.keep, TRUE) AS s1,
+         COALESCE(rep.top_word_frac <= {FUNNEL_REP_MAX}, TRUE) AS r_ok,
+         COALESCE(lm.avg_logp >= {FUNNEL_LM_MIN}, TRUE) AS l_ok,
+         canon.is_canon
+  FROM documents d
+  LEFT JOIN bp USING (doc_id)
+  LEFT JOIN rep USING (doc_id)
+  LEFT JOIN lm USING (doc_id)
+  JOIN canon ON canon.doc_id = d.doc_id
+)
+SELECT COUNT(*) AS n_input,
+       CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_boilerplate,
+       CAST(SUM(CASE WHEN s1 AND r_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_repetition,
+       CAST(SUM(CASE WHEN s1 AND r_ok AND l_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_fluency,
+       CAST(SUM(CASE WHEN s1 AND r_ok AND l_ok AND is_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup
+FROM flags
+"""
+
+
 LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("tfidf_topk", q_tfidf_topk, SQL_TFIDF_TOPK, "ext:tfidf-keywords"),
     ("source_profile", q_source_profile, SQL_SOURCE_PROFILE,
      "ext:dataset-card-rollup"),
+    ("corpus_funnel", q_corpus_funnel, _sql_corpus_funnel(),
+     "ext:quality-funnel composition"),
     ("corpus_increment", q_corpus_increment, _sql_corpus_increment(),
      "ext:incremental-ingest-dedup"),
     ("boilerplate_filter", q_boilerplate_filter, SQL_BOILERPLATE_FILTER,

@@ -1709,6 +1709,7 @@ _DRIVER_WINDOW_FIRST = [
     "boilerplate_filter",
     "json_extract",
     "snapshot_diff",
+    "corpus_funnel",
 ]
 
 _DRIVER_WINDOW_PARKED = [
@@ -1724,6 +1725,7 @@ _DRIVER_WINDOW_PARKED = [
     "dedup_exact",
     "moving_avg",
     "cumulative_revenue",
+    "rollup_revenue",
     "quantiles",
     "forecast_vs_actual",
     "pearson_corr",

@@ -216,3 +216,37 @@ def test_embedding_clusters_zero_norm_excluded(spark, tmp_path):
     out = assign_cells(df, n_cells=2).collect()
     assert {r.vec_id for r in out} == set(range(20))  # 20 excluded
     assert all(r.cell_id in (0, 1) for r in out)  # no -1 sentinel
+
+
+def test_corpus_funnel_every_stage_drops(spark, tmp_path):
+    """Handcrafted corpus where each gate drops somebody, and the
+    funnel counts stay monotone: boilerplate-heavy doc, repetitive
+    doc, exact duplicate — checked against the DuckDB twin."""
+    from energydatalake_spark.plans.llm_ops import (
+        _sql_corpus_funnel,
+        q_corpus_funnel,
+    )
+
+    # Corpus-scale thresholds: the repetition gate needs top word
+    # ≤ 12% of tokens, so clean docs use ≥ 9 all-distinct words.
+    boiler = "copyright all rights reserved do not copy this page thanks"
+    fluent = "quick brown foxes jump over lazy dogs every single day"
+    rows = [
+        (1, fluent, "en", "web", 1),
+        (2, fluent, "en", "web", 1),            # exact dup of 1
+        (3, "spam spam spam spam spam ham", "en", "web", 1),  # repetitive
+        (4, boiler, "en", "web", 1),            # boilerplate ×3
+        (5, boiler, "en", "web", 1),
+        (6, boiler, "en", "web", 1),
+        (7, "nine perfectly ordinary different words compose this varied sentence", "en", "web", 1),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = q_corpus_funnel(spark, sf).collect()[0].asDict()
+    oracle = _duck(sf, _sql_corpus_funnel())[0]
+    assert tuple(got.values()) == oracle
+    n = list(got.values())
+    assert n[0] == 7
+    assert all(a >= b for a, b in zip(n, n[1:]))  # monotone funnel
+    assert got["n_after_boilerplate"] == 4       # 4,5,6 drop
+    assert got["n_after_repetition"] == 3        # 3 drops
+    assert got["n_after_dedup"] == got["n_after_fluency"] - 1  # dup of 1 drops
