@@ -142,3 +142,46 @@ def test_nanos_conf_not_leaked(spark, tmp_path):
         spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
         or spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
     )
+
+
+def test_compact_folder_merges_small_files(spark, tmp_path):
+    """Many small part files → few target-sized files, identical rows,
+    original untouched on a failed verify (exercised via the happy
+    path + statistics check on the sorted layout)."""
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.io.maintenance import compact_folder
+
+    folder = str(tmp_path / "warehouse")
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("key")
+    )
+    # 32 shuffle partitions → many small files, like per-batch appends
+    df.repartition(32).write.mode("overwrite").parquet(folder)
+    import os
+
+    before = [f for f in os.listdir(folder) if f.endswith(".parquet")]
+    assert len(before) > 4
+    stats = compact_folder(
+        spark, folder, target_rows_per_file=2_500, sort_by=["id"]
+    )
+    assert stats["rows"] == 10_000
+    assert stats["files_before"] == len(before)
+    assert stats["files_after"] == 4
+    out = spark.read.parquet(folder)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
+    # range-partitioned sort → per-file id ranges are disjoint, so a
+    # selective filter reads one file's row groups (min/max pruning)
+    files = sorted(
+        os.path.join(folder, f)
+        for f in os.listdir(folder)
+        if f.endswith(".parquet")
+    )
+    ranges = []
+    for f in files:
+        r = spark.read.parquet(f).agg(F.min("id"), F.max("id")).collect()[0]
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint
