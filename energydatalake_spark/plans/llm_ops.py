@@ -557,15 +557,16 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_similarity_ivf_kmeans() -> str:
-    """Generate the k-means trajectory as chained CTEs: m_train = the
-    KMEANS_SAMPLE_MOD hash-sample (identical arithmetic to
-    train_sample_predicate); cent_0 = first IVF_CELLS sampled vectors;
-    cent_{i+1} = per-cell, per-dimension exact decimal means of the
-    sampled vectors assigned to cent_i (cosine argmax, cell-id
-    tie-break), snapped to the 1e-9 grid. Mirrors kmeans_centroids step
-    for step; the final assignment/probe/rerank runs on the FULL
-    corpus, exactly like the Spark side."""
+def _sql_kmeans_cent_ctes() -> str:
+    """The k-means training trajectory as chained CTEs, ending in
+    ``cent`` (cell_id, cv, cnm) — the SINGLE source every oracle that
+    consumes the trained codebook composes from (IVF search, trained
+    clustering): m_train = the KMEANS_SAMPLE_MOD hash-sample
+    (identical arithmetic to train_sample_predicate); cent_0 = first
+    IVF_CELLS sampled vectors; cent_{i+1} = per-cell, per-dimension
+    exact decimal means of the sampled vectors assigned to cent_i
+    (cosine argmax, cell-id tie-break), snapped to the 1e-9 grid.
+    Mirrors kmeans_centroids step for step."""
     from energydatalake_spark.similarity.search import train_sample_sql
 
     dim = 64  # embeddings table contract (TESTDATA.md)
@@ -612,8 +613,18 @@ cent_{i + 1} AS (
     parts.append(
         f"""cent AS (
   SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cnm FROM {final}
-),
-assign AS (
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _sql_similarity_ivf_kmeans() -> str:
+    """Trained-codebook IVF search oracle: the shared trajectory CTEs
+    plus the full-corpus assignment / probe / rerank — exactly the
+    Spark side's kmeans_centroids → ivf_topk flow."""
+    parts = [
+        _sql_kmeans_cent_ctes(),
+        f"""assign AS (
   SELECT vec_id, cell_id FROM (
     SELECT m.vec_id, cent.cell_id,
            ROW_NUMBER() OVER (
@@ -649,8 +660,8 @@ ranked AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY cos_raw DESC, vec_id) AS INTEGER) AS rank
   FROM scored
-)"""
-    )
+)""",
+    ]
     body = ",\n".join(parts)
     return f"""
 WITH {body}
@@ -662,6 +673,80 @@ FROM ranked WHERE rank <= {TOPK_K}
 
 
 SQL_SIMILARITY_IVF_KMEANS = _sql_similarity_ivf_kmeans()
+
+
+def q_embedding_clusters_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-codebook corpus clustering — the production path of the
+    cluster profile: the Lloyd-trained IVF codebook
+    (``kmeans_centroids``, sample-trained, trajectory oracle-replayed)
+    drives the same zero-shuffle map-side assignment as
+    ``embedding_clusters``, yielding the per-cell balance/canonical/
+    avg-norm profile an index build publishes. Composition of two
+    independently-oracled pieces, itself value-hash checked end to
+    end (training trajectory AND clustering in one SQL replay)."""
+    from energydatalake_spark.similarity.search import (
+        assign_cells,
+        kmeans_centroids,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(
+        emb,
+        n_cells=IVF_CELLS,
+        n_iter=KMEANS_ITER,
+        train_sample_mod=KMEANS_SAMPLE_MOD,
+    )
+    cent_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "vec_id int, embedding array<double>"
+    )
+    assigned = assign_cells(emb, centroids=cent_df)
+    nm_micro = F.floor(F.col("norm") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    per_cell = (
+        assigned.select("vec_id", "cell_id", nm_micro.alias("nm"))
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("canonical_vec_id"),
+            F.sum("nm").alias("nm_sum"),
+        )
+    )
+    return per_cell.select(
+        "cell_id",
+        "n_members",
+        "canonical_vec_id",
+        _r(
+            F.col("nm_sum") / F.lit(1e6) / F.col("n_members").cast("double"), 6
+        ).alias("avg_norm"),
+    )
+
+
+def _sql_embedding_clusters_kmeans() -> str:
+    return f"""
+WITH {_sql_kmeans_cent_ctes()},
+assign AS (
+  SELECT vec_id, cell_id, nm FROM (
+    SELECT m.vec_id, cent.cell_id, m.nm,
+           ROW_NUMBER() OVER (
+             PARTITION BY m.vec_id
+             ORDER BY list_dot_product(m.v, cent.cv) / (m.nm * cent.cnm) DESC,
+                      cent.cell_id
+           ) AS rn
+    FROM m, cent
+    WHERE m.nm > 0
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id, cell_id,
+         CAST(FLOOR(nm * 1000000.0 + 0.5) AS BIGINT) AS nmq
+  FROM assign
+)
+SELECT CAST(cell_id AS INTEGER) AS cell_id,
+       COUNT(*) AS n_members,
+       MIN(vec_id) AS canonical_vec_id,
+       FLOOR(CAST(SUM(nmq) AS DOUBLE) / 1000000.0 / COUNT(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_norm
+FROM q GROUP BY cell_id
+"""
 
 
 SQL_SIMILARITY_IVF = f"""
@@ -2230,6 +2315,8 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("lm_score", q_lm_score, SQL_LM_SCORE, "ext:bigram-lm-quality"),
     ("embedding_clusters", q_embedding_clusters, SQL_EMBEDDING_CLUSTERS,
      "ext:embedding-clustering"),
+    ("embedding_clusters_kmeans", q_embedding_clusters_kmeans,
+     _sql_embedding_clusters_kmeans(), "ext:embedding-clustering-trained"),
     ("doc_outliers", q_doc_outliers, SQL_DOC_OUTLIERS, "ext:length-outlier-trim"),
     ("doc_repetition", q_doc_repetition, SQL_DOC_REPETITION,
      "ext:repetition-quality"),

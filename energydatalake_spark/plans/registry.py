@@ -1710,6 +1710,7 @@ _DRIVER_WINDOW_FIRST = [
     "json_extract",
     "snapshot_diff",
     "corpus_funnel",
+    "embedding_clusters_kmeans",
 ]
 
 _DRIVER_WINDOW_PARKED = [
@@ -1726,6 +1727,7 @@ _DRIVER_WINDOW_PARKED = [
     "moving_avg",
     "cumulative_revenue",
     "rollup_revenue",
+    "pivot_revenue",
     "quantiles",
     "forecast_vs_actual",
     "pearson_corr",

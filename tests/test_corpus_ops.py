@@ -250,3 +250,19 @@ def test_corpus_funnel_every_stage_drops(spark, tmp_path):
     assert got["n_after_boilerplate"] == 4       # 4,5,6 drop
     assert got["n_after_repetition"] == 3        # 3 drops
     assert got["n_after_dedup"] == got["n_after_fluency"] - 1  # dup of 1 drops
+
+
+def test_embedding_clusters_kmeans_partitions_corpus(spark):
+    """The trained-codebook cluster profile covers every vector
+    exactly once (it is a partition of the corpus)."""
+    from energydatalake_spark.plans.llm_ops import q_embedding_clusters_kmeans
+
+    sf = "/root/testdata/sf0.001"
+    out = q_embedding_clusters_kmeans(spark, sf).collect()
+    import duckdb
+
+    n_vecs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_members for r in out) == n_vecs
+    assert len({r.cell_id for r in out}) == len(out)
