@@ -58,11 +58,14 @@ def norm(v):
 
 
 fails = 0
+from energydatalake_spark.text.dedup import release_shingle_cache
+
 for name, build in qmap.items():
     try:
         sdf = build(spark, SF)
         s_cols = sdf.columns
         s_rows = sdf.collect()
+        release_shingle_cache()  # no cache accumulation across queries
     except Exception as exc:
         print(f"FAIL {name}: spark {type(exc).__name__}: {str(exc)[:200]}", flush=True)
         fails += 1

@@ -113,6 +113,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from energydatalake_spark.text.dedup import release_shingle_cache
+
     failures = 0
     verdicts: dict[str, dict] = {}
     for name, q in QUERIES.items():
@@ -123,6 +125,10 @@ def main() -> int:
             sdf = q.build(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = sdf.collect()
+            # Shingle-persisting queries (minhash / ngram / the corpus
+            # compositions) must not accumulate cached partitions
+            # across an 81-query session (the r1 storage-leak class).
+            release_shingle_cache()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
