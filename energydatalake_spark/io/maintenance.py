@@ -9,12 +9,23 @@ filter column so min/max row-group statistics prune reads.
 
 Safety contract (the part that matters in production): the rewrite
 goes to a temp sibling directory, is VERIFIED against the source row
-count before any destructive step, and the swap is two renames with
-the original kept until the new layout is live — a crash at any
-point leaves either the old folder or the new one readable, never
-neither and never a half-mixed directory. (On a real object store
-the same shape runs against a manifest/transaction log — Delta's
-OPTIMIZE is exactly this loop with a log commit as the swap.)
+count before any destructive step, and nothing is deleted until the
+new layout is live. The swap is two directory renames; a crash
+between them leaves BOTH complete layouts on disk (the canonical
+path is briefly absent — recovery is renaming the ``__precompact``
+backup back) — data is never half-mixed and never lost. A failed
+write or verify removes the temp directory and leaves the original
+untouched. (On a real object store the same shape runs against a
+manifest/transaction log — Delta's OPTIMIZE is exactly this loop
+with a log commit as the swap.)
+
+Hive-partitioned roots (``dt=...`` subdirectories, the layout
+``append_table(partition_date_col=...)`` writes) are REFUSED with a
+clear error: a flat rewrite would silently drop the partition layout
+(the row-count verify cannot see it) and the next partitioned append
+would produce a mixed directory Spark refuses to read. Compact those
+one partition at a time by passing the partition subfolder — which
+is also how a real maintenance job schedules the work.
 """
 
 from __future__ import annotations
@@ -25,6 +36,15 @@ import shutil
 import uuid
 
 from pyspark.sql import SparkSession
+
+
+def _partition_dirs(folder: str) -> list[str]:
+    """Hive-style ``col=value`` subdirectories of ``folder``."""
+    return [
+        f
+        for f in os.listdir(folder)
+        if "=" in f and os.path.isdir(os.path.join(folder, f))
+    ]
 
 
 def compact_folder(
@@ -39,8 +59,9 @@ def compact_folder(
     selective scans prune whole files).
 
     Returns ``{"rows": n, "files_before": a, "files_after": b}``.
-    Raises (and leaves the original untouched) if the rewritten row
-    count does not match the source.
+    Raises (and leaves the original untouched) if the folder is a
+    hive-partitioned root or the rewritten row count does not match
+    the source.
     """
 
     def _parts(d: str) -> list[str]:
@@ -50,6 +71,13 @@ def compact_folder(
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         ]
 
+    parts = _partition_dirs(folder)
+    if parts:
+        raise ValueError(
+            f"compact_folder: {folder} is a hive-partitioned root "
+            f"({parts[0]}, ...); a flat rewrite would drop the partition "
+            f"layout — compact per partition by passing the subfolder"
+        )
     df = spark.read.parquet(folder)
     n_rows = df.count()
     files_before = len(_parts(folder))
@@ -61,14 +89,17 @@ def compact_folder(
     else:
         out = df.repartition(n_files)
     tmp = f"{folder.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").parquet(tmp)
-    n_new = spark.read.parquet(tmp).count()
-    if n_new != n_rows:
+    try:
+        out.write.mode("overwrite").parquet(tmp)
+        n_new = spark.read.parquet(tmp).count()
+        if n_new != n_rows:
+            raise RuntimeError(
+                f"compact_folder: rewrite row count {n_new} != source "
+                f"{n_rows}; original left untouched"
+            )
+    except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
-        raise RuntimeError(
-            f"compact_folder: rewrite row count {n_new} != source {n_rows}; "
-            f"original left untouched"
-        )
+        raise
     backup = f"{folder.rstrip('/')}__precompact_{uuid.uuid4().hex[:8]}"
     os.rename(folder, backup)
     os.rename(tmp, folder)

@@ -699,25 +699,7 @@ def q_embedding_clusters_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_df = spark.createDataFrame(
         [(cid, vec) for cid, vec in cents], "vec_id int, embedding array<double>"
     )
-    assigned = assign_cells(emb, centroids=cent_df)
-    nm_micro = F.floor(F.col("norm") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
-    per_cell = (
-        assigned.select("vec_id", "cell_id", nm_micro.alias("nm"))
-        .groupBy("cell_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.min("vec_id").alias("canonical_vec_id"),
-            F.sum("nm").alias("nm_sum"),
-        )
-    )
-    return per_cell.select(
-        "cell_id",
-        "n_members",
-        "canonical_vec_id",
-        _r(
-            F.col("nm_sum") / F.lit(1e6) / F.col("n_members").cast("double"), 6
-        ).alias("avg_norm"),
-    )
+    return _cell_profile(assign_cells(emb, centroids=cent_df))
 
 
 def _sql_embedding_clusters_kmeans() -> str:
@@ -735,18 +717,7 @@ assign AS (
     WHERE m.nm > 0
   ) WHERE rn = 1
 ),
-q AS (
-  SELECT vec_id, cell_id,
-         CAST(FLOOR(nm * 1000000.0 + 0.5) AS BIGINT) AS nmq
-  FROM assign
-)
-SELECT CAST(cell_id AS INTEGER) AS cell_id,
-       COUNT(*) AS n_members,
-       MIN(vec_id) AS canonical_vec_id,
-       FLOOR(CAST(SUM(nmq) AS DOUBLE) / 1000000.0 / COUNT(*)
-             * 1000000.0 + 0.5) / 1000000.0 AS avg_norm
-FROM q GROUP BY cell_id
-"""
+{_SQL_CELL_PROFILE_SUFFIX}"""
 
 
 SQL_SIMILARITY_IVF = f"""
@@ -1862,14 +1833,24 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energydatalake_spark.similarity.search import assign_cells
 
     emb = read_table(spark, sf_dir, "embeddings")
-    assigned = assign_cells(emb, n_cells=IVF_CELLS)
+    return _cell_profile(assign_cells(emb, n_cells=IVF_CELLS))
+
+
+def _cell_profile(assigned: DataFrame) -> DataFrame:
+    """Per-cell cluster profile over an ``assign_cells`` frame —
+    member count, canonical (min-id) member, micro-unit-summed average
+    norm. ONE home for both the stand-in and the trained-codebook
+    clustering queries, so the quantization/rounding convention cannot
+    desynchronize between them (or their SQL twins)."""
     nm_micro = F.floor(F.col("norm") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
-    per_cell = assigned.select(
-        "vec_id", "cell_id", nm_micro.alias("nm")
-    ).groupBy("cell_id").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.min("vec_id").alias("canonical_vec_id"),
-        F.sum("nm").alias("nm_sum"),
+    per_cell = (
+        assigned.select("vec_id", "cell_id", nm_micro.alias("nm"))
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("canonical_vec_id"),
+            F.sum("nm").alias("nm_sum"),
+        )
     )
     return per_cell.select(
         "cell_id",
@@ -1879,6 +1860,22 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nm_sum") / F.lit(1e6) / F.col("n_members").cast("double"), 6
         ).alias("avg_norm"),
     )
+
+
+#: Shared SQL suffix over an `assign`(vec_id, cell_id, nm) CTE — the
+#: twin of `_cell_profile`, composed by both clustering oracles.
+_SQL_CELL_PROFILE_SUFFIX = """q AS (
+  SELECT vec_id, cell_id,
+         CAST(FLOOR(nm * 1000000.0 + 0.5) AS BIGINT) AS nmq
+  FROM assign
+)
+SELECT CAST(cell_id AS INTEGER) AS cell_id,
+       COUNT(*) AS n_members,
+       MIN(vec_id) AS canonical_vec_id,
+       FLOOR(CAST(SUM(nmq) AS DOUBLE) / 1000000.0 / COUNT(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_norm
+FROM q GROUP BY cell_id
+"""
 
 
 SQL_EMBEDDING_CLUSTERS = f"""
@@ -1900,18 +1897,7 @@ assign AS (
     WHERE m.nm > 0
   ) WHERE rn = 1
 ),
-q AS (
-  SELECT vec_id, cell_id,
-         CAST(FLOOR(nm * 1000000.0 + 0.5) AS BIGINT) AS nmq
-  FROM assign
-)
-SELECT CAST(cell_id AS INTEGER) AS cell_id,
-       COUNT(*) AS n_members,
-       MIN(vec_id) AS canonical_vec_id,
-       FLOOR(CAST(SUM(nmq) AS DOUBLE) / 1000000.0 / COUNT(*)
-             * 1000000.0 + 0.5) / 1000000.0 AS avg_norm
-FROM q GROUP BY cell_id
-"""
+{_SQL_CELL_PROFILE_SUFFIX}"""
 
 
 OUTLIER_LO, OUTLIER_HI = 0.05, 0.95
@@ -2243,10 +2229,15 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = repetition_stats(docs).select("doc_id", "top_word_frac")
     lm = bigram_lm_scores(docs).select("doc_id", "avg_logp")
-    canon = docs.select("doc_id", F.md5("text").alias("h"))
-    canon = canon.join(
-        canon.groupBy("h").agg(F.min("doc_id").alias("keep_id")), "h"
-    ).select("doc_id", (F.col("doc_id") == F.col("keep_id")).alias("is_canon"))
+    from pyspark.sql import Window
+
+    canon = docs.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        ).alias("is_canon"),
+    )
     flags = (
         docs.select("doc_id")
         .join(bp, "doc_id", "left")

@@ -1232,8 +1232,16 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON path stays JVM-side, and at 100 TB the parse cost is the
     scan stage's CPU, never a shuffle."""
     ev = read_table(spark, sf_dir, "events")
+    # allowSingleQuotes=false pins STRICT JSON: Spark's lenient default
+    # accepts {'k': 7} which no ANSI json_valid oracle (or downstream
+    # strict consumer) would — the extraction semantics are then
+    # identical cross-engine: k is non-NULL iff props is valid strict
+    # JSON whose $.k is an integral JSON number.
     parsed = ev.select(
-        "event_type", F.from_json("props", "k BIGINT").alias("p")
+        "event_type",
+        F.from_json(
+            "props", "k BIGINT", {"allowSingleQuotes": "false"}
+        ).alias("p"),
     ).select("event_type", F.col("p.k").alias("k"))
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1249,9 +1257,11 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JSON_EXTRACT = """
 WITH p AS (
   SELECT event_type,
-         TRY_CAST(CASE WHEN json_valid(props)
-                       THEN json_extract_string(props, '$.k') END
-                  AS BIGINT) AS k
+         TRY_CAST(
+           CASE WHEN json_valid(props) THEN
+             CASE WHEN json_type(props::JSON, '$.k') IN ('BIGINT', 'UBIGINT')
+                  THEN json_extract_string(props, '$.k') END
+           END AS BIGINT) AS k
   FROM events
 )
 SELECT event_type,

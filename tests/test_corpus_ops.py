@@ -194,6 +194,13 @@ def test_json_extract_oracle_tolerates_malformed(spark, tmp_path):
     rows = [
         (1, "2024-01-01 00:00:00", 1, "click", 1.0, '{"k": 7}'),
         (2, "2024-01-01 00:00:01", 1, "click", 1.0, "not json at all"),
+        # engine-divergence candidates: single-quoted JSON (lenient
+        # Jackson accepts, strict json_valid rejects — Spark is pinned
+        # strict), string-typed and float-typed numbers (DuckDB
+        # json_type gate must reject both, like from_json's BIGINT)
+        (3, "2024-01-01 00:00:02", 1, "click", 1.0, "{'k': 5}"),
+        (4, "2024-01-01 00:00:03", 1, "click", 1.0, '{"k": "7"}'),
+        (5, "2024-01-01 00:00:04", 1, "click", 1.0, '{"k": 1.5}'),
     ]
     df = spark.createDataFrame(
         rows,
@@ -202,7 +209,8 @@ def test_json_extract_oracle_tolerates_malformed(spark, tmp_path):
     df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     got = {r.event_type: r for r in q_json_extract(spark, str(tmp_path)).collect()}
     oracle = {r[0]: r for r in _duck(str(tmp_path), SQL_JSON_EXTRACT, ("events",))}
-    assert got["click"].n_null == 1 == oracle["click"][5]
+    assert got["click"].n_events == 5 == oracle["click"][1]
+    assert got["click"].n_null == 4 == oracle["click"][5]
     assert got["click"].k_sum == 7 == oracle["click"][2]
 
 
@@ -255,9 +263,11 @@ def test_corpus_funnel_every_stage_drops(spark, tmp_path):
 def test_embedding_clusters_kmeans_partitions_corpus(spark):
     """The trained-codebook cluster profile covers every vector
     exactly once (it is a partition of the corpus)."""
+    from conftest import SF_SMOKE
+
     from energydatalake_spark.plans.llm_ops import q_embedding_clusters_kmeans
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMOKE
     out = q_embedding_clusters_kmeans(spark, sf).collect()
     import duckdb
 

@@ -185,3 +185,27 @@ def test_compact_folder_merges_small_files(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # disjoint
+
+
+def test_compact_folder_refuses_partitioned_root(spark, tmp_path):
+    """A hive-partitioned root must be refused — a flat rewrite would
+    silently drop the dt= layout and poison the next partitioned
+    append."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.io.maintenance import compact_folder
+
+    folder = str(tmp_path / "warehouse_part")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("dt")
+    )
+    df.write.mode("overwrite").partitionBy("dt").parquet(folder)
+    with pytest.raises(ValueError, match="hive-partitioned root"):
+        compact_folder(spark, folder)
+    # per-partition compaction of a subfolder still works
+    import os
+
+    sub = os.path.join(folder, "dt=0")
+    stats = compact_folder(spark, sub, target_rows_per_file=1000)
+    assert stats["rows"] == 34 and stats["files_after"] == 1

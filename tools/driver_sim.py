@@ -65,11 +65,12 @@ for name, build in qmap.items():
         sdf = build(spark, SF)
         s_cols = sdf.columns
         s_rows = sdf.collect()
-        release_shingle_cache()  # no cache accumulation across queries
     except Exception as exc:
         print(f"FAIL {name}: spark {type(exc).__name__}: {str(exc)[:200]}", flush=True)
         fails += 1
         continue
+    finally:
+        release_shingle_cache()  # released on success AND failure paths
     if name not in omap:
         print(f"ok*  {name}: rows-only ({len(s_rows)})", flush=True)
         continue

@@ -125,15 +125,17 @@ def main() -> int:
             sdf = q.build(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = sdf.collect()
-            # Shingle-persisting queries (minhash / ngram / the corpus
-            # compositions) must not accumulate cached partitions
-            # across an 81-query session (the r1 storage-leak class).
-            release_shingle_cache()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
             verdicts[name] = {"status": "FAIL", "detail": f"spark error: {exc}"[:500]}
             continue
+        finally:
+            # Shingle-persisting queries (minhash / ngram / the corpus
+            # compositions) must not accumulate cached partitions
+            # across an 81-query session (the r1 storage-leak class) —
+            # released on BOTH the success and the failure path.
+            release_shingle_cache()
         if q.oracle is None:
             print(f"ok*   {name}: rows-only ({len(s_rows)} rows, "
                   f"{time.time()-t0:.1f}s) — no oracle declared")
