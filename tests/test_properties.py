@@ -496,3 +496,92 @@ def test_boilerplate_filter_matches_python_model(spark, tmp_path_factory, texts)
         for r in q_boilerplate_filter(spark, str(tmp)).collect()
     }
     assert got == _py_boilerplate(texts, n=BOILER_N, df_max=BOILER_DF)
+
+
+# ------------------------------------------------------------- minhash LSH
+
+def _py_minhash_pairs(texts, n=3, bands=16, rows=2, threshold=0.5):
+    """Independent pure-Python MinHash+LSH twin — same definition
+    (md5-shingle hash, multiply-shift permutations, banded buckets,
+    exact-Jaccard verify of candidates) implemented with sets and
+    hashlib instead of DataFrames, so it shares NO execution machinery
+    with the Spark pipeline or its SQL oracle."""
+    import hashlib
+    from collections import defaultdict
+
+    from energydatalake_spark.text.dedup import PERM_MASK, _perm_constants
+
+    k = bands * rows
+    a, b = _perm_constants(k)
+    sh_sets = {}
+    for i, t in texts.items():
+        toks = t.split(" ")
+        if len(toks) >= n:
+            s = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+            if s:
+                sh_sets[i] = s
+
+    def h0(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    sigs = {
+        i: [
+            min((a[j] * x + b[j]) & PERM_MASK for x in map(h0, s))
+            for j in range(k)
+        ]
+        for i, s in sh_sets.items()
+    }
+    buckets = defaultdict(list)
+    for i, sig in sigs.items():
+        for bnd in range(bands):
+            key_src = ",".join(
+                str(v) for v in sig[bnd * rows : (bnd + 1) * rows]
+            )
+            buckets[(bnd, hashlib.md5(key_src.encode()).hexdigest())].append(i)
+    cands = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                cands.add((ids[x], ids[y]))
+    out = {}
+    for ia, ib in cands:
+        A, B = sh_sets[ia], sh_sets[ib]
+        j = len(A & B) / (len(A) + len(B) - len(A & B))
+        if j >= threshold:
+            out[(ia, ib)] = j
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=3, max_size=10),
+        min_size=2,
+        max_size=8,
+    ),
+    st.data(),
+)
+@_prop_settings
+def test_minhash_pairs_matches_python_model(spark, texts_toks, data):
+    """The distributed MinHash pipeline must equal the in-memory model
+    on corpora seeded with genuine near-duplicates (a mutated copy of
+    an existing doc), not just random noise."""
+    from energydatalake_spark.text.dedup import minhash_pairs
+
+    texts = {i: " ".join(t) for i, t in enumerate(texts_toks)}
+    # seed a near-dup: copy doc 0 and mutate one token
+    base = texts_toks[0][:]
+    pos = data.draw(st.integers(0, len(base) - 1))
+    base[pos] = data.draw(st.sampled_from(["a", "z"]))
+    texts[len(texts)] = " ".join(base)
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_pairs(df, n=3, bands=16, rows=2, threshold=0.5).collect()
+    }
+    want = _py_minhash_pairs(texts)
+    assert set(got) == set(want)
+    for pair in got:
+        assert abs(got[pair] - want[pair]) < 1e-12
