@@ -585,3 +585,68 @@ def test_minhash_pairs_matches_python_model(spark, texts_toks, data):
     assert set(got) == set(want)
     for pair in got:
         assert abs(got[pair] - want[pair]) < 1e-12
+
+
+def _py_simhash_pairs(texts, bits=32, max_hamming=3, band_bits=8):
+    """Independent SimHash twin: per-token ±1 bit votes over the token
+    MULTISET, sign → fingerprint bit, pigeonhole banding, Hamming
+    verify."""
+    import hashlib
+
+    def h32(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+    fps = {}
+    for i, t in texts.items():
+        votes = [0] * bits
+        for tok in t.split(" "):
+            hv = h32(tok)
+            for j in range(bits):
+                votes[j] += 1 if (hv >> j) & 1 else -1
+        fps[i] = sum(1 << j for j in range(bits) if votes[j] > 0)
+    nb = bits // band_bits
+    mask = (1 << band_bits) - 1
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i, fp in fps.items():
+        for b in range(nb):
+            buckets[(b, (fp >> (b * band_bits)) & mask)].append(i)
+    cands = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                cands.add((ids[x], ids[y]))
+    out = {}
+    for ia, ib in cands:
+        d = bin(fps[ia] ^ fps[ib]).count("1")
+        if d <= max_hamming:
+            out[(ia, ib)] = d
+    return out, fps
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=8),
+        min_size=2,
+        max_size=6,
+    )
+)
+@_prop_settings
+def test_simhash_matches_python_model(spark, texts_toks):
+    from energydatalake_spark.text.dedup import simhash, simhash_pairs
+
+    texts = {i: " ".join(t) for i, t in enumerate(texts_toks)}
+    # seed an exact copy — Hamming 0, must always pair
+    texts[len(texts)] = texts[0]
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    want_pairs, want_fps = _py_simhash_pairs(texts)
+    got_fps = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert got_fps == want_fps
+    got_pairs = {
+        (r.id_a, r.id_b): r.hamming for r in simhash_pairs(df).collect()
+    }
+    assert got_pairs == want_pairs
