@@ -650,3 +650,62 @@ def test_simhash_matches_python_model(spark, texts_toks):
         (r.id_a, r.id_b): r.hamming for r in simhash_pairs(df).collect()
     }
     assert got_pairs == want_pairs
+
+
+def _py_ngram_jaccard(texts, n=3, threshold=0.3, max_doc_freq=2):
+    """Independent n-gram Jaccard twin with the doc-frequency candidate
+    cap: a pair is a candidate iff it shares ≥1 shingle whose corpus
+    doc-frequency ≤ cap; its Jaccard is then exact over the FULL sets."""
+    from collections import Counter
+
+    sh = {}
+    for i, t in texts.items():
+        toks = t.split(" ")
+        if len(toks) >= n:
+            s = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+            if s:
+                sh[i] = s
+    dfc = Counter(g for s in sh.values() for g in s)
+    rare = {g for g, c in dfc.items() if c <= max_doc_freq}
+    ids = sorted(sh)
+    out = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not (sh[a] & sh[b] & rare):
+                continue
+            j = len(sh[a] & sh[b]) / (len(sh[a]) + len(sh[b]) - len(sh[a] & sh[b]))
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=3, max_size=8),
+        min_size=2,
+        max_size=7,
+    )
+)
+@_prop_settings
+def test_ngram_jaccard_matches_python_model(spark, texts_toks):
+    """Tiny vocab makes shared shingles (and >cap boilerplate
+    shingles) common, exercising both the rare-join and the common
+    top-up paths of the doc-frequency-capped plan."""
+    from energydatalake_spark.text.dedup import ngram_jaccard_pairs
+
+    texts = {i: " ".join(t) for i, t in enumerate(texts_toks)}
+    texts[len(texts)] = texts[0]  # exact dup: jaccard 1.0 always pairs
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, n=3, threshold=0.3, max_doc_freq=2
+        ).collect()
+    }
+    want = _py_ngram_jaccard(texts)
+    assert set(got) == set(want)
+    for pair in got:
+        assert abs(got[pair] - want[pair]) < 1e-12
