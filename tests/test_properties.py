@@ -709,3 +709,75 @@ def test_ngram_jaccard_matches_python_model(spark, texts_toks):
     assert set(got) == set(want)
     for pair in got:
         assert abs(got[pair] - want[pair]) < 1e-12
+
+
+def _py_embedding_lsh(vecs, threshold, n_planes, dim, n_tables, seed=42):
+    """Independent twin of embedding_near_dup_lsh: same seeded
+    hyperplanes, but signature/candidate/rerank computed with plain
+    Python loops. Dot products use the SAME sequential fold order as
+    the engine's aggregate fold, so signs and cosines match
+    bit-for-bit."""
+    import math
+
+    from energydatalake_spark.similarity.search import _hyperplanes
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    norms = {}
+    for i, v in vecs.items():
+        nm = math.sqrt(fold_dot(v, v))
+        norms[i] = 1.0 if nm == 0 else nm
+    sigs = {i: [] for i in vecs}
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=seed + t)
+        for i, v in vecs.items():
+            key = 0
+            for pi, p in enumerate(planes):
+                if fold_dot(v, p) >= 0:
+                    key |= 1 << pi
+            sigs[i].append(key)
+    ids = sorted(vecs)
+    out = {}
+    for xi in range(len(ids)):
+        for yi in range(xi + 1, len(ids)):
+            x, y = ids[xi], ids[yi]
+            # candidate iff any table's signatures are within Hamming 1
+            if any(
+                bin(bx ^ by).count("1") <= 1
+                for bx, by in zip(sigs[x], sigs[y])
+            ):
+                cos = fold_dot(vecs[x], vecs[y]) / (norms[x] * norms[y])
+                if cos >= threshold:
+                    out[(x, y)] = cos
+    return out
+
+
+@given(st.integers(0, 2**31 - 1))
+@_prop_settings
+def test_embedding_lsh_matches_python_model(spark, rng_seed):
+    import numpy as np
+
+    from energydatalake_spark.similarity.neardup import embedding_near_dup_lsh
+
+    dim, n_planes, n_tables, thr = 8, 4, 2, 0.3
+    rng = np.random.default_rng(rng_seed)
+    m = rng.normal(size=(12, dim)).astype("float32")
+    m[11] = m[0] + rng.normal(scale=0.01, size=dim).astype("float32")  # near-dup
+    vecs = {i: [float(x) for x in m[i]] for i in range(12)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id bigint, embedding array<float>"
+    )
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_lsh(
+            df, threshold=thr, n_planes=n_planes, dim=dim, n_tables=n_tables
+        ).collect()
+    }
+    want = _py_embedding_lsh(vecs, thr, n_planes, dim, n_tables)
+    assert set(got) == set(want)
+    for pair in got:
+        assert abs(got[pair] - want[pair]) < 1e-12
