@@ -1690,43 +1690,9 @@ _register(
 DRIVER_WINDOW = 50
 
 _DRIVER_WINDOW_FIRST = [
-    "similarity_lsh",
-    "similarity_ivf",
-    "similarity_ivf_kmeans",
-    "corpus_prep",
-    "train_split",
-    "stratified_sample",
-    "doc_chunks",
-    "text_normalize",
-    "pack_chunks",
-    "corpus_prep_full",
-    "streaming_hourly",
-    "sessionize",
-    "streaming_enrich",
-    "streaming_asof",
-    "doc_repetition",
-    "contamination",
-    "corpus_mix",
-    "dedup_clusters",
-    "vocab_topk",
-    "shuffle_shards",
-    "tfidf_topk",
-    "lm_score",
-    "embedding_clusters",
-    "doc_outliers",
-    "source_profile",
-    "corpus_increment",
-    "boilerplate_filter",
-    "json_extract",
-    "snapshot_diff",
-    "corpus_funnel",
-    "embedding_clusters_kmeans",
-]
-
-_DRIVER_WINDOW_PARKED = [
-    # Parked later in r6 to make room for the seven new corpus ops —
-    # every parked name is driver-green since r1/r2 and carries
-    # standing pytest + mirror coverage.
+    # r7 rotation (VERDICT r6 #1): the 31 SURVEY-§2 core queries parked
+    # in r6 come back into the window so every §2 operator regains a
+    # fresh driver row (their newest rows were r5).
     "skew_join",
     "asof_join",
     "text_stats",
@@ -1758,6 +1724,44 @@ _DRIVER_WINDOW_PARKED = [
     "avg_by_hour",
     "dedup_latest",
     "null_profile",
+]
+
+_DRIVER_WINDOW_PARKED = [
+    # Parked in r7: all 31 earned fresh driver-green rows in
+    # CORRECTNESS_r06 (they were _DRIVER_WINDOW_FIRST last round), so
+    # their evidence is the newest in the registry. Rotate them back in
+    # a future round.
+    "similarity_lsh",
+    "similarity_ivf",
+    "similarity_ivf_kmeans",
+    "corpus_prep",
+    "train_split",
+    "stratified_sample",
+    "doc_chunks",
+    "text_normalize",
+    "pack_chunks",
+    "corpus_prep_full",
+    "streaming_hourly",
+    "sessionize",
+    "streaming_enrich",
+    "streaming_asof",
+    "doc_repetition",
+    "contamination",
+    "corpus_mix",
+    "dedup_clusters",
+    "vocab_topk",
+    "shuffle_shards",
+    "tfidf_topk",
+    "lm_score",
+    "embedding_clusters",
+    "doc_outliers",
+    "source_profile",
+    "corpus_increment",
+    "boilerplate_filter",
+    "json_extract",
+    "snapshot_diff",
+    "corpus_funnel",
+    "embedding_clusters_kmeans",
 ]
 
 
