@@ -44,6 +44,19 @@ def main() -> None:
     first = next(iter(QUERIES.values()))
     first.build(spark, sf_dir).collect()
 
+    # The FIRST query through a long regexp_replace chain pays ~1.1 s
+    # of one-time codegen + java.util.regex JIT (SURVEY.md §8 r7 A/B:
+    # text_normalize 1.60 s cold → 0.45-0.51 s warm in one session;
+    # the r6 "3.6x regression" was this cost landing inside the
+    # measurement after the window rotation moved the query from bench
+    # position 57 to 4). Absorb it on a 2-row in-memory frame so regex
+    # queries measure their plans, not session bring-up.
+    from energydatalake_spark.text.normalize_text import normalize_text
+
+    normalize_text(
+        spark.createDataFrame([("warm 123",), ("up",)], "text string")
+    ).collect()
+
     # The FIRST stateful streaming query in a session pays one-time
     # state-store/streaming-machinery init (~4.7 s measured, SURVEY.md
     # §8 r6 A/B) — absorb it with a throwaway 2-row stream so the
