@@ -8,9 +8,13 @@ rewrite a folder into ~target-sized files, optionally sorted on a
 filter column so min/max row-group statistics prune reads.
 
 Safety contract (the part that matters in production): the rewrite
-goes to a temp sibling directory, is VERIFIED against the source row
-count before any destructive step, and nothing is deleted until the
-new layout is live. The swap is two directory renames; a crash
+goes to a temp sibling directory, is VERIFIED against the source —
+row count AND an order-independent whole-content checksum (sum of
+per-row xxhash64 over every column), so a rewrite that corrupted or
+reordered values inside rows cannot pass — before any destructive
+step, and nothing is deleted until the new layout is live. Folders
+containing entries the rewrite cannot carry (subdirectories,
+non-parquet data files) are refused up front. The swap is two directory renames; a crash
 between them leaves BOTH complete layouts on disk (the canonical
 path is briefly absent — recovery is renaming the ``__precompact``
 backup back) — data is never half-mixed and never lost. A failed
@@ -35,7 +39,8 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _partition_dirs(folder: str) -> list[str]:
@@ -45,6 +50,33 @@ def _partition_dirs(folder: str) -> list[str]:
         for f in os.listdir(folder)
         if "=" in f and os.path.isdir(os.path.join(folder, f))
     ]
+
+
+def _foreign_entries(folder: str) -> list[str]:
+    """Non-hidden entries a flat parquet rewrite would silently drop:
+    subdirectories of any kind and non-parquet data files. The rewrite
+    only carries ``spark.read.parquet``-visible rows, so anything else
+    in the folder (a stray CSV export, a nested folder) must refuse the
+    compaction rather than vanish."""
+    out = []
+    for f in os.listdir(folder):
+        if f.startswith(("_", ".")):
+            continue  # Spark/_SUCCESS markers, hidden files
+        p = os.path.join(folder, f)
+        if os.path.isdir(p) or not f.endswith(".parquet"):
+            out.append(f)
+    return out
+
+
+def _content_checksum(df: DataFrame) -> int:
+    """Order-independent whole-content checksum: exact decimal sum of
+    per-row xxhash64 over every column. Any changed, dropped, or
+    duplicated value moves it; row order does not (the rewrite
+    reorders rows by design)."""
+    row = df.select(
+        F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("c")
+    ).collect()[0]
+    return int(row["c"]) if row["c"] is not None else 0
 
 
 def compact_folder(
@@ -78,8 +110,16 @@ def compact_folder(
             f"({parts[0]}, ...); a flat rewrite would drop the partition "
             f"layout — compact per partition by passing the subfolder"
         )
+    foreign = _foreign_entries(folder)
+    if foreign:
+        raise ValueError(
+            f"compact_folder: {folder} contains non-parquet entries the "
+            f"rewrite would silently drop ({foreign[:3]}, ...); move them "
+            f"out (or compact a parquet-only folder) first"
+        )
     df = spark.read.parquet(folder)
     n_rows = df.count()
+    checksum = _content_checksum(df)
     files_before = len(_parts(folder))
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
     if sort_by:
@@ -91,11 +131,21 @@ def compact_folder(
     tmp = f"{folder.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
     try:
         out.write.mode("overwrite").parquet(tmp)
-        n_new = spark.read.parquet(tmp).count()
+        rewritten = spark.read.parquet(tmp)
+        n_new = rewritten.count()
         if n_new != n_rows:
             raise RuntimeError(
                 f"compact_folder: rewrite row count {n_new} != source "
                 f"{n_rows}; original left untouched"
+            )
+        # Row count alone would accept a rewrite that corrupted values;
+        # the order-independent content checksum must survive the
+        # rewrite bit-for-bit BEFORE anything destructive happens.
+        c_new = _content_checksum(rewritten)
+        if c_new != checksum:
+            raise RuntimeError(
+                f"compact_folder: rewrite content checksum {c_new} != "
+                f"source {checksum}; original left untouched"
             )
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)

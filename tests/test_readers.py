@@ -209,3 +209,104 @@ def test_compact_folder_refuses_partitioned_root(spark, tmp_path):
     sub = os.path.join(folder, "dt=0")
     stats = compact_folder(spark, sub, target_rows_per_file=1000)
     assert stats["rows"] == 34 and stats["files_after"] == 1
+
+
+def test_compact_folder_refuses_foreign_entries(spark, tmp_path):
+    """Entries a flat parquet rewrite would silently drop — nested
+    directories, non-parquet data files — must refuse the compaction
+    up front (the row-count/checksum verify cannot see them)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.io.maintenance import compact_folder
+
+    folder = str(tmp_path / "warehouse_mixed")
+    spark.range(0, 100).select(F.col("id")).write.parquet(folder)
+    side = os.path.join(folder, "export.csv")
+    with open(side, "w") as f:
+        f.write("id\n1\n")
+    with pytest.raises(ValueError, match="non-parquet"):
+        compact_folder(spark, folder)
+    assert os.path.exists(side)  # untouched
+
+    os.remove(side)
+    os.mkdir(os.path.join(folder, "nested"))
+    with pytest.raises(ValueError, match="non-parquet"):
+        compact_folder(spark, folder)
+    assert spark.read.parquet(folder).count() == 100  # untouched
+
+
+def test_compact_folder_checksum_blocks_corrupt_rewrite(spark, tmp_path, monkeypatch):
+    """The swap must be gated on CONTENT, not just row count: if the
+    rewritten folder hashes differently from the source, nothing is
+    renamed or deleted and the original stays canonical."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.io import maintenance
+
+    folder = str(tmp_path / "warehouse_ck")
+    spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    ).repartition(4).write.parquet(folder)
+
+    real = maintenance._content_checksum
+    calls = {"n": 0}
+
+    def corrupted(df):
+        # source checksum passes through; the rewrite's is perturbed,
+        # simulating a rewrite that kept the row count but changed a
+        # value somewhere.
+        calls["n"] += 1
+        return real(df) + (1 if calls["n"] > 1 else 0)
+
+    monkeypatch.setattr(maintenance, "_content_checksum", corrupted)
+    with pytest.raises(RuntimeError, match="content checksum"):
+        maintenance.compact_folder(spark, folder, target_rows_per_file=500)
+    # original canonical and intact; temp rewrite cleaned up
+    assert spark.read.parquet(folder).count() == 1000
+    parent = os.path.dirname(folder)
+    leftovers = [f for f in os.listdir(parent) if "__compact" in f or "__precompact" in f]
+    assert leftovers == []
+
+
+def test_compacted_sorted_layout_prunes_row_groups(spark, tmp_path):
+    """The pruning claim, measured (VERDICT r6 #4): after compaction
+    with sort_by, a selective range predicate decodes only the files
+    whose min/max overlap the range. Evidence = the FileSourceScan
+    'numOutputRows' metric (rows surviving parquet row-group skipping,
+    before Spark's residual Filter): ~all rows on the unsorted layout,
+    roughly one file's worth on the sorted one."""
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.io.maintenance import compact_folder
+
+    def scan_rows(df):
+        df.collect()
+        scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return scan.metrics().apply("numOutputRows").value()
+
+    n, pred = 40_000, "id BETWEEN 1000 AND 1099"
+    folder = str(tmp_path / "warehouse_sorted")
+    # unsorted accretion layout: every file spans the full id range
+    spark.range(0, n).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(8).write.parquet(folder)
+
+    before = scan_rows(spark.read.parquet(folder).filter(pred))
+    assert before == n  # no skipping possible: all row groups overlap
+
+    stats = compact_folder(
+        spark, folder, target_rows_per_file=5_000, sort_by=["id"]
+    )
+    assert stats["files_after"] == 8
+    after_df = spark.read.parquet(folder).filter(pred)
+    after = scan_rows(after_df)
+    # disjoint per-file ranges: the predicate overlaps one 5k-row file
+    assert after <= 5_000, f"sorted layout decoded {after} rows"
+    assert after < before / 4
+    assert after_df.count() == 100
