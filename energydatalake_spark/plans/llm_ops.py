@@ -726,7 +726,8 @@ WITH m AS (
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
   FROM embeddings
 ),
-cent AS (SELECT vec_id AS cell_id, v AS cv, nm AS cnm FROM m WHERE vec_id < {IVF_CELLS}),
+cent AS (SELECT vec_id AS cell_id, v AS cv, nm AS cnm FROM m
+         ORDER BY vec_id LIMIT {IVF_CELLS}),
 assign AS (
   SELECT vec_id, cell_id FROM (
     SELECT m.vec_id, cent.cell_id,
@@ -1884,7 +1885,8 @@ WITH m AS (
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
   FROM embeddings
 ),
-cent AS (SELECT vec_id AS cell_id, v AS cv, nm AS cnm FROM m WHERE vec_id < {IVF_CELLS}),
+cent AS (SELECT vec_id AS cell_id, v AS cv, nm AS cnm FROM m
+         ORDER BY vec_id LIMIT {IVF_CELLS}),
 assign AS (
   SELECT vec_id, cell_id, nm FROM (
     SELECT m.vec_id, cent.cell_id, m.nm,
