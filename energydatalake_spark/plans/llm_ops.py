@@ -20,6 +20,7 @@ from energydatalake_spark.plans.registry import _r
 from energydatalake_spark.similarity.search import cosine_topk, lsh_topk
 from energydatalake_spark.text.dedup import (
     exact_dedup,
+    line_dedup,
     minhash_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -2295,6 +2296,85 @@ FROM flags
 """
 
 
+
+LINE_W, LINE_DF = 3, 2  # 3-word lines; in >LINE_DF docs = corpus boilerplate
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus line-frequency dedup (CCNet/RefinedWeb line dedup): drop
+    every occurrence of lines that appear in more than ``LINE_DF``
+    documents, reassembling each document from its surviving lines in
+    order. Where ``boilerplate_filter`` SCORES a document by its
+    shingle boilerplate fraction, this op REWRITES the text — the two
+    are the score/transform pair of the same cleaning stage.
+
+    The synthetic corpus has no newlines, so the query first gives it
+    deterministic line structure — consecutive non-overlapping
+    ``LINE_W``-word chunks joined by \n (the same chunking rule both
+    engines replay) — then runs the REAL operator
+    (``text.dedup.line_dedup``) on that line-structured text.
+
+    Scale shape (see line_dedup's docstring): lines shuffle as 60-bit
+    hashes; the drop set is boilerplate-sized and broadcasts; the
+    reassembly groups one document per task.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(LINE_W)).cast("int")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.array_join(
+                    F.slice(words, (i - F.lit(1)) * LINE_W + F.lit(1), LINE_W),
+                    " ",
+                ),
+            ),
+        ).alias("text_nl"),
+    )
+    out = line_dedup(
+        lined, text_col="text_nl", id_col="doc_id", sep="\n", max_df=LINE_DF
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5(F.col("text_kept")).alias("kept_md5"),
+        F.length(F.col("text_kept")).cast("long").alias("kept_chars"),
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+c AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(tk[(i - 1) * {LINE_W} + 1:(i - 1) * {LINE_W} + {LINE_W}], ' ') AS line
+  FROM t, UNNEST(range(1, (len(tk) + {LINE_W} - 1) // {LINE_W} + 1)) AS u(i)
+),
+h AS (
+  SELECT doc_id, pos, line,
+         ('0x' || substr(md5(line), 1, 15))::BIGINT AS lh
+  FROM c
+),
+f AS (SELECT lh, COUNT(DISTINCT doc_id) AS line_df FROM h GROUP BY lh),
+k AS (SELECT doc_id, pos, line, line_df <= {LINE_DF} AS keep
+      FROM h JOIN f USING (lh))
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE keep), '')) AS kept_md5,
+       CAST(len(COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                           FILTER (WHERE keep), '')) AS BIGINT) AS kept_chars
+FROM k
+GROUP BY doc_id
+"""
+
+
 LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("tfidf_topk", q_tfidf_topk, SQL_TFIDF_TOPK, "ext:tfidf-keywords"),
     ("source_profile", q_source_profile, SQL_SOURCE_PROFILE,
@@ -2305,6 +2385,7 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
      "ext:incremental-ingest-dedup"),
     ("boilerplate_filter", q_boilerplate_filter, SQL_BOILERPLATE_FILTER,
      "ext:boilerplate-phrase-filter"),
+    ("line_dedup", q_line_dedup, SQL_LINE_DEDUP, "ext:line-frequency-dedup"),
     ("lm_score", q_lm_score, SQL_LM_SCORE, "ext:bigram-lm-quality"),
     ("embedding_clusters", q_embedding_clusters, SQL_EMBEDDING_CLUSTERS,
      "ext:embedding-clustering"),

@@ -1777,10 +1777,12 @@ _DRIVER_WINDOW_FIRST = [
 ]
 
 _DRIVER_WINDOW_PARKED = [
-    # Parked in r7: all 31 earned fresh driver-green rows in
-    # CORRECTNESS_r06 (they were _DRIVER_WINDOW_FIRST last round), so
-    # their evidence is the newest in the registry. Rotate them back in
-    # a future round.
+    # Parked in r7: all earned fresh driver-green rows in
+    # CORRECTNESS_r06 (streaming_dedup from the middle block, the rest
+    # were _DRIVER_WINDOW_FIRST last round), so their evidence is the
+    # newest in the registry. streaming_dedup makes room for the new
+    # line_dedup entry; rotate all back in a future round.
+    "streaming_dedup",
     "similarity_lsh",
     "similarity_ivf",
     "similarity_ivf_kmeans",

@@ -452,3 +452,65 @@ def simhash_pairs(
         cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_df: int = 1,
+    out_col: str = "text_kept",
+) -> DataFrame:
+    """CCNet-style corpus line deduplication: split each document into
+    lines on ``sep`` (a regex for the split; also the literal joiner on
+    reassembly), compute each distinct line's corpus doc-frequency, and
+    drop every occurrence of lines appearing in more than ``max_df``
+    documents (headers, footers, cookie banners, licence blocks — the
+    line-structured sibling of the shingle-based boilerplate filter).
+    Surviving lines are reassembled in original order.
+
+    Returns one row per input document: ``(id_col, n_lines, n_kept,
+    out_col)`` — a document whose every line is boilerplate survives
+    with ``out_col = ''``, so the caller decides the drop policy.
+
+    Scale shape: lines shuffle as 60-bit md5-reduced longs, never
+    strings, and the doc-frequency table aggregates map-side. The drop
+    set (lines with df > max_df) is boilerplate-sized — bounded by
+    total_lines / max_df and in practice tiny next to the corpus — so
+    it broadcasts and the per-line keep decision is a broadcast left
+    join, not a corpus-vs-corpus shuffle. If a degenerate corpus ever
+    overflows the broadcast, removing the hint falls back to a shuffle
+    join with identical semantics. Reassembly groups a single document
+    per task (a document fits in memory by definition).
+    """
+    from energydatalake_spark.text.stats import _hex15_to_long
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("lh", _hex15_to_long(F.md5(F.col("line"))))
+    dfreq = (
+        lines.select("lh", id_col)
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+    )
+    drop = dfreq.filter(F.col("line_df") > max_df).select(
+        "lh", F.lit(True).alias("is_boiler")
+    )
+    flagged = lines.join(F.broadcast(drop), "lh", "left")
+    keep = F.col("is_boiler").isNull()
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "line")))
+                ),
+                lambda x: x["line"],
+            ),
+        ).alias(out_col),
+    )

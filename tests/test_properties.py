@@ -781,3 +781,49 @@ def test_embedding_lsh_matches_python_model(spark, rng_seed):
     assert set(got) == set(want)
     for pair in got:
         assert abs(got[pair] - want[pair]) < 1e-12
+
+
+def _py_line_dedup(texts, max_df):
+    """Independent model of text.dedup.line_dedup: corpus line
+    doc-frequency (distinct docs), drop lines with df > max_df, keep
+    order, reassemble."""
+    from collections import Counter
+
+    split = {i: t.split("\n") for i, t in enumerate(texts)}
+    dfc: Counter = Counter()
+    for lines in split.values():
+        dfc.update(set(lines))
+    out = {}
+    for i, lines in split.items():
+        kept = [ln for ln in lines if dfc[ln] <= max_df]
+        out[i] = (len(lines), len(kept), "\n".join(kept))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["", "a", "bb", "header x", "footer y", "zz 1"]),
+            min_size=1,
+            max_size=6,
+        ).map("\n".join),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(1, 3),
+)
+@_prop_settings
+def test_line_dedup_matches_python_model(spark, texts, max_df):
+    """Tiny line alphabet makes cross-document repeats (and the
+    all-lines-dropped edge) common; the model recomputes doc-frequency
+    and reassembly independently of the Spark/SQL machinery."""
+    from energydatalake_spark.text.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.text_kept)
+        for r in line_dedup(df, max_df=max_df).collect()
+    }
+    assert got == _py_line_dedup(texts, max_df)
