@@ -7,6 +7,7 @@ import os
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from energydatalake_spark.pipelines import ercot
 from energydatalake_spark.pipelines.fixtures import generate_all
@@ -299,3 +300,107 @@ def test_upsert_null_and_pre1900_dates_exactly_once(spark, tmp_path):
     upsert_table(df, path, keys=["k"], partition_date_col="t")  # redelivery
     got = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
     assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]  # each exactly once
+
+
+def test_upsert_matches_duckdb_insert_only_merge(spark, tmp_path):
+    """The writers.py claim is "on Delta/Iceberg the same call-site
+    maps 1:1 onto MERGE ... WHEN NOT MATCHED INSERT — a format swap,
+    not a semantics change". No Delta jar ships in this environment,
+    so pin the SEMANTICS half of that claim against an independent
+    engine: replay the same batch sequence through DuckDB's insert-only
+    merge (null-safe NOT EXISTS anti-join, the relational definition of
+    WHEN NOT MATCHED) and require the final tables to match row-for-row
+    — including redelivery, within-batch duplicates, and a null key."""
+    import duckdb
+
+    from energydatalake_spark.io.writers import upsert_table
+
+    path = str(tmp_path / "sink")
+    batches = [
+        [("a", 1, "2024-01-01 00:00:00"), ("b", 2, "2024-01-01 01:00:00")],
+        # redelivery of a + a genuinely new key + an exact in-batch dup
+        [("a", 1, "2024-01-01 00:00:00"), ("c", 3, "2024-01-02 00:00:00"),
+         ("c", 3, "2024-01-02 00:00:00")],
+        # null key (inserts exactly once across both deliveries)
+        [(None, 9, "2024-01-03 00:00:00"), (None, 9, "2024-01-03 00:00:00")],
+    ]
+    schema = "k string, v bigint, t string"
+    for rows in batches:
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "t", F.to_timestamp("t")
+        )
+        upsert_table(df, path, keys=["k"], partition_date_col="t")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE target (k VARCHAR, v BIGINT, t TIMESTAMP)")
+    for rows in batches:
+        con.execute("CREATE OR REPLACE TABLE batch (k VARCHAR, v BIGINT, t TIMESTAMP)")
+        con.executemany("INSERT INTO batch VALUES (?, ?, ?)", rows)
+        con.execute("""
+            INSERT INTO target
+            SELECT DISTINCT k, v, t FROM batch b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM target t2 WHERE t2.k IS NOT DISTINCT FROM b.k
+            )
+        """)
+    nonefirst = lambda r: (r[0] is None, r)  # noqa: E731 — None-safe sort
+    want = sorted(
+        con.execute("SELECT k, v, CAST(t AS VARCHAR) FROM target").fetchall(),
+        key=nonefirst,
+    )
+    got = sorted(
+        (
+            (r.k, r.v, str(r.t))
+            for r in spark.read.parquet(path).select("k", "v", "t").collect()
+        ),
+        key=nonefirst,
+    )
+    assert got == want
+
+
+def test_upsert_concurrent_writer_boundary_is_documented(spark, tmp_path):
+    """The OTHER half of the Delta-mapping claim — what plain Parquet
+    does NOT give: two writers merging the same key against the same
+    table snapshot both see it absent and both insert (lost update).
+    Delta's MERGE serializes exactly this through the transaction log;
+    our contract is single-writer (the reference's Scheduler-serialized
+    jobs, writers.py "Single-writer semantics"). This test freezes the
+    boundary deterministically: writer A computes its merge decision on
+    the old snapshot, writer B commits first, A appends afterwards —
+    the duplicate key MUST appear. If this assertion ever starts
+    failing, the non-atomicity documentation is stale (e.g. someone
+    added locking) and both must be revisited together."""
+    from energydatalake_spark.io.writers import _fresh_rows, upsert_table
+
+    path = str(tmp_path / "sink_race")
+    schema = "k string, v bigint, t string"
+
+    def batch(v):
+        return spark.createDataFrame(
+            [("dup", v, "2024-01-01 00:00:00")], schema
+        ).withColumn("t", F.to_timestamp("t"))
+
+    upsert_table(batch(0), path, keys=["k"], partition_date_col="t")
+    seeded = spark.read.parquet(path)
+    assert seeded.count() == 1
+
+    # Writer A: merge decision against the CURRENT snapshot, for a key
+    # not yet present — materialized now, before B commits.
+    a_fresh = _fresh_rows(
+        batch(1).withColumn("dt", F.to_date("t")).withColumn("k", F.lit("race")),
+        seeded,
+        ["k"],
+    ).collect()
+    assert len(a_fresh) == 1
+    # Writer B: full upsert of the same new key commits first.
+    upsert_table(
+        batch(2).withColumn("k", F.lit("race")).drop("dt"),
+        path,
+        keys=["k"],
+        partition_date_col="t",
+    )
+    # Writer A: append of its stale decision — plain Parquet accepts it.
+    spark.createDataFrame(a_fresh).write.mode("append").partitionBy("dt").parquet(path)
+
+    n_race = spark.read.parquet(path).filter(F.col("k") == "race").count()
+    assert n_race == 2  # the documented lost-update: one key, two rows
