@@ -2375,6 +2375,221 @@ GROUP BY doc_id
 """
 
 
+
+LM_T1, LM_T2 = 1.0 / 3.0, 2.0 / 3.0  # per-lang tercile cutpoints
+
+
+def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing: split each language's documents
+    into head / middle / tail by terciles of the bigram-LM fluency
+    score (``lm_score``'s avg_logp — high score = low perplexity =
+    head). Downstream mixes then sample the buckets at different
+    rates; this op emits the per-document assignment.
+
+    Scale shape: the cutpoint table is languages-sized (2 doubles per
+    lang) and broadcasts back; the bucket decision is a per-row CASE.
+    Cutpoints use EXACT per-group ``percentile`` for the value-hash
+    oracle (the ``quantiles`` precedent: exact interpolation + 1e-6
+    rounding is engine-portable; sort is per-lang, not global). At
+    100 TB swap in ``approx_percentile`` (mergeable GK sketch, bounded
+    relative error) at the same call site — cutpoints are estimates of
+    a distribution, so sketch error moves a sliver of borderline docs
+    between adjacent buckets, it does not corrupt the semantics.
+    Documents with <2 tokens carry no LM signal and are absent, as in
+    ``lm_score``."""
+    from energydatalake_spark.text.relevance import bigram_lm_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = bigram_lm_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    cuts = (
+        scored.groupBy("lang")
+        .agg(
+            F.percentile(
+                F.col("avg_logp"), F.array(F.lit(LM_T1), F.lit(LM_T2))
+            ).alias("q")
+        )
+        .select(
+            "lang",
+            _r(F.element_at("q", 1), 6).alias("q1"),
+            _r(F.element_at("q", 2), 6).alias("q2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("avg_logp") >= F.col("q2"), F.lit("head"))
+        .when(F.col("avg_logp") >= F.col("q1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "avg_logp", bucket.alias("bucket")
+    )
+
+
+SQL_LM_BUCKETS = f"""
+WITH s AS ({SQL_LM_SCORE}),
+d AS (
+  SELECT s.doc_id, doc.lang, s.avg_logp
+  FROM s JOIN documents doc USING (doc_id)
+),
+cut AS (
+  SELECT lang,
+         FLOOR(quantile_cont(avg_logp, {LM_T1!r}) * 1000000.0 + 0.5)
+           / 1000000.0 AS q1,
+         FLOOR(quantile_cont(avg_logp, {LM_T2!r}) * 1000000.0 + 0.5)
+           / 1000000.0 AS q2
+  FROM d GROUP BY lang
+)
+SELECT doc_id, lang, avg_logp,
+       CASE WHEN avg_logp >= q2 THEN 'head'
+            WHEN avg_logp >= q1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM d JOIN cut USING (lang)
+"""
+
+
+
+SOURCE_CAP = 15  # max documents any one source may contribute
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (text/sampling.py
+    ``cap_per_domain``): rank each source's documents by the frozen
+    (salt, id) hash order and flag rank > SOURCE_CAP for drop — the
+    crawl-mix downsampler that keeps one giant domain from dominating
+    training data. Emits every document with its rank and flag (audit
+    form); the keep-only form is the same plan with the WindowGroupLimit
+    rank<=k pushdown."""
+    from energydatalake_spark.text.sampling import cap_per_domain
+
+    docs = read_table(spark, sf_dir, "documents")
+    return cap_per_domain(docs, cap=SOURCE_CAP, domain_col="source").select(
+        "doc_id",
+        F.col("source").alias("domain"),
+        F.col("cap_rank").cast("long").alias("cap_rank"),
+        "kept",
+    )
+
+
+def _sql_source_cap() -> str:
+    from energydatalake_spark.text.sampling import sql_cap_per_domain
+
+    return sql_cap_per_domain(SOURCE_CAP)
+
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the sign-LSH tier against
+    the exact brute-force top-k, per query — the measurement that
+    decides whether an approximate index's (n_planes, n_tables) knobs
+    are safe to deploy. Composes the two existing search tiers and
+    joins their result sets on (query_id, vec_id).
+
+    Scale shape: both searches emit nq·k rows (query-set-sized, tiny
+    next to the corpus); the comparison join and per-query aggregate
+    run on those result sets, so evaluation adds nothing to the
+    corpus-side cost beyond the second search. Exact tie handling:
+    both tiers break cosine ties by ascending vec_id, so recall is
+    deterministic."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=TOPK_K).select("query_id", "vec_id")
+    approx = lsh_topk(
+        emb, queries, k=TOPK_K, n_planes=LSH_PLANES, dim=LSH_DIM
+    ).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_eff"))
+    return (
+        base.join(n_hits, "query_id", "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .select(
+            "query_id",
+            "k_eff",
+            "n_hits",
+            _r(F.col("n_hits").cast("double") / F.col("k_eff"), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+WITH exact AS ({SQL_SIMILARITY_TOPK}),
+approx AS ({_sql_similarity_lsh()}),
+hits AS (
+  SELECT e.query_id, e.vec_id
+  FROM exact e
+  WHERE EXISTS (SELECT 1 FROM approx a
+                WHERE a.query_id = e.query_id AND a.vec_id = e.vec_id)
+),
+n AS (SELECT query_id, COUNT(*) AS n_hits FROM hits GROUP BY query_id),
+base AS (SELECT query_id, COUNT(*) AS k_eff FROM exact GROUP BY query_id)
+SELECT base.query_id, base.k_eff,
+       COALESCE(n.n_hits, 0) AS n_hits,
+       FLOOR(CAST(COALESCE(n.n_hits, 0) AS DOUBLE) / k_eff * 1000000.0 + 0.5)
+         / 1000000.0 AS recall
+FROM base LEFT JOIN n USING (query_id)
+"""
+
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication verdict: embedding-cosine
+    near-dup pairs from the sub-quadratic sign-LSH tier (identical
+    parameters to `dedup_embedding_lsh`) closed into connected
+    components, every vector labeled with its component's min id and
+    the minimum member kept — the embedding-space twin of
+    `dedup_clusters` (which closes MinHash TEXT pairs). Together they
+    are the full keep-one dedup decision for both modalities.
+
+    Scale shape inherits from its parts: banded multi-table LSH (no
+    all-pairs), then component closure iterating the DUPLICATE GRAPH
+    (pairs-sized, not corpus-sized) with localCheckpoint lineage
+    truncation per round."""
+    from energydatalake_spark.operators.graph import connected_components
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_lsh(
+        emb,
+        threshold=ND_THRESHOLD,
+        n_planes=ND_LSH_PLANES,
+        dim=LSH_DIM,
+        n_tables=ND_LSH_TABLES,
+    )
+    cc = connected_components(
+        pairs.select("id_a", "id_b"), nodes=emb, node_col="vec_id"
+    )
+    return cc.select(
+        F.col("v").alias("vec_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("v")).alias("keep"),
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_EMBEDDING_LSH}),
+edges AS (
+  SELECT id_a AS v, id_b AS u FROM pairs
+  UNION
+  SELECT id_b AS v, id_a AS u FROM pairs
+),
+reach AS (
+  SELECT vec_id AS v, vec_id AS r FROM embeddings
+  UNION
+  SELECT e.v, reach.r FROM edges e JOIN reach ON reach.v = e.u
+)
+SELECT v AS vec_id,
+       MIN(r) AS cluster_id,
+       (MIN(r) = v) AS keep
+FROM reach GROUP BY v
+"""
+
+
 LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("tfidf_topk", q_tfidf_topk, SQL_TFIDF_TOPK, "ext:tfidf-keywords"),
     ("source_profile", q_source_profile, SQL_SOURCE_PROFILE,
@@ -2387,6 +2602,7 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
      "ext:boilerplate-phrase-filter"),
     ("line_dedup", q_line_dedup, SQL_LINE_DEDUP, "ext:line-frequency-dedup"),
     ("lm_score", q_lm_score, SQL_LM_SCORE, "ext:bigram-lm-quality"),
+    ("lm_buckets", q_lm_buckets, SQL_LM_BUCKETS, "ext:perplexity-buckets"),
     ("embedding_clusters", q_embedding_clusters, SQL_EMBEDDING_CLUSTERS,
      "ext:embedding-clustering"),
     ("embedding_clusters_kmeans", q_embedding_clusters_kmeans,
@@ -2397,6 +2613,7 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("contamination", q_contamination, SQL_CONTAMINATION,
      "ext:benchmark-decontamination"),
     ("corpus_mix", q_corpus_mix, SQL_CORPUS_MIX, "ext:domain-mix-upsample"),
+    ("source_cap", q_source_cap, _sql_source_cap(), "ext:domain-cap-downsample"),
     ("dedup_clusters", q_dedup_clusters, _sql_dedup_clusters(),
      "ext:dedup-cluster-cc"),
     ("vocab_topk", q_vocab_topk, SQL_VOCAB_TOPK, "ext:vocab-counts"),
@@ -2405,6 +2622,8 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("text_stats", q_text_stats, SQL_TEXT_STATS, "ext:text-stats"),
     ("token_count", q_token_count, SQL_TOKEN_COUNT, "ext:token-count"),
     ("dedup_embedding", q_dedup_embedding, SQL_DEDUP_EMBEDDING, "ext:dedup-embedding"),
+    ("semantic_dedup", q_semantic_dedup, _sql_semantic_dedup(),
+     "ext:semantic-dedup keep-one"),
     ("dedup_embedding_lsh", q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH,
      "ext:dedup-embedding-lsh scale path"),
     ("multimodal_decode", q_multimodal_decode, SQL_MULTIMODAL_DECODE, "ext:multimodal"),
@@ -2422,6 +2641,7 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("simhash_pairs", q_simhash_pairs, SQL_SIMHASH_PAIRS, "ext:dedup-simhash-pairs"),
     ("similarity_topk", q_similarity_topk, SQL_SIMILARITY_TOPK, "ext:ann-bruteforce"),
     ("similarity_lsh", q_similarity_lsh, SQL_SIMILARITY_LSH, "ext:ann-lsh"),
+    ("ann_recall", q_ann_recall, _sql_ann_recall(), "ext:ann-recall-eval"),
     ("similarity_ivf", q_similarity_ivf, SQL_SIMILARITY_IVF, "ext:ann-ivf"),
     (
         "similarity_ivf_kmeans",

@@ -1742,7 +1742,13 @@ DRIVER_WINDOW = 50
 _DRIVER_WINDOW_FIRST = [
     # r7 rotation (VERDICT r6 #1): the 31 SURVEY-§2 core queries parked
     # in r6 come back into the window so every §2 operator regains a
-    # fresh driver row (their newest rows were r5).
+    # fresh driver row (their newest rows were r5). The five r7-new
+    # queries go here too — they have never had a driver row.
+    "line_dedup",
+    "lm_buckets",
+    "source_cap",
+    "ann_recall",
+    "semantic_dedup",
     "skew_join",
     "asof_join",
     "text_stats",
@@ -1780,8 +1786,14 @@ _DRIVER_WINDOW_PARKED = [
     # Parked in r7: all earned fresh driver-green rows in
     # CORRECTNESS_r06 (streaming_dedup from the middle block, the rest
     # were _DRIVER_WINDOW_FIRST last round), so their evidence is the
-    # newest in the registry. streaming_dedup makes room for the new
-    # line_dedup entry; rotate all back in a future round.
+    # newest in the registry. streaming_dedup, similarity_topk and
+    # simhash_pairs, simhash and ngram_jaccard make room for the five
+    # r7-new entries (line_dedup, lm_buckets, source_cap, ann_recall,
+    # semantic_dedup); rotate all back in a future round.
+    "ngram_jaccard",
+    "simhash",
+    "simhash_pairs",
+    "similarity_topk",
     "streaming_dedup",
     "similarity_lsh",
     "similarity_ivf",

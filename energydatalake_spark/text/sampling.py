@@ -239,3 +239,59 @@ def shuffle_shards(
         .withColumn("shard", F.pmod(F.col("sort_key"), F.lit(n_shards)).cast("int"))
         .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
     )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic per-domain document cap — the crawl-pipeline
+    downsampler that stops one over-represented domain from dominating
+    the mix: within each domain, rank documents by the portable
+    (salt, id) hash (a frozen uniform-random order — changing ``salt``
+    redraws it) and keep rank ≤ ``cap``. Emits every row with its
+    ``cap_rank`` and ``kept`` flag so callers can audit what a cap
+    value would drop before applying it.
+
+    Scale shape: one shuffle on the domain key; the rank ≤ cap filter
+    is a top-k per group, which Spark executes as WindowGroupLimit
+    (per-partition heap of ``cap`` rows, map-side, then final per-group
+    limit) when the caller filters ``kept`` — no full per-domain sort
+    materializes. Deterministic and partition-invariant: the hash
+    order is a pure function of (salt, id).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        _hex15_to_long(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+        ),
+        F.col(id_col),
+    )
+    return df.withColumn("cap_rank", F.row_number().over(w)).withColumn(
+        "kept", F.col("cap_rank") <= cap
+    )
+
+
+def sql_cap_per_domain(
+    cap: int,
+    domain_expr: str = "source",
+    id_expr: str = "doc_id",
+    salt: str = "v1",
+) -> str:
+    """DuckDB twin of ``cap_per_domain`` over the documents view."""
+    return f"""
+SELECT doc_id, {domain_expr} AS domain,
+       ROW_NUMBER() OVER (
+         PARTITION BY {domain_expr}
+         ORDER BY {_sql_hash_key(id_expr, salt)}, {id_expr}
+       ) AS cap_rank,
+       ROW_NUMBER() OVER (
+         PARTITION BY {domain_expr}
+         ORDER BY {_sql_hash_key(id_expr, salt)}, {id_expr}
+       ) <= {cap} AS kept
+FROM documents
+"""

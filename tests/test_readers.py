@@ -306,7 +306,9 @@ def test_compacted_sorted_layout_prunes_row_groups(spark, tmp_path):
     assert stats["files_after"] == 8
     after_df = spark.read.parquet(folder).filter(pred)
     after = scan_rows(after_df)
-    # disjoint per-file ranges: the predicate overlaps one 5k-row file
-    assert after <= 5_000, f"sorted layout decoded {after} rows"
+    # disjoint per-file ranges: the predicate overlaps one ~5k-row
+    # file (repartitionByRange bounds come from a sample, so file row
+    # counts wobble around the target — allow 1.5x one file)
+    assert after <= 7_500, f"sorted layout decoded {after} rows"
     assert after < before / 4
     assert after_df.count() == 100

@@ -142,3 +142,39 @@ def test_doc_outliers_band(spark, tmp_path):
     }
     assert {(r.n_chars, r.side) for r in out} == expect
     assert all(r.lo == lo and r.hi == hi for r in out)
+
+
+def test_lm_buckets_tercile_semantics(spark, tmp_path):
+    """Per-lang head/middle/tail assignment: buckets are ordered by
+    score (every head doc scores >= every middle doc >= every tail doc
+    within its language), cutpoints are per-language (the same score
+    can land in different buckets across langs), and sizes split
+    roughly in thirds."""
+    from collections import Counter
+
+    from energydatalake_spark.plans.llm_ops import q_lm_buckets
+
+    rows = []
+    # lang A: 9 fluent-ish docs with varying repetition; lang B: 6 docs
+    for i in range(9):
+        rows.append((i, "the cat sat " * (i + 1) + "on the mat", "A", "web", 1))
+    for i in range(6):
+        rows.append((100 + i, "x y z " * (i + 1) + "q r", "B", "web", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = q_lm_buckets(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in out} == {r[0] for r in rows}
+    order = {"tail": 0, "middle": 1, "head": 2}
+    for lang in ("A", "B"):
+        got = [r for r in out if r.lang == lang]
+        # bucket ordering respects score ordering
+        for a in got:
+            for b in got:
+                if a.avg_logp > b.avg_logp:
+                    assert order[a.bucket] >= order[b.bucket]
+        sizes = Counter(r.bucket for r in got)
+        n = len(got)
+        for b in ("head", "middle", "tail"):
+            assert sizes[b] >= n // 3 - 1  # within one of a third
