@@ -2400,8 +2400,16 @@ def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energydatalake_spark.text.relevance import bigram_lm_scores
 
     docs = read_table(spark, sf_dir, "documents")
-    scored = bigram_lm_scores(docs).join(
-        docs.select("doc_id", "lang"), "doc_id"
+    # The compact per-doc score frame (4 narrow columns) feeds BOTH the
+    # cutpoint aggregate and the final join. Column pruning gives the
+    # two branches different canonical subplans, so exchange reuse
+    # does NOT kick in and the whole corpus bigram chain would run
+    # twice — localCheckpoint (non-eager, the dedup_clusters precedent)
+    # materializes the scores once, scores-sized not corpus-sized.
+    scored = (
+        bigram_lm_scores(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=False)
     )
     cuts = (
         scored.groupBy("lang")
