@@ -216,9 +216,12 @@ def test_connected_components_path_and_singletons(spark):
     }
     assert again == got
 
-    # refusing to return a half-converged labeling
+    # refusing to return a half-converged labeling (force the
+    # distributed loop: the adaptive union-find path always converges)
     with pytest.raises(RuntimeError, match="not converged"):
-        connected_components(edges, nodes=nodes, max_iter=1)
+        connected_components(
+            edges, nodes=nodes, max_iter=1, small_graph_edges=0
+        )
 
 
 def test_connected_components_matches_union_find(spark):
@@ -254,7 +257,17 @@ def test_connected_components_matches_union_find(spark):
 
     edges = spark.createDataFrame(edge_list, "id_a bigint, id_b bigint")
     nodes = spark.createDataFrame([(v,) for v in range(n)], "doc_id bigint")
-    got = {
+    # BOTH execution tiers must match the model: the distributed
+    # propagation loop (forced via small_graph_edges=0) and the
+    # size-adaptive driver union-find (default for a graph this size).
+    got_loop = {
+        r.v: r.label
+        for r in connected_components(
+            edges, nodes=nodes, small_graph_edges=0
+        ).collect()
+    }
+    assert got_loop == expected
+    got_uf = {
         r.v: r.label for r in connected_components(edges, nodes=nodes).collect()
     }
-    assert got == expected
+    assert got_uf == expected
