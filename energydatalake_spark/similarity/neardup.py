@@ -162,6 +162,15 @@ def embedding_near_dup_lsh(
     of each table recovers near-miss signatures cheaply. Deterministic
     (seeded hyperplane literals) but approximate by design — the
     recall trade is the algorithm, and both knobs are per-call.
+
+    SIZE ``n_planes`` WITH THE CORPUS: expected candidates per vector
+    ≈ n_tables·(1+n_planes) · n/2^n_planes (probe cells × mean bucket
+    occupancy), so p must grow ~log2(n) to keep rerank work linear —
+    p=8 puts a 2k-vector corpus at ~140 candidates/vector (fine for
+    the sf0.1 oracle, measured r7) but would be quadratic-ish at 1B
+    vectors; p≈26, tables 4-8 holds candidates/vector at O(100)
+    there. The rerank cost IS the candidate count: everything upstream
+    of it is one scan plus a 24-byte-row collision join.
     """
     from energydatalake_spark.similarity.search import _bucket, _hyperplanes, dot, with_norm
 
