@@ -159,3 +159,110 @@ def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> N
     if compression:
         writer = writer.option("compression", compression)
     writer.save(path)
+
+
+def apply_cdc_batch(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    partition_date_col: str | None = None,
+) -> None:
+    """Full CDC MERGE on the parquet warehouse: apply a change batch of
+    inserts/updates/deletes (``op_col`` ∈ {'I','U','D'}) keyed on
+    ``keys`` — the delete-capable completion of ``upsert_table``'s
+    insert-only MERGE. Maps 1:1 onto Delta/Iceberg
+    ``MERGE ... WHEN MATCHED [AND op='D'] THEN DELETE / UPDATE /
+    WHEN NOT MATCHED THEN INSERT`` — same call-site, same semantics.
+
+    Semantics: within the batch, the LATEST change per key wins
+    (``seq_col`` order, key-tiebroken — a key inserted then deleted in
+    one batch nets to absent); then existing rows for batch keys are
+    replaced by the surviving I/U images and dropped for D.
+
+    Plain parquet has no row-level update, so the rewrite unit is the
+    PARTITION: only ``dt`` partitions the batch touches are read back,
+    merged, and atomically swapped via dynamic partition overwrite
+    (``partitionOverwriteMode=dynamic`` — untouched partitions are
+    not listed, read, or rewritten; at 100 TB × years that is the
+    difference between a merge and a table rewrite). Requires the
+    key→partition mapping to be stable (event-date-keyed tables, the
+    reference's shape); a key that MOVES partitions needs a
+    format-level MERGE (Delta) or a two-phase delete+insert.
+    Unpartitioned tables rewrite the whole folder (documented
+    degenerate case — partition them).
+
+    Single-writer, like every sink here (Scheduler-serialized jobs).
+    """
+    import os
+
+    from energydatalake_spark.operators.clean import dedup_latest
+
+    spark = df.sparkSession
+    if partition_date_col is not None:
+        df = df.withColumn("dt", F.to_date(F.col(partition_date_col)))
+    if seq_col is not None:
+        df = dedup_latest(df, keys, seq_col, tiebreak=keys)
+    else:
+        df = df.dropDuplicates(keys)
+    df = df.persist()  # batch-sized; feeds partition list, anti-join, union
+    try:
+        survivors = df.filter(F.col(op_col) != F.lit("D")).drop(op_col)
+        exists = os.path.isdir(path) and any(
+            not n.startswith((".", "_")) for n in os.listdir(path)
+        )
+        if not exists:
+            writer = survivors.write.format("parquet").mode("append")
+            if partition_date_col is not None:
+                writer = writer.partitionBy("dt")
+            writer.save(path)
+            return
+        existing = spark.read.parquet(path)
+        if partition_date_col is not None:
+            # only the touched partitions ride the merge (null/pre-1900
+            # dt rows are unioned back by the same guard as upsert_table)
+            existing = _pruned_readback(existing, df)
+        batch_keys = df.select(*[F.col(f"`{k}`") for k in keys]).distinct()
+        anti_cond = reduce(
+            lambda a, b: a & b,
+            [existing[f"`{k}`"].eqNullSafe(batch_keys[f"`{k}`"]) for k in keys],
+        )
+        # null-safe, same as _fresh_rows: a delete for a null key must
+        # match the null-key row it targets
+        kept = existing.join(batch_keys, anti_cond, "left_anti")
+        merged = kept.unionByName(survivors.select(*kept.columns))
+        # The merge READS the path it overwrites — materialize before
+        # the write (touched-partitions-sized, not table-sized; the
+        # unpartitioned degenerate case is table-sized, as documented).
+        merged = merged.localCheckpoint()
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            writer = merged.write.format("parquet").mode("overwrite")
+            if partition_date_col is not None:
+                writer = writer.partitionBy("dt")
+            writer.save(path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        if partition_date_col is not None:
+            # Dynamic overwrite cannot write an EMPTY partition: a dt
+            # whose every row was deleted is absent from `merged` and
+            # its stale directory would survive. The touched-dt list is
+            # batch-sized by construction — remove the emptied ones.
+            import shutil
+
+            touched = {
+                r.dt for r in df.select("dt").distinct().collect() if r.dt
+            }
+            remaining = {
+                r.dt for r in merged.select("dt").distinct().collect()
+            }
+            for d in sorted(touched - remaining):
+                part_dir = os.path.join(path, f"dt={d.isoformat()}")
+                if os.path.isdir(part_dir):
+                    shutil.rmtree(part_dir)
+    finally:
+        df.unpersist()
