@@ -302,3 +302,45 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> 
     for name in tables:
         if glob.glob(os.path.join(sf_dir, f"{name}.parquet*")):
             read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_orc_folder(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame | None:
+    """ORC folder scan — the warehouse interchange format Hive-era
+    lakes ship in (same columnar/footer-statistics model as Parquet;
+    Spark's vectorized ORC reader gives the identical pushdown/pruning
+    behavior, so queries keep their plans when sources arrive as ORC).
+    Same contract as the CSV/JSONL readers: empty folder → clean
+    ``None`` no-op; with ``schema`` given, drift fails LOUDLY (name or
+    type mismatch) instead of silently widening — the reader is a
+    contract, not an inference."""
+    from energydatalake_spark.io.schemas import SchemaDriftError
+
+    if not folder_has_files(path, ".orc"):
+        return None
+    df = spark.read.orc(path)
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        got = {f.name: f.dataType for f in df.schema.fields}
+        want = {f.name: f.dataType for f in schema.fields}
+        missing = [
+            f"{n}:{t.simpleString()}" for n, t in want.items() if got.get(n) != t
+        ]
+        extra = [
+            f"{n}:{t.simpleString()}" for n, t in got.items() if want.get(n) != t
+        ]
+        if missing or extra:
+            raise SchemaDriftError(path, missing, extra)
+    return df
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """ORC export (overwrite) — zstd by default, matching the parquet
+    sink's codec so the two formats' files are cost-comparable."""
+    df.write.format("orc").option("compression", compression).mode(
+        "overwrite"
+    ).save(path)

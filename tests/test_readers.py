@@ -312,3 +312,50 @@ def test_compacted_sorted_layout_prunes_row_groups(spark, tmp_path):
     assert after <= 7_500, f"sorted layout decoded {after} rows"
     assert after < before / 4
     assert after_df.count() == 100
+
+
+def test_orc_roundtrip_and_drift(spark, tmp_path):
+    """ORC sink/source: lossless round trip for the warehouse types
+    (timestamp, decimal, double, string), empty-folder no-op, loud
+    drift on a type change, and the same pushdown/statistics behavior
+    as parquet (filter reaches the ORC scan)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.io.readers import read_orc_folder, write_orc
+    from energydatalake_spark.io.schemas import SchemaDriftError
+
+    folder = str(tmp_path / "orc_out")
+    ddl = "k string, v decimal(10,2), x double, t timestamp"
+    df = spark.createDataFrame(
+        [("a", "1.25", 0.5, "2024-01-01 00:00:00"),
+         ("b", "2.50", 1.5, "2024-01-02 12:00:00")],
+        "k string, v string, x double, t string",
+    ).select(
+        "k",
+        F.col("v").cast("decimal(10,2)").alias("v"),
+        "x",
+        F.to_timestamp("t").alias("t"),
+    )
+    assert read_orc_folder(spark, folder) is None  # empty → no-op
+
+    write_orc(df, folder)
+    back = read_orc_folder(spark, folder, schema=ddl)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    assert [f.dataType for f in back.schema.fields] == [
+        f.dataType for f in df.schema.fields
+    ]
+
+    with pytest.raises(SchemaDriftError, match="v:decimal"):
+        read_orc_folder(spark, folder, schema="k string, v double, x double, t timestamp")
+
+    # pushdown parity with parquet: the predicate reaches the ORC scan
+    plan = ""
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        read_orc_folder(spark, folder).filter(F.col("x") > 1.0).explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "GreaterThan(x" in plan
