@@ -359,3 +359,50 @@ def test_orc_roundtrip_and_drift(spark, tmp_path):
         read_orc_folder(spark, folder).filter(F.col("x") > 1.0).explain("formatted")
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "GreaterThan(x" in plan
+
+
+def test_zorder_compaction_prunes_on_both_columns(spark, tmp_path):
+    """Morton layout: after zorder_by=["x","y"], selective scans on
+    EITHER column decode a fraction of the rows — the property a
+    single-column sort has only for its leading column (measured: the
+    x-sorted layout decodes everything for a y-predicate)."""
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.io.maintenance import compact_folder
+
+    def scan_rows(df):
+        df.collect()
+        scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return scan.metrics().apply("numOutputRows").value()
+
+    n = 65_536
+    base = spark.range(0, n).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("bigint").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    x_pred, y_pred = "x BETWEEN 0 AND 15", "y BETWEEN 0 AND 15"
+
+    sorted_dir = str(tmp_path / "xsorted")
+    base.repartition(8).write.parquet(sorted_dir)
+    compact_folder(spark, sorted_dir, target_rows_per_file=4_096, sort_by=["x"])
+    # leading column prunes…
+    assert scan_rows(spark.read.parquet(sorted_dir).filter(x_pred)) <= n // 8
+    # …but the second column reads everything
+    assert scan_rows(spark.read.parquet(sorted_dir).filter(y_pred)) == n
+
+    z_dir = str(tmp_path / "zorder")
+    base.repartition(8).write.parquet(z_dir)
+    stats = compact_folder(
+        spark, z_dir, target_rows_per_file=4_096, zorder_by=["x", "y"]
+    )
+    assert stats["files_after"] == 16
+    zr = spark.read.parquet(z_dir)
+    assert "__zval" not in zr.columns  # layout key stays internal
+    x_rows = scan_rows(zr.filter(x_pred))
+    y_rows = scan_rows(spark.read.parquet(z_dir).filter(y_pred))
+    # each 1/16-of-space slice touches a strict subset of files on BOTH axes
+    assert x_rows < n // 2, f"x predicate decoded {x_rows}"
+    assert y_rows < n // 2, f"y predicate decoded {y_rows}"
+    # and the data survives bit-for-bit (checksum gate ran inside)
+    assert zr.count() == n
