@@ -219,6 +219,89 @@ ORDER BY average_price DESC
 """
 
 
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line — slope/intercept/R² of daily revenue
+    against time for each order priority: the dashboard trend-line /
+    drift-detection analytic one tier above ``pearson_corr``'s single
+    coefficient. Same determinism discipline: the five moment sums
+    (Sx, Sy, Sxy, Sxx, Syy) accumulate EXACTLY — x is an integer day
+    index, y is integer revenue CENTS (portable floor-round of the
+    decimal-exact daily sum) — so the closed-form solve runs on
+    identical operands in both engines and the result carries a full
+    value hash. ``regr_slope``/``F.covar`` would be one-liners; both
+    are partitioning-dependent double running sums.
+
+    Scale shape: daily pre-aggregate (one corpus shuffle) → per-group
+    integer moment sums (map-side partials, 5 groups out) → constant
+    per-group arithmetic. Sums fit BIGINT through ~sf100 daily-cents
+    magnitudes; a 100 TB deployment lifts Syy to DECIMAL(38,0) — same
+    plan, wider accumulator."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(_dsum(F.col("o_totalprice")).alias("rev"))
+    x = F.datediff(F.col("day"), F.lit("1992-01-01").cast("date")).cast(
+        "bigint"
+    )
+    cents = F.floor(F.col("rev") * 100.0 + 0.5).cast("bigint")
+    pts = daily.select("o_orderpriority", x.alias("x"), cents.alias("c"))
+    m = pts.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("c").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("c")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("syy"),
+    )
+    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    slope_c = num / den
+    intercept_c = (m["sy"] - slope_c * m["sx"]) / m["n"]
+    r2 = (num * num) / (den * (m["n"] * m["syy"] - m["sy"] * m["sy"]))
+    return m.select(
+        "o_orderpriority",
+        m["n"].cast("bigint").alias("n_days"),
+        _r(slope_c / 100.0, 4).alias("slope_per_day"),
+        _r(intercept_c / 100.0, 2).alias("intercept"),
+        _r(r2, 6).alias("r2"),
+    )
+
+
+SQL_TREND_FIT = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2
+),
+pts AS (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1992-01-01', day) AS x,
+         CAST(FLOOR(rev * 100.0 + 0.5) AS BIGINT) AS c
+  FROM daily
+),
+m AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(c) AS DOUBLE) AS sy,
+         CAST(SUM(x * c) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(c * c) AS DOUBLE) AS syy
+  FROM pts GROUP BY 1
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n_days,
+       FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0
+             * 10000.0 + 0.5) / 10000.0 AS slope_per_day,
+       FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             / 100.0 * 100.0 + 0.5) / 100.0 AS intercept,
+       FLOOR((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             * 1000000.0 + 0.5) / 1000000.0 AS r2
+FROM m
+"""
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated equi-join (operators/skew.py): the large side is
     salted into n_salts sub-keys, the dimension side replicated — the
@@ -1221,6 +1304,7 @@ _register("avg_by_hour", q_avg_by_hour, SQL_AVG_BY_HOUR, "A5 O2")
 _register("mix_percentage", q_mix_percentage, SQL_MIX_PERCENTAGE, "A6 P8")
 _register("multikey_avg", q_multikey_avg, SQL_MULTIKEY_AVG, "A7 O3 P8")
 _register("pearson_corr", q_pearson_corr, SQL_PEARSON_CORR, "A7-correlate")
+_register("trend_fit", q_trend_fit, SQL_TREND_FIT, "A7-trend OLS")
 _register("skew_join", q_skew_join, SQL_SKEW_JOIN, "J-skew salted")
 _register("quantiles", q_quantiles, SQL_QUANTILES, "A-quantiles")
 _register(
@@ -1787,9 +1871,11 @@ _DRIVER_WINDOW_PARKED = [
     # CORRECTNESS_r06 (streaming_dedup from the middle block, the rest
     # were _DRIVER_WINDOW_FIRST last round), so their evidence is the
     # newest in the registry. streaming_dedup, similarity_topk and
-    # simhash_pairs, simhash and ngram_jaccard make room for the five
-    # r7-new entries (line_dedup, lm_buckets, source_cap, ann_recall,
-    # semantic_dedup); rotate all back in a future round.
+    # simhash_pairs, simhash, ngram_jaccard and minhash_pairs make room
+    # for the six r7-new entries (line_dedup, lm_buckets, source_cap,
+    # ann_recall, semantic_dedup, trend_fit); rotate all back in a
+    # future round.
+    "minhash_pairs",
     "ngram_jaccard",
     "simhash",
     "simhash_pairs",

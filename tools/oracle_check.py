@@ -101,6 +101,13 @@ def main() -> int:
     import duckdb
 
     from energydatalake_spark.plans.registry import QUERIES
+
+    unknown = only - set(QUERIES)
+    if unknown:
+        # a typo'd restriction silently checked NOTHING and printed
+        # ALL OK (bitten in r7 by an unregistered query name)
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        return 2
     from energydatalake_spark.session import get_spark
 
     spark = get_spark("oracle_check")
