@@ -233,9 +233,10 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: daily pre-aggregate (one corpus shuffle) → per-group
     integer moment sums (map-side partials, 5 groups out) → constant
-    per-group arithmetic. Sums fit BIGINT through ~sf100 daily-cents
-    magnitudes; a 100 TB deployment lifts Syy to DECIMAL(38,0) — same
-    plan, wider accumulator."""
+    per-group arithmetic. The quadratic moments (Sxy, Syy) accumulate
+    in DECIMAL(38,0) (DuckDB: HUGEINT) — exact through 1e38, which
+    covers daily-cents magnitudes far past 100 TB; the linear and
+    x-only sums stay BIGINT."""
     o = read_table(spark, sf_dir, "orders")
     daily = o.groupBy(
         "o_orderpriority", F.to_date("o_orderdate").alias("day")
@@ -249,9 +250,16 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("x").cast("double").alias("sx"),
         F.sum("c").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("c")).cast("double").alias("sxy"),
+        # quadratic moments ride DECIMAL(38,0): daily cents reach ~4e9
+        # at sf0.1, so c*c overflows BIGINT (hit in r7 bench) — exact
+        # integer arithmetic up to 1e38 in both engines instead
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("c") * F.col("c")).cast("double").alias("syy"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("syy"),
     )
     num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
     den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
@@ -284,9 +292,9 @@ m AS (
          CAST(COUNT(*) AS DOUBLE) AS n,
          CAST(SUM(x) AS DOUBLE) AS sx,
          CAST(SUM(c) AS DOUBLE) AS sy,
-         CAST(SUM(x * c) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * c) AS DOUBLE) AS sxy,
          CAST(SUM(x * x) AS DOUBLE) AS sxx,
-         CAST(SUM(c * c) AS DOUBLE) AS syy
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS syy
   FROM pts GROUP BY 1
 )
 SELECT o_orderpriority,
