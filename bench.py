@@ -57,6 +57,20 @@ def main() -> None:
         spark.createDataFrame([("warm 123",), ("up",)], "text string")
     ).collect()
 
+    # Same treatment for the sign-LSH fold chain (hyperplane dots +
+    # bucket bit-packs are wide codegen'd expression trees): the first
+    # embedding-LSH query in a session pays ~3-5 s of compile (r7 A/B:
+    # 8.97 s cold vs 5.5 s warm). A 2-row pass compiles it untimed.
+    from energydatalake_spark.similarity.neardup import embedding_near_dup_lsh
+
+    embedding_near_dup_lsh(
+        spark.createDataFrame(
+            [(0, [1.0] * 64), (1, [1.0] * 64)],
+            "vec_id bigint, embedding array<float>",
+        ),
+        threshold=0.9,
+    ).collect()
+
     # The FIRST stateful streaming query in a session pays one-time
     # state-store/streaming-machinery init (~4.7 s measured, SURVEY.md
     # §8 r6 A/B) — absorb it with a throwaway 2-row stream so the
