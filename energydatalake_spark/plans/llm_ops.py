@@ -2598,6 +2598,119 @@ FROM reach GROUP BY v
 """
 
 
+
+#: Cramer formulas for the 3-feature normal equations, written ONCE as
+#: SQL expression strings and parsed by BOTH engines (F.expr on the
+#: Spark side, verbatim in DuckDB) — identical parse tree → identical
+#: IEEE evaluation order → bit-identical weights from the exact moment
+#: sums. Variables: n, s1, s2 (linear sums), q11, q12, q22 (quadratic),
+#: b0, b1, b2 (label moments).
+_PROBE_DET = (
+    "n*(q11*q22 - q12*q12) - s1*(s1*q22 - q12*s2) + s2*(s1*q12 - q11*s2)"
+)
+_PROBE_DET0 = (
+    "b0*(q11*q22 - q12*q12) - s1*(b1*q22 - q12*b2) + s2*(b1*q12 - q11*b2)"
+)
+_PROBE_DET1 = (
+    "n*(b1*q22 - q12*b2) - b0*(s1*q22 - q12*s2) + s2*(s1*b2 - b1*s2)"
+)
+_PROBE_DET2 = (
+    "n*(q11*b2 - b1*q12) - s1*(s1*b2 - b1*s2) + b0*(s1*q12 - q11*s2)"
+)
+_PROBE_SCORE = (
+    f"(({_PROBE_DET0}) / ({_PROBE_DET}))"
+    f" + (({_PROBE_DET1}) / ({_PROBE_DET})) * x1"
+    f" + (({_PROBE_DET2}) / ({_PROBE_DET})) * x2"
+)
+
+
+def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed training + scoring of a linear quality probe — the
+    fastText-style classifier stage of LLM-corpus curation, as a
+    linear probability model so the whole thing is engine-exact: fit
+    y ≈ w0 + w1·x1 + w2·x2 where y = 1[lang='en'], x1 = stopword
+    fraction (integer micro-units), x2 = mean word length (integer
+    milli-units), via one-pass normal equations + closed-form Cramer
+    solve.
+
+    Determinism engineering: features are integer-quantized BEFORE any
+    aggregation, so the nine moment sums are exact integers in both
+    engines (quadratics in DECIMAL(38,0) / HUGEINT, the trend_fit
+    width); the Cramer solve and the per-document score are ONE shared
+    SQL expression string parsed by both engines — same parse tree,
+    same IEEE order, bit-identical output. Scale shape: the feature
+    frame is localCheckpointed (4 narrow columns) so the corpus
+    tokenization runs once; moments are a map-side-partial aggregate
+    collapsing to ONE row, broadcast back as the canonical 1-row
+    scalar re-attach; scoring is a per-row expression."""
+    from energydatalake_spark.text.stats import text_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    st = text_stats(docs, keep_cols=("lang",))
+    feats = st.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_stopwords") * 1000000.0 / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("x1"),
+        F.floor(F.col("n_chars") * 1000.0 / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("x2"),
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+    ).localCheckpoint(eager=False)
+    d38 = "decimal(38,0)"
+    mom = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1").cast(d38) * F.col("x1")).cast("double").alias("q11"),
+        F.sum(F.col("x1").cast(d38) * F.col("x2")).cast("double").alias("q12"),
+        F.sum(F.col("x2").cast(d38) * F.col("x2")).cast("double").alias("q22"),
+        F.sum("y").cast("double").alias("b0"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("b1"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("b2"),
+    )
+    scored = feats.crossJoin(F.broadcast(mom)).select(
+        "doc_id",
+        "lang",
+        "x1",
+        "x2",
+        "y",
+        _r(F.expr(_PROBE_SCORE), 6).alias("score"),
+    )
+    return scored.withColumn("predicted", F.col("score") >= 0.5)
+
+
+def _sql_quality_probe() -> str:
+    return f"""
+{_sql_stats_m_cte("doc_id, lang")},
+f AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(nstop * 1000000.0 / nt) AS BIGINT) AS x1,
+         CAST(FLOOR(nc * 1000.0 / nt) AS BIGINT) AS x2,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM m
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS s1,
+         CAST(SUM(x2) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS q11,
+         CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS q12,
+         CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS q22,
+         CAST(SUM(y) AS DOUBLE) AS b0,
+         CAST(SUM(x1 * y) AS DOUBLE) AS b1,
+         CAST(SUM(x2 * y) AS DOUBLE) AS b2
+  FROM f
+)
+SELECT doc_id, lang, x1, x2, y,
+       FLOOR(({_PROBE_SCORE}) * 1000000.0 + 0.5) / 1000000.0 AS score,
+       FLOOR(({_PROBE_SCORE}) * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+         AS predicted
+FROM f CROSS JOIN mom
+"""
+
+
 LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("tfidf_topk", q_tfidf_topk, SQL_TFIDF_TOPK, "ext:tfidf-keywords"),
     ("source_profile", q_source_profile, SQL_SOURCE_PROFILE,
@@ -2611,6 +2724,8 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("line_dedup", q_line_dedup, SQL_LINE_DEDUP, "ext:line-frequency-dedup"),
     ("lm_score", q_lm_score, SQL_LM_SCORE, "ext:bigram-lm-quality"),
     ("lm_buckets", q_lm_buckets, SQL_LM_BUCKETS, "ext:perplexity-buckets"),
+    ("quality_probe", q_quality_probe, _sql_quality_probe(),
+     "ext:linear-quality-classifier"),
     ("embedding_clusters", q_embedding_clusters, SQL_EMBEDDING_CLUSTERS,
      "ext:embedding-clustering"),
     ("embedding_clusters_kmeans", q_embedding_clusters_kmeans,

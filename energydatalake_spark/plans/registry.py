@@ -1834,13 +1834,14 @@ DRIVER_WINDOW = 50
 _DRIVER_WINDOW_FIRST = [
     # r7 rotation (VERDICT r6 #1): the 31 SURVEY-§2 core queries parked
     # in r6 come back into the window so every §2 operator regains a
-    # fresh driver row (their newest rows were r5). The five r7-new
+    # fresh driver row (their newest rows were r5). The r7-new
     # queries go here too — they have never had a driver row.
     "line_dedup",
     "lm_buckets",
     "source_cap",
     "ann_recall",
     "semantic_dedup",
+    "quality_probe",
     "skew_join",
     "asof_join",
     "text_stats",
@@ -1879,10 +1880,11 @@ _DRIVER_WINDOW_PARKED = [
     # CORRECTNESS_r06 (streaming_dedup from the middle block, the rest
     # were _DRIVER_WINDOW_FIRST last round), so their evidence is the
     # newest in the registry. streaming_dedup, similarity_topk and
-    # simhash_pairs, simhash, ngram_jaccard and minhash_pairs make room
-    # for the six r7-new entries (line_dedup, lm_buckets, source_cap,
-    # ann_recall, semantic_dedup, trend_fit); rotate all back in a
-    # future round.
+    # simhash_pairs, simhash, ngram_jaccard, minhash_pairs and
+    # multimodal_embed make room for the seven r7-new entries
+    # (line_dedup, lm_buckets, source_cap, ann_recall, semantic_dedup,
+    # trend_fit, quality_probe); rotate all back in a future round.
+    "multimodal_embed",
     "minhash_pairs",
     "ngram_jaccard",
     "simhash",

@@ -178,3 +178,39 @@ def test_lm_buckets_tercile_semantics(spark, tmp_path):
         n = len(got)
         for b in ("head", "middle", "tail"):
             assert sizes[b] >= n // 3 - 1  # within one of a third
+
+
+def test_quality_probe_matches_numpy_lstsq(spark, tmp_path):
+    """The one-pass Cramer solve must equal numpy's least-squares on
+    the same integer-quantized features, and the per-doc scores must
+    follow w0 + w1*x1 + w2*x2. Also sanity: with lang strongly
+    separable by stopword fraction, English docs score higher."""
+    import numpy as np
+
+    from energydatalake_spark.plans.llm_ops import q_quality_probe
+
+    rows = []
+    for i in range(12):  # English-ish: real stopwords present
+        rows.append((i, "the cat and the dog in a house " * (i % 3 + 1),
+                     "en", "web", 1))
+    for i in range(12):  # non-English: no English stopwords
+        rows.append((100 + i, "xq zr vb nm kp wt " * (i % 3 + 1),
+                     "de", "web", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in q_quality_probe(spark, str(tmp_path)).collect()}
+    assert len(out) == 24
+
+    X = np.array([[1.0, out[i].x1, out[i].x2] for i in sorted(out)])
+    yv = np.array([float(out[i].y) for i in sorted(out)])
+    w = np.linalg.lstsq(X, yv, rcond=None)[0]
+    scores = X @ w
+    got = np.array([out[i].score for i in sorted(out)])
+    assert np.allclose(got, scores, atol=1e-5)
+    # separability: every English doc outscores every non-English doc
+    en = [out[i].score for i in sorted(out) if out[i].lang == "en"]
+    de = [out[i].score for i in sorted(out) if out[i].lang == "de"]
+    assert min(en) > max(de)
+    assert all(out[i].predicted == (out[i].score >= 0.5) for i in out)
