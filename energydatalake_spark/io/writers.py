@@ -177,9 +177,11 @@ def apply_cdc_batch(
     WHEN NOT MATCHED THEN INSERT`` — same call-site, same semantics.
 
     Semantics: within the batch, the LATEST change per key wins
-    (``seq_col`` order, key-tiebroken — a key inserted then deleted in
-    one batch nets to absent); then existing rows for batch keys are
-    replaced by the surviving I/U images and dropped for D.
+    (``seq_col`` order — a key inserted then deleted in one batch nets
+    to absent); then existing rows for batch keys are replaced by the
+    surviving I/U images and dropped for D. ``seq_col`` must be unique
+    per key within a batch (every real CDC stream's LSN/offset is) —
+    two same-key rows with EQUAL seq have no defined winner.
 
     Plain parquet has no row-level update, so the rewrite unit is the
     PARTITION: only ``dt`` partitions the batch touches are read back,
