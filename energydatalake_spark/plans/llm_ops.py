@@ -2507,6 +2507,36 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = lsh_topk(
         emb, queries, k=TOPK_K, n_planes=LSH_PLANES, dim=LSH_DIM
     ).select("query_id", "vec_id")
+    return _recall_vs_exact(exact, approx)
+
+
+def _sql_recall_vs_exact(approx_sql: str) -> str:
+    return f"""
+WITH exact AS ({SQL_SIMILARITY_TOPK}),
+approx AS ({approx_sql}),
+hits AS (
+  SELECT e.query_id, e.vec_id
+  FROM exact e
+  WHERE EXISTS (SELECT 1 FROM approx a
+                WHERE a.query_id = e.query_id AND a.vec_id = e.vec_id)
+),
+n AS (SELECT query_id, COUNT(*) AS n_hits FROM hits GROUP BY query_id),
+base AS (SELECT query_id, COUNT(*) AS k_eff FROM exact GROUP BY query_id)
+SELECT base.query_id, base.k_eff,
+       COALESCE(n.n_hits, 0) AS n_hits,
+       FLOOR(CAST(COALESCE(n.n_hits, 0) AS DOUBLE) / k_eff * 1000000.0 + 0.5)
+         / 1000000.0 AS recall
+FROM base LEFT JOIN n USING (query_id)
+"""
+
+
+def _sql_ann_recall() -> str:
+    return _sql_recall_vs_exact(_sql_similarity_lsh())
+
+
+def _recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Shared recall@k comparison over two (query_id, vec_id) result
+    sets (see q_ann_recall for the semantics and scale notes)."""
     hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
     n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
     base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_eff"))
@@ -2524,24 +2554,24 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ann_recall() -> str:
-    return f"""
-WITH exact AS ({SQL_SIMILARITY_TOPK}),
-approx AS ({_sql_similarity_lsh()}),
-hits AS (
-  SELECT e.query_id, e.vec_id
-  FROM exact e
-  WHERE EXISTS (SELECT 1 FROM approx a
-                WHERE a.query_id = e.query_id AND a.vec_id = e.vec_id)
-),
-n AS (SELECT query_id, COUNT(*) AS n_hits FROM hits GROUP BY query_id),
-base AS (SELECT query_id, COUNT(*) AS k_eff FROM exact GROUP BY query_id)
-SELECT base.query_id, base.k_eff,
-       COALESCE(n.n_hits, 0) AS n_hits,
-       FLOOR(CAST(COALESCE(n.n_hits, 0) AS DOUBLE) / k_eff * 1000000.0 + 0.5)
-         / 1000000.0 AS recall
-FROM base LEFT JOIN n USING (query_id)
-"""
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF tier (n_probe cells probed) against exact
+    brute force — the companion measurement to `ann_recall`'s LSH
+    number: together they price the two approximate indexes' recall
+    at identical k so the (n_planes/n_tables vs n_cells/n_probe)
+    trade is decided from data, not guesswork. Same scale shape:
+    the comparison runs on the nq·k result sets only."""
+    from energydatalake_spark.similarity.search import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=TOPK_K).select("query_id", "vec_id")
+    approx = ivf_topk(
+        emb, queries, k=TOPK_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE
+    ).select("query_id", "vec_id")
+    return _recall_vs_exact(exact, approx)
 
 
 
@@ -2765,6 +2795,8 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("similarity_topk", q_similarity_topk, SQL_SIMILARITY_TOPK, "ext:ann-bruteforce"),
     ("similarity_lsh", q_similarity_lsh, SQL_SIMILARITY_LSH, "ext:ann-lsh"),
     ("ann_recall", q_ann_recall, _sql_ann_recall(), "ext:ann-recall-eval"),
+    ("ivf_recall", q_ivf_recall, _sql_recall_vs_exact(SQL_SIMILARITY_IVF),
+     "ext:ivf-recall-eval"),
     ("similarity_ivf", q_similarity_ivf, SQL_SIMILARITY_IVF, "ext:ann-ivf"),
     (
         "similarity_ivf_kmeans",

@@ -1842,6 +1842,7 @@ _DRIVER_WINDOW_FIRST = [
     "ann_recall",
     "semantic_dedup",
     "quality_probe",
+    "ivf_recall",
     "skew_join",
     "asof_join",
     "text_stats",
@@ -1880,10 +1881,12 @@ _DRIVER_WINDOW_PARKED = [
     # CORRECTNESS_r06 (streaming_dedup from the middle block, the rest
     # were _DRIVER_WINDOW_FIRST last round), so their evidence is the
     # newest in the registry. streaming_dedup, similarity_topk and
-    # simhash_pairs, simhash, ngram_jaccard, minhash_pairs and
-    # multimodal_embed make room for the seven r7-new entries
-    # (line_dedup, lm_buckets, source_cap, ann_recall, semantic_dedup,
-    # trend_fit, quality_probe); rotate all back in a future round.
+    # simhash_pairs, simhash, ngram_jaccard, minhash_pairs,
+    # multimodal_embed and multimodal_frames make room for the eight
+    # r7-new entries (line_dedup, lm_buckets, source_cap, ann_recall,
+    # semantic_dedup, trend_fit, quality_probe, ivf_recall); rotate
+    # all back in a future round.
+    "multimodal_frames",
     "multimodal_embed",
     "minhash_pairs",
     "ngram_jaccard",
