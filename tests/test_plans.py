@@ -271,3 +271,18 @@ def test_driver_window_invariants():
     # parked entries are actually parked
     for q in _DRIVER_WINDOW_PARKED:
         assert q not in window, f"PARKED entry {q} is inside the window"
+
+
+def test_source_cap_keep_form_uses_window_group_limit(spark):
+    # cap_per_domain's docstring claims the keep-only form plans as
+    # WindowGroupLimit (per-partition heap of cap rows, no full
+    # per-domain sort materialized) — pin it.
+    import pyspark.sql.functions as F
+
+    from energydatalake_spark.io.readers import read_table
+    from energydatalake_spark.text.sampling import cap_per_domain
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    kept = cap_per_domain(docs, cap=15).filter(F.col("kept"))
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
