@@ -214,3 +214,53 @@ def test_quality_probe_matches_numpy_lstsq(spark, tmp_path):
     de = [out[i].score for i in sorted(out) if out[i].lang == "de"]
     assert min(en) > max(de)
     assert all(out[i].predicted == (out[i].score >= 0.5) for i in out)
+
+
+def test_lm_buckets_percentile_parity_on_edge_shapes(spark, tmp_path):
+    """The tercile cutpoints rest on exact percentile interpolation
+    agreeing between Spark and DuckDB. The registry oracle checks one
+    corpus; this stresses the edge shapes where type-7 interpolation
+    actually interpolates: tiny languages (1-4 docs), duplicate scores
+    (ties AT the cutpoint), and counts on either side of the h=(n-1)q
+    integer boundary."""
+    import duckdb
+
+    from energydatalake_spark.plans.llm_ops import SQL_LM_BUCKETS, q_lm_buckets
+
+    corpora = {
+        "one_doc_lang": [("a b c d", "xx")],
+        "two_docs": [("a b a b", "xx"), ("b a b a b", "xx")],
+        "three_docs_tied": [("a b a b", "xx")] * 3,
+        "four_docs": [
+            ("a b " * k + "c d", "xx") for k in (1, 2, 3, 4)
+        ],
+        "mixed_langs": [
+            ("the cat sat on the mat", "en"),
+            ("the dog sat", "en"),
+            ("le chat " * 3, "fr"),
+            ("le chien le chat", "fr"),
+            ("x y " * 5, "zz"),
+        ],
+    }
+    for name, docs in corpora.items():
+        rows = [
+            (i, t, lang, "web", len(t)) for i, (t, lang) in enumerate(docs)
+        ]
+        d = str(tmp_path / name)
+        spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.mode("overwrite").parquet(d + "/documents.parquet")
+        got = sorted(
+            (r.doc_id, r.lang, r.avg_logp, r.bucket)
+            for r in q_lm_buckets(spark, d).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(SQL_LM_BUCKETS).fetchall()
+        )
+        assert got == want, f"corpus {name}: {got} != {want}"
