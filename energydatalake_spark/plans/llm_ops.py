@@ -2654,6 +2654,27 @@ _PROBE_SCORE = (
 )
 
 
+
+def _probe_features(docs: DataFrame) -> DataFrame:
+    """Integer-quantized probe features (shared by the batch trainer
+    and the streaming scorer — both sides of the model must see
+    byte-identical feature arithmetic)."""
+    from energydatalake_spark.text.stats import text_stats
+
+    st = text_stats(docs, keep_cols=("lang",))
+    return st.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_stopwords") * 1000000.0 / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("x1"),
+        F.floor(F.col("n_chars") * 1000.0 / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("x2"),
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+    )
+
+
 def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed training + scoring of a linear quality probe — the
     fastText-style classifier stage of LLM-corpus curation, as a
@@ -2676,18 +2697,7 @@ def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energydatalake_spark.text.stats import text_stats
 
     docs = read_table(spark, sf_dir, "documents")
-    st = text_stats(docs, keep_cols=("lang",))
-    feats = st.select(
-        "doc_id",
-        "lang",
-        F.floor(F.col("n_stopwords") * 1000000.0 / F.col("n_tokens"))
-        .cast("bigint")
-        .alias("x1"),
-        F.floor(F.col("n_chars") * 1000.0 / F.col("n_tokens"))
-        .cast("bigint")
-        .alias("x2"),
-        (F.col("lang") == "en").cast("bigint").alias("y"),
-    ).localCheckpoint(eager=False)
+    feats = _probe_features(docs).localCheckpoint(eager=False)
     d38 = "decimal(38,0)"
     mom = feats.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -2741,6 +2751,77 @@ FROM f CROSS JOIN mom
 """
 
 
+
+def q_streaming_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate inference on a STREAM — the ingest-time shape of
+    `quality_probe`: the linear model is trained in one batch pass
+    (exact moments → Cramer weights, evaluated in Python from the
+    SAME formula strings the SQL oracle parses, so the literal
+    weights are bit-identical to the oracle's), then every streamed
+    document is scored per micro-batch with pure per-row expressions
+    (append mode — no state, no shuffle on the stream). This is how a
+    100 TB deployment gates a firehose with a model trained on
+    yesterday's corpus: train batch-side, broadcast literal weights,
+    score in-line."""
+    from energydatalake_spark.io.readers import read_table_stream
+    from energydatalake_spark.streaming.windows import run_stream_to_memory
+
+    docs = read_table(spark, sf_dir, "documents")
+    d38 = "decimal(38,0)"
+    mom = (
+        _probe_features(docs)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x1").cast("double").alias("s1"),
+            F.sum("x2").cast("double").alias("s2"),
+            F.sum(F.col("x1").cast(d38) * F.col("x1"))
+            .cast("double")
+            .alias("q11"),
+            F.sum(F.col("x1").cast(d38) * F.col("x2"))
+            .cast("double")
+            .alias("q12"),
+            F.sum(F.col("x2").cast(d38) * F.col("x2"))
+            .cast("double")
+            .alias("q22"),
+            F.sum("y").cast("double").alias("b0"),
+            F.sum(F.col("x1") * F.col("y")).cast("double").alias("b1"),
+            F.sum(F.col("x2") * F.col("y")).cast("double").alias("b2"),
+        )
+        .collect()[0]
+    )
+    env = {k: float(mom[k]) for k in mom.asDict()}
+    safe = {"__builtins__": {}}
+    det = eval(_PROBE_DET, safe, dict(env))  # noqa: S307 — module-const exprs
+    w0 = eval(_PROBE_DET0, safe, dict(env)) / det
+    w1 = eval(_PROBE_DET1, safe, dict(env)) / det
+    w2 = eval(_PROBE_DET2, safe, dict(env)) / det
+
+    stream = read_table_stream(spark, sf_dir, "documents")
+    scored = _probe_features(stream).select(
+        "doc_id",
+        "lang",
+        "x1",
+        "x2",
+        "y",
+        _r(
+            F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2"), 6
+        ).alias("score"),
+    )
+    scored = scored.withColumn("predicted", F.col("score") >= 0.5)
+    _LLM_STREAM_SEQ[0] += 1
+    return run_stream_to_memory(
+        spark,
+        scored,
+        f"stream_quality_{_LLM_STREAM_SEQ[0]}",
+        "append",
+        timeout_sec=120.0,
+        shuffle_partitions=8,
+    )
+
+
+_LLM_STREAM_SEQ = [0]
+
+
 LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("tfidf_topk", q_tfidf_topk, SQL_TFIDF_TOPK, "ext:tfidf-keywords"),
     ("source_profile", q_source_profile, SQL_SOURCE_PROFILE,
@@ -2756,6 +2837,8 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("lm_buckets", q_lm_buckets, SQL_LM_BUCKETS, "ext:perplexity-buckets"),
     ("quality_probe", q_quality_probe, _sql_quality_probe(),
      "ext:linear-quality-classifier"),
+    ("streaming_quality", q_streaming_quality, _sql_quality_probe(),
+     "ext:streaming-quality-gate"),
     ("embedding_clusters", q_embedding_clusters, SQL_EMBEDDING_CLUSTERS,
      "ext:embedding-clustering"),
     ("embedding_clusters_kmeans", q_embedding_clusters_kmeans,

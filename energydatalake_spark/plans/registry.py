@@ -1843,6 +1843,7 @@ _DRIVER_WINDOW_FIRST = [
     "semantic_dedup",
     "quality_probe",
     "ivf_recall",
+    "streaming_quality",
     "skew_join",
     "asof_join",
     "text_stats",
@@ -1882,10 +1883,12 @@ _DRIVER_WINDOW_PARKED = [
     # were _DRIVER_WINDOW_FIRST last round), so their evidence is the
     # newest in the registry. streaming_dedup, similarity_topk and
     # simhash_pairs, simhash, ngram_jaccard, minhash_pairs,
-    # multimodal_embed and multimodal_frames make room for the eight
-    # r7-new entries (line_dedup, lm_buckets, source_cap, ann_recall,
-    # semantic_dedup, trend_fit, quality_probe, ivf_recall); rotate
-    # all back in a future round.
+    # multimodal_embed, multimodal_frames and multimodal_resize make
+    # room for the nine r7-new entries (line_dedup, lm_buckets,
+    # source_cap, ann_recall, semantic_dedup, trend_fit, quality_probe,
+    # ivf_recall, streaming_quality); rotate all back in a future
+    # round.
+    "multimodal_resize",
     "multimodal_frames",
     "multimodal_embed",
     "minhash_pairs",
