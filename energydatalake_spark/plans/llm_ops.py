@@ -2822,6 +2822,81 @@ def q_streaming_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LLM_STREAM_SEQ = [0]
 
 
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival funnel through the round's four curation gates —
+    trained quality probe (predicted ≥ 0.5), perplexity bucket (not
+    'tail'), per-domain cap, and line-dedup content retention (≥ half
+    the lines survive) — applied cumulatively in that order: the
+    corpus_funnel twin for the model/line-structured cleaning stages.
+    One conditional-count aggregate over the joined per-doc verdict
+    frames; each gate is itself an oracled registry query, so this
+    composition's value hash transitively pins all four."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    qp = q_quality_probe(spark, sf_dir).select("doc_id", "predicted")
+    lb = q_lm_buckets(spark, sf_dir).select("doc_id", "bucket")
+    sc = q_source_cap(spark, sf_dir).select("doc_id", "kept")
+    ld = q_line_dedup(spark, sf_dir).select("doc_id", "n_lines", "n_kept")
+    flags = (
+        docs.join(qp, "doc_id", "left")
+        .join(lb, "doc_id", "left")
+        .join(sc, "doc_id", "left")
+        .join(ld, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("predicted"), F.lit(False)).alias("q_ok"),
+            # docs with no LM signal (<2 tokens) pass the bucket gate
+            F.coalesce(F.col("bucket") != "tail", F.lit(True)).alias("lm_ok"),
+            F.coalesce(F.col("kept"), F.lit(False)).alias("cap_ok"),
+            (F.col("n_kept") * 2 >= F.col("n_lines")).alias("ld_ok"),
+        )
+    )
+    c = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        c(F.col("q_ok")).alias("n_after_quality"),
+        c(F.col("q_ok") & F.col("lm_ok")).alias("n_after_lm"),
+        c(F.col("q_ok") & F.col("lm_ok") & F.col("cap_ok")).alias(
+            "n_after_cap"
+        ),
+        c(
+            F.col("q_ok")
+            & F.col("lm_ok")
+            & F.col("cap_ok")
+            & F.col("ld_ok")
+        ).alias("n_after_line_dedup"),
+    )
+
+
+def _sql_curation_funnel() -> str:
+    return f"""
+WITH qp AS ({_sql_quality_probe()}),
+lb AS ({SQL_LM_BUCKETS}),
+sc AS ({_sql_source_cap()}),
+ld AS ({SQL_LINE_DEDUP}),
+flags AS (
+  SELECT COALESCE(qp.predicted, FALSE) AS q_ok,
+         COALESCE(lb.bucket <> 'tail', TRUE) AS lm_ok,
+         COALESCE(sc.kept, FALSE) AS cap_ok,
+         (ld.n_kept * 2 >= ld.n_lines) AS ld_ok
+  FROM documents d
+  LEFT JOIN qp USING (doc_id)
+  LEFT JOIN lb USING (doc_id)
+  LEFT JOIN sc USING (doc_id)
+  LEFT JOIN ld USING (doc_id)
+)
+SELECT COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_quality,
+       CAST(SUM(CASE WHEN q_ok AND lm_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_lm,
+       CAST(SUM(CASE WHEN q_ok AND lm_ok AND cap_ok THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after_cap,
+       CAST(SUM(CASE WHEN q_ok AND lm_ok AND cap_ok AND ld_ok
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_after_line_dedup
+FROM flags
+"""
+
+
 LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("tfidf_topk", q_tfidf_topk, SQL_TFIDF_TOPK, "ext:tfidf-keywords"),
     ("source_profile", q_source_profile, SQL_SOURCE_PROFILE,
@@ -2839,6 +2914,8 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
      "ext:linear-quality-classifier"),
     ("streaming_quality", q_streaming_quality, _sql_quality_probe(),
      "ext:streaming-quality-gate"),
+    ("curation_funnel", q_curation_funnel, _sql_curation_funnel(),
+     "ext:curation-funnel composition"),
     ("embedding_clusters", q_embedding_clusters, SQL_EMBEDDING_CLUSTERS,
      "ext:embedding-clustering"),
     ("embedding_clusters_kmeans", q_embedding_clusters_kmeans,

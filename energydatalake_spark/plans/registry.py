@@ -1844,6 +1844,7 @@ _DRIVER_WINDOW_FIRST = [
     "quality_probe",
     "ivf_recall",
     "streaming_quality",
+    "curation_funnel",
     "skew_join",
     "asof_join",
     "text_stats",
@@ -1883,11 +1884,11 @@ _DRIVER_WINDOW_PARKED = [
     # were _DRIVER_WINDOW_FIRST last round), so their evidence is the
     # newest in the registry. streaming_dedup, similarity_topk and
     # simhash_pairs, simhash, ngram_jaccard, minhash_pairs,
-    # multimodal_embed, multimodal_frames and multimodal_resize make
-    # room for the nine r7-new entries (line_dedup, lm_buckets,
-    # source_cap, ann_recall, semantic_dedup, trend_fit, quality_probe,
-    # ivf_recall, streaming_quality); rotate all back in a future
-    # round.
+    # the four multimodal ops make room for the ten r7-new entries
+    # (line_dedup, lm_buckets, source_cap, ann_recall, semantic_dedup,
+    # trend_fit, quality_probe, ivf_recall, streaming_quality,
+    # curation_funnel); rotate all back in a future round.
+    "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
     "multimodal_embed",
