@@ -2319,19 +2319,18 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembly groups one document per task.
     """
     docs = read_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(LINE_W)).cast("int")
+    # Token array bound ONCE per row (the shingles() singleton-array
+    # idiom): inlining split() into the chunk lambda would re-split
+    # the document once per chunk — the O(tokens²) HOF pathology the
+    # r6 split-binding fix removed from every shingle scan.
     lined = docs.select(
         "doc_id",
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.sequence(F.lit(1), n_chunks),
-                lambda i: F.array_join(
-                    F.slice(words, (i - F.lit(1)) * LINE_W + F.lit(1), LINE_W),
-                    " ",
-                ),
-            ),
+        F.expr(
+            "element_at(transform(array(split(text, ' ')), tk -> "
+            "concat_ws('\\n', transform("
+            f"sequence(1, cast(ceil(size(tk) / {LINE_W}.0) as int)), "
+            f"i -> array_join(slice(tk, (i - 1) * {LINE_W} + 1, {LINE_W}), ' ')"
+            "))), 1)"
         ).alias("text_nl"),
     )
     out = line_dedup(
