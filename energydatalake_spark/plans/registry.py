@@ -1832,62 +1832,12 @@ _register(
 DRIVER_WINDOW = 50
 
 _DRIVER_WINDOW_FIRST = [
-    # r7 rotation (VERDICT r6 #1): the 31 SURVEY-§2 core queries parked
-    # in r6 come back into the window so every §2 operator regains a
-    # fresh driver row (their newest rows were r5). The r7-new
-    # queries go here too — they have never had a driver row.
-    "line_dedup",
-    "lm_buckets",
-    "source_cap",
-    "ann_recall",
-    "semantic_dedup",
-    "quality_probe",
-    "ivf_recall",
-    "streaming_quality",
-    "curation_funnel",
-    "skew_join",
-    "asof_join",
-    "text_stats",
-    "token_count",
-    "lang_id",
-    "doc_fingerprint",
-    "dedup_exact",
-    "moving_avg",
-    "cumulative_revenue",
-    "rollup_revenue",
-    "pivot_revenue",
-    "quantiles",
-    "forecast_vs_actual",
-    "pearson_corr",
-    "multikey_avg",
-    "band_join",
-    "outer_join",
-    "mix_percentage",
-    "decimal_cast",
-    "timestamp_parse",
-    "tz_convert",
-    "union_all",
-    "drop_nulls",
-    "dedup_rows",
-    "group_count",
-    "topk_per_group",
-    "normalize_names",
-    "avg_by_month",
-    "avg_by_hour",
-    "dedup_latest",
-    "null_profile",
-]
-
-_DRIVER_WINDOW_PARKED = [
-    # Parked in r7: all earned fresh driver-green rows in
-    # CORRECTNESS_r06 (streaming_dedup from the middle block, the rest
-    # were _DRIVER_WINDOW_FIRST last round), so their evidence is the
-    # newest in the registry. streaming_dedup, similarity_topk and
-    # simhash_pairs, simhash, ngram_jaccard, minhash_pairs,
-    # the four multimodal ops make room for the ten r7-new entries
-    # (line_dedup, lm_buckets, source_cap, ann_recall, semantic_dedup,
-    # trend_fit, quality_probe, ivf_recall, streaming_quality,
-    # curation_funnel); rotate all back in a future round.
+    # r8 rotation (VERDICT r7 #1): the 41 extension queries parked in
+    # r7 (multimodal, minhash/simhash/ngram families, similarity_*,
+    # streaming, the r6 corpus ops) come back into the window — their
+    # newest driver rows are r6-old. r8-new queries are not listed:
+    # they fall into the "middle" block, which sits inside the window
+    # while front+middle <= 50.
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
@@ -1929,6 +1879,63 @@ _DRIVER_WINDOW_PARKED = [
     "snapshot_diff",
     "corpus_funnel",
     "embedding_clusters_kmeans",
+]
+
+_DRIVER_WINDOW_PARKED = [
+    # Parked in r8: every one of these earned a fresh driver-green row
+    # in CORRECTNESS_r07 (the r7 _DRIVER_WINDOW_FIRST block plus the
+    # nine middle-block queries), so their evidence is the newest in
+    # the registry. They stay covered by pytest and by
+    # tools/oracle_check.py (MIRROR_r{N}.json). Rotate back in r9+.
+    "line_dedup",
+    "lm_buckets",
+    "source_cap",
+    "ann_recall",
+    "semantic_dedup",
+    "quality_probe",
+    "ivf_recall",
+    "streaming_quality",
+    "curation_funnel",
+    "skew_join",
+    "asof_join",
+    "text_stats",
+    "token_count",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "moving_avg",
+    "cumulative_revenue",
+    "rollup_revenue",
+    "pivot_revenue",
+    "quantiles",
+    "forecast_vs_actual",
+    "pearson_corr",
+    "multikey_avg",
+    "band_join",
+    "outer_join",
+    "mix_percentage",
+    "decimal_cast",
+    "timestamp_parse",
+    "tz_convert",
+    "union_all",
+    "drop_nulls",
+    "dedup_rows",
+    "group_count",
+    "topk_per_group",
+    "normalize_names",
+    "avg_by_month",
+    "avg_by_hour",
+    "dedup_latest",
+    "null_profile",
+    "trend_fit",
+    "approx_distinct",
+    "approx_quantiles",
+    "resample_hourly",
+    "data_profile",
+    "asof_forward",
+    "revenue_by_nation",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
 ]
 
 
