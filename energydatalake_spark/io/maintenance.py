@@ -200,6 +200,16 @@ def zorder_column(df, cols: list[str]):
     """
     from pyspark.sql import functions as F
 
+    if len(cols) * _Z_BITS > 64:
+        # Spark's shiftleft masks the shift count mod 64 on bigint, so
+        # a bit position past 63 would silently garble the z-value and
+        # the layout (ADVICE r7). Fail loudly instead.
+        raise ValueError(
+            f"zorder_column: {len(cols)} columns × {_Z_BITS} bits/dim "
+            f"exceeds the 64-bit z-value; at most {64 // _Z_BITS} "
+            "columns are supported"
+        )
+
     bounds = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],

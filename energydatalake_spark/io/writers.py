@@ -202,6 +202,22 @@ def apply_cdc_batch(
     from energydatalake_spark.operators.clean import dedup_latest
 
     spark = df.sparkSession
+    # Validate the batch's op domain up front (ADVICE r7): a NULL op
+    # would silently behave as a DELETE (null predicate fails the
+    # op != 'D' filter yet the key still anti-joins existing rows) and
+    # any other string as an upsert. Malformed batches fail loudly.
+    bad_op = (
+        df.filter(
+            F.col(op_col).isNull() | ~F.col(op_col).isin("I", "U", "D")
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad_op:
+        raise ValueError(
+            f"apply_cdc_batch: {op_col!r} must be one of 'I','U','D' "
+            f"and non-null; got {bad_op[0][op_col]!r}"
+        )
     if partition_date_col is not None:
         df = df.withColumn("dt", F.to_date(F.col(partition_date_col)))
     if seq_col is not None:
@@ -254,16 +270,27 @@ def apply_cdc_batch(
             # whose every row was deleted is absent from `merged` and
             # its stale directory would survive. The touched-dt list is
             # batch-sized by construction — remove the emptied ones.
+            # Null dt participates too (ADVICE r7): its rows live under
+            # dt=__HIVE_DEFAULT_PARTITION__, which _pruned_readback
+            # deliberately carries for exactly-once — so a delete batch
+            # that empties it must also remove the directory, or the
+            # pre-delete images resurrect.
             import shutil
 
-            touched = {
-                r.dt for r in df.select("dt").distinct().collect() if r.dt
-            }
+            touched = {r.dt for r in df.select("dt").distinct().collect()}
             remaining = {
                 r.dt for r in merged.select("dt").distinct().collect()
             }
-            for d in sorted(touched - remaining):
-                part_dir = os.path.join(path, f"dt={d.isoformat()}")
+            emptied = touched - remaining
+            for d in sorted(
+                emptied, key=lambda d: "" if d is None else d.isoformat()
+            ):
+                part_name = (
+                    "dt=__HIVE_DEFAULT_PARTITION__"
+                    if d is None
+                    else f"dt={d.isoformat()}"
+                )
+                part_dir = os.path.join(path, part_name)
                 if os.path.isdir(part_dir):
                     shutil.rmtree(part_dir)
     finally:

@@ -537,8 +537,12 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       (partitioned on a non-foldable zero, so the partition spec stays
       explicit) whose trailing frames over that subset are provably
       identical to the global ones for the first-6 rows;
-    - the two branches share the daily-aggregate exchange
-      (ReusedExchange) and union back to exactly one row per day.
+    - every per-year window column (row_number, year count, 7-row
+      trailing sum/count) is computed in ONE WindowExec over the shared
+      ``(partitionBy year(day), orderBy day)`` spec, and the resulting
+      days-sized ranked frame is localCheckpointed (VERDICT r7 #3 —
+      the lm_buckets precedent) so the interior and boundary branches
+      read it without replaying the scan + two exchanges each.
 
     The moving mean is computed as decimal SUM over the frame divided
     by COUNT — decimal sums are exact, so the result is bit-identical
@@ -548,26 +552,36 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         _dsum(F.col("o_totalprice")).alias("revenue")
     )
+    w_rank = Window.partitionBy(F.year("day")).orderBy("day")
+    w_year = w_rank.rowsBetween(-6, 0)
+    w_all = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # All four window columns share the (year(day), day) spec — one
+    # exchange, one sort, one WindowExec. sum7/cnt7 are only VALID for
+    # interior rows (rn_a > 6: the whole trailing frame is same-year);
+    # boundary rows recompute theirs below.
+    ranked = daily.select(
+        "day",
+        "revenue",
+        F.row_number().over(w_rank).alias("rn_a"),
+        F.count(F.lit(1)).over(w_all).alias("cnt_y"),
+        F.sum(F.col("revenue").cast("decimal(25,8)"))
+        .over(w_year)
+        .alias("sum7"),
+        F.count(F.lit(1)).over(w_year).alias("cnt7"),
+    ).localCheckpoint(eager=False)
 
-    def ma_cols(w: Window) -> list:
+    def out_cols(sum_col, cnt_col) -> list:
         return [
             F.col("day").cast("string").alias("day"),
             _r(F.col("revenue"), 2).alias("revenue"),
-            _r(
-                F.sum(F.col("revenue").cast("decimal(25,8)")).over(w).cast("double")
-                / F.count(F.lit(1)).over(w),
-                4,
-            ).alias("ma7"),
+            _r(sum_col.cast("double") / cnt_col, 4).alias("ma7"),
         ]
 
-    w_rank = Window.partitionBy(F.year("day")).orderBy("day")
-    ranked = daily.withColumn("rn_a", F.row_number().over(w_rank)).withColumn(
-        "cnt_y", F.count(F.lit(1)).over(Window.partitionBy(F.year("day")))
+    interior = ranked.filter(F.col("rn_a") > 6).select(
+        *out_cols(F.col("sum7"), F.col("cnt7"))
     )
-    w_year = Window.partitionBy(F.year("day")).orderBy("day").rowsBetween(-6, 0)
-    interior = ranked.select(*ma_cols(w_year), "rn_a").filter(
-        F.col("rn_a") > 6
-    ).drop("rn_a")
     # Boundary subset: first-6 + last-6 of each year. Its single-task
     # window sees, before any first-6 row, exactly that row's true
     # predecessors (same-year earlier first-6 rows + the previous
@@ -587,9 +601,14 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(-6, 0)
     )
-    boundary = edge.select(*ma_cols(w_edge), "rn_a").filter(
-        F.col("rn_a") <= 6
-    ).drop("rn_a")
+    boundary = (
+        edge.withColumn(
+            "sum7e", F.sum(F.col("revenue").cast("decimal(25,8)")).over(w_edge)
+        )
+        .withColumn("cnt7e", F.count(F.lit(1)).over(w_edge))
+        .filter(F.col("rn_a") <= 6)
+        .select(*out_cols(F.col("sum7e"), F.col("cnt7e")))
+    )
     return interior.unionByName(boundary)
 
 

@@ -512,3 +512,76 @@ def test_apply_cdc_batch_drops_fully_deleted_partition(spark, tmp_path):
     assert set(glob.glob(os.path.join(path, "dt=2024-03-02", "*.parquet"))) == files_untouched
     rows = spark.read.parquet(path).collect()
     assert [(r.k, r.v) for r in rows] == [("b", 2)]
+
+
+def test_apply_cdc_batch_drops_emptied_null_dt_partition(spark, tmp_path):
+    """ADVICE r7 (medium): a delete batch that empties the null-dt
+    partition (dt=__HIVE_DEFAULT_PARTITION__, carried by
+    _pruned_readback for exactly-once) must remove that directory too —
+    otherwise the pre-delete images resurrect on the next read."""
+    import os
+
+    from energydatalake_spark.io.writers import apply_cdc_batch
+
+    path = str(tmp_path / "cdc_sink3")
+    schema = "k string, v bigint, t string, op string, seq bigint"
+    # 'a' has an unparseable timestamp -> null dt; 'b' is healthy.
+    seed = [("a", 1, "not-a-timestamp", "I", 1),
+            ("b", 2, "2024-03-02 10:00:00", "I", 2)]
+    df = spark.createDataFrame(seed, schema).withColumn(
+        "t", F.try_to_timestamp("t")
+    )
+    apply_cdc_batch(df, path, keys=["k"], seq_col="seq", partition_date_col="t")
+    null_dir = os.path.join(path, "dt=__HIVE_DEFAULT_PARTITION__")
+    assert os.path.isdir(null_dir)
+
+    batch = [("a", 1, "not-a-timestamp", "D", 3)]
+    df2 = spark.createDataFrame(batch, schema).withColumn(
+        "t", F.try_to_timestamp("t")
+    )
+    apply_cdc_batch(df2, path, keys=["k"], seq_col="seq", partition_date_col="t")
+
+    assert not os.path.isdir(null_dir)
+    rows = spark.read.parquet(path).collect()
+    assert [(r.k, r.v) for r in rows] == [("b", 2)]
+
+
+def test_apply_cdc_batch_rejects_invalid_op(spark, tmp_path):
+    """ADVICE r7 (low): op values outside {'I','U','D'} (including
+    NULL, which would silently behave as a DELETE) fail loudly."""
+    import pytest
+
+    from energydatalake_spark.io.writers import apply_cdc_batch
+
+    schema = "k string, v bigint, t string, op string, seq bigint"
+    for bad in [None, "X", "d"]:
+        rows = [("a", 1, "2024-03-01 10:00:00", bad, 1)]
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "t", F.to_timestamp("t")
+        )
+        with pytest.raises(ValueError, match="apply_cdc_batch"):
+            apply_cdc_batch(
+                df,
+                str(tmp_path / "cdc_bad"),
+                keys=["k"],
+                seq_col="seq",
+                partition_date_col="t",
+            )
+
+
+def test_zorder_rejects_too_many_columns(spark):
+    """ADVICE r7 (low): >4 columns would push interleaved bit positions
+    past 63, where bigint shiftleft wraps mod 64 and silently garbles
+    the z-value — must raise instead."""
+    import pytest
+
+    from energydatalake_spark.io.maintenance import zorder_column
+
+    df = spark.range(4).select(
+        *[(F.col("id") * (i + 1)).alias(f"c{i}") for i in range(5)]
+    )
+    with pytest.raises(ValueError, match="zorder_column"):
+        zorder_column(df, [f"c{i}" for i in range(5)])
+    # 4 columns (= 64 bits exactly) stays allowed
+    out, zc = zorder_column(df.drop("c4"), [f"c{i}" for i in range(4)])
+    assert zc in out.columns
