@@ -515,7 +515,9 @@ GROUP BY o_orderpriority
 """
 
 
-def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_moving_avg(
+    spark: SparkSession, sf_dir: str, _checkpoint: bool = True
+) -> DataFrame:
     """Window-analytics tier: 7-day trailing moving average of daily
     order revenue — the canonical time-series dashboard smoother
     (reference analogue: README.md dashboard queries over daily loads).
@@ -570,7 +572,12 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w_year)
         .alias("sum7"),
         F.count(F.lit(1)).over(w_year).alias("cnt7"),
-    ).localCheckpoint(eager=False)
+    )
+    # ``_checkpoint=False`` is a test hook only: it keeps the per-year
+    # window subtree visible in the final plan so the partition-spec
+    # invariant can be asserted on EVERY window node.
+    if _checkpoint:
+        ranked = ranked.localCheckpoint(eager=False)
 
     def out_cols(sum_col, cnt_col) -> list:
         return [
@@ -601,11 +608,19 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(-6, 0)
     )
+    # Both boundary window columns in ONE select: chained withColumn
+    # calls materialize the shiftright partition key as two distinct
+    # exprs, which defeats CollapseWindow and doubles the exchange.
     boundary = (
-        edge.withColumn(
-            "sum7e", F.sum(F.col("revenue").cast("decimal(25,8)")).over(w_edge)
+        edge.select(
+            "day",
+            "revenue",
+            "rn_a",
+            F.sum(F.col("revenue").cast("decimal(25,8)"))
+            .over(w_edge)
+            .alias("sum7e"),
+            F.count(F.lit(1)).over(w_edge).alias("cnt7e"),
         )
-        .withColumn("cnt7e", F.count(F.lit(1)).over(w_edge))
         .filter(F.col("rn_a") <= 6)
         .select(*out_cols(F.col("sum7e"), F.col("cnt7e")))
     )

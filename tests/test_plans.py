@@ -216,9 +216,14 @@ def test_moving_avg_windows_all_partitioned(spark):
     # decomposition keeps an explicit partition spec on EVERY window
     # node — windowspecdefinition's partition argument present — and
     # the optimizer must not fold the edge window's constant key away.
+    # Inspected with the checkpoint hook off so the per-year window
+    # subtree (normally truncated behind the localCheckpoint) is
+    # visible in the plan.
     import re
 
-    df = _q("moving_avg")(spark, SF_SMOKE)
+    from energydatalake_spark.plans.registry import q_moving_avg
+
+    df = q_moving_avg(spark, SF_SMOKE, _checkpoint=False)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     windows = [l for l in plan.splitlines() if "windowspecdefinition(" in l]
     assert windows, "expected Window nodes in moving_avg plan"
@@ -237,11 +242,20 @@ def test_moving_avg_windows_all_partitioned(spark):
             assert " ASC" not in first and " DESC" not in first, (
                 f"unpartitioned window spec in moving_avg: {line.strip()[:160]}"
             )
-    # The two union branches must share the expensive day-aggregate
-    # exchange: the corpus scan happens once.
-    df.collect()
-    executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in executed
+    # The two union branches must share the days-sized ranked frame
+    # (VERDICT r7 #3): the production form localCheckpoints it, so the
+    # executed plan scans the checkpointed RDD in BOTH branches (the
+    # corpus scan + both per-year exchanges run exactly once) and the
+    # residual exchange count stays ≤3 (r7 shipped 7).
+    prod = _q("moving_avg")(spark, SF_SMOKE)
+    prod.collect()
+    executed = prod._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the Initial Plan after the Final Plan —
+    # count only the final section or every exchange double-counts.
+    final = executed.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") >= 2
+    n_exch = final.count("Exchange") - final.count("ReusedExchange")
+    assert n_exch <= 3, f"moving_avg executed plan has {n_exch} exchanges"
 
 
 def test_driver_window_invariants():
