@@ -105,14 +105,24 @@ def main() -> None:
     # JSON line).
     import glob
 
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     prev: dict[str, float] = {}
-    prev_files = sorted(glob.glob(os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "BENCH_r*.json")))
+    # Prefer the committed full maps (BENCHFULL_r*.json, written below):
+    # the driver's BENCH_r*.json keeps only a 4 KB tail of stdout, which
+    # truncates the head of the per-query dict past ~80 queries.
+    prev_files = sorted(glob.glob(os.path.join(repo_dir, "BENCHFULL_r*.json")))
     if prev_files:
         try:
-            prev = json.load(open(prev_files[-1]))["parsed"]["queries"]
+            prev = json.load(open(prev_files[-1]))["queries"]
         except Exception:
             prev = {}
+    if not prev:
+        bench_files = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+        if bench_files:
+            try:
+                prev = json.load(open(bench_files[-1]))["parsed"]["queries"]
+            except Exception:
+                prev = {}
 
     from energydatalake_spark.text.dedup import release_shingle_cache
 
@@ -157,6 +167,25 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+    # Committed full artifact (VERDICT r7 #6): the driver's
+    # BENCH_r{N}.json stores only a 4 KB stdout tail, which at 90+
+    # queries truncates the head of the per-query map and nulls
+    # `parsed`. Write the complete payload to BENCHFULL_r{N}.json
+    # (N = newest driver BENCH round + 1, i.e. the round in flight) so
+    # round-over-round comparison never degrades. stdout stays ONE line.
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    this_round = (max(rounds) + 1) if rounds else 1
+    full_path = os.path.join(repo_dir, f"BENCHFULL_r{this_round:02d}.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# BENCHFULL write skipped: {exc}", file=sys.stderr)
     print(json.dumps(payload))
 
 
