@@ -25,6 +25,7 @@ from energydatalake_spark.text.dedup import (
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
+    substring_dedup,
 )
 from energydatalake_spark.multimodal.media import attach_fake_media, decode_media
 from energydatalake_spark.similarity.neardup import (
@@ -2375,6 +2376,83 @@ GROUP BY doc_id
 
 
 
+SPAN_K, SPAN_DF = 5, 1  # ≥5-token runs appearing in >1 doc are removed
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span removal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): every run of
+    ≥``SPAN_K`` consecutive tokens that appears in more than
+    ``SPAN_DF`` documents is removed from ALL documents, with no line
+    structure required — the last standard large-corpus dedup tier
+    (exact doc / near-dup / line / span). Where ``line_dedup`` needs a
+    ``sep`` and ``boilerplate_filter`` only scores, this REWRITES at
+    token granularity over sliding windows with automatic run-merging.
+
+    Scale shape (see text.dedup.substring_dedup): grams are 60-bit
+    longs built from k-1 lead() columns in ONE window pass; the
+    duplicated-gram set broadcasts; coverage is a running max on the
+    already doc-partitioned frame; reassembly is one doc per task.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    out = substring_dedup(
+        docs, text_col="text", id_col="doc_id", k=SPAN_K, max_df=SPAN_DF
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_kept",
+        F.md5(F.col("text_kept")).alias("kept_md5"),
+        F.length(F.col("text_kept")).cast("long").alias("kept_chars"),
+    )
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+  FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(tk[i:i + {SPAN_K} - 1], ' ') AS gram
+  FROM t, UNNEST(range(1, len(tk) - {SPAN_K} + 2)) AS u(i)
+),
+dup AS (
+  SELECT gram
+  FROM (SELECT gram, COUNT(DISTINCT doc_id) AS c FROM g GROUP BY gram)
+  WHERE c > {SPAN_DF}
+),
+m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+f AS (
+  SELECT tok.doc_id, tok.pos, tok.tok,
+         MAX(m.pos) OVER (PARTITION BY tok.doc_id ORDER BY tok.pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS last_dup_start
+  FROM tok LEFT JOIN m ON m.doc_id = tok.doc_id AND m.pos = tok.pos
+),
+kflag AS (
+  SELECT doc_id, pos, tok,
+         NOT COALESCE(last_dup_start >= pos - {SPAN_K} + 1, FALSE) AS keep
+  FROM f
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                      FILTER (WHERE keep), '')) AS kept_md5,
+       CAST(len(COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                           FILTER (WHERE keep), '')) AS BIGINT) AS kept_chars
+FROM kflag
+GROUP BY doc_id
+"""
+
+
 LM_T1, LM_T2 = 1.0 / 3.0, 2.0 / 3.0  # per-lang tercile cutpoints
 
 
@@ -2907,6 +2985,8 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("boilerplate_filter", q_boilerplate_filter, SQL_BOILERPLATE_FILTER,
      "ext:boilerplate-phrase-filter"),
     ("line_dedup", q_line_dedup, SQL_LINE_DEDUP, "ext:line-frequency-dedup"),
+    ("substring_dedup", q_substring_dedup, SQL_SUBSTRING_DEDUP,
+     "ext:duplicate-span-removal"),
     ("lm_score", q_lm_score, SQL_LM_SCORE, "ext:bigram-lm-quality"),
     ("lm_buckets", q_lm_buckets, SQL_LM_BUCKETS, "ext:perplexity-buckets"),
     ("quality_probe", q_quality_probe, _sql_quality_probe(),

@@ -514,3 +514,111 @@ def line_dedup(
             ),
         ).alias(out_col),
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_df: int = 1,
+    out_col: str = "text_kept",
+) -> DataFrame:
+    """Exact duplicate-span removal (the Lee-et-al "Deduplicating
+    Training Data" tier): remove every run of ≥``k`` consecutive tokens
+    that also appears in more than ``max_df`` documents, without
+    requiring line structure — the sliding-window sibling of
+    ``line_dedup``. A token survives iff NO duplicated ``k``-gram
+    window covers it; overlapping matched windows merge into one
+    removed span for free (coverage is a running max over matched
+    window starts).
+
+    The reference's corpus ops have no dedup at all (it is a
+    warehouse/merge engine — pyspark_ercot_merge_fm_load_latest
+    _BQ_archive_csv.py:59-79 is its closest rewrite-shaped op); this
+    is the standard large-corpus span-dedup stage layered on the same
+    documents model.
+
+    Returns one row per input document: ``(id_col, n_tokens, n_kept,
+    out_col)`` — a fully-duplicated document survives with
+    ``out_col = ''`` so the caller decides the drop policy.
+
+    Scale shape: k-grams shuffle as 60-bit md5-reduced longs (built
+    from ``k-1`` lead() columns sharing ONE window over (doc, pos) —
+    no per-window re-tokenize); the doc-frequency aggregate is
+    map-side-combining on the hash; the duplicated-gram set is
+    bounded by total_grams/(max_df+1) and in practice
+    boilerplate-sized, so the per-token match is a broadcast left
+    join (drop the hint to fall back to an identical-semantics
+    shuffle join if a degenerate corpus overflows it); the coverage
+    decision is a running max over the already doc-partitioned frame
+    (no new exchange); reassembly groups one document per task.
+    """
+    from pyspark.sql import Window
+
+    from energydatalake_spark.text.stats import _hex15_to_long
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # k-1 lead columns + the validity probe share one WindowExec; the
+    # gram is null (and joins nothing) when fewer than k tokens remain.
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", j).over(w) for j in range(1, k)]
+    )
+    grams = toks.select(
+        id_col,
+        "pos",
+        "tok",
+        F.when(
+            F.lead("tok", k - 1).over(w).isNotNull(),
+            _hex15_to_long(F.md5(gram)),
+        ).alias("gh"),
+    )
+    dfreq = (
+        grams.filter(F.col("gh").isNotNull())
+        .select("gh", id_col)
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("gram_df"))
+    )
+    dup = dfreq.filter(F.col("gram_df") > max_df).select(
+        "gh", F.lit(True).alias("is_dup")
+    )
+    flagged = grams.join(F.broadcast(dup), "gh", "left")
+    # Coverage: token i is inside a removed span iff some duplicated
+    # window starts at p ∈ [i-k+1, i]; with starts visited in order the
+    # running max of matched starts decides it in one pass.
+    w_cov = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last_dup_start = F.max(
+        F.when(F.col("is_dup"), F.col("pos"))
+    ).over(w_cov)
+    keep = ~F.coalesce(
+        last_dup_start >= F.col("pos") - F.lit(k - 1), F.lit(False)
+    )
+    return (
+        flagged.withColumn("keep", keep)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "tok"))
+                        )
+                    ),
+                    lambda x: x["tok"],
+                ),
+            ).alias(out_col),
+        )
+    )

@@ -827,3 +827,65 @@ def test_line_dedup_matches_python_model(spark, texts, max_df):
         for r in line_dedup(df, max_df=max_df).collect()
     }
     assert got == _py_line_dedup(texts, max_df)
+
+
+def _py_substring_dedup(texts, k, max_df):
+    """Independent model of text.dedup.substring_dedup: tokenize on
+    whitespace, mark every k-token window whose gram appears in more
+    than max_df documents, remove covered tokens, reassemble in order.
+    Documents with zero tokens vanish (no rows to group)."""
+    import re as _re
+    from collections import defaultdict
+
+    tk = {
+        i: [x for x in _re.split(r"\s+", t.strip()) if x]
+        for i, t in enumerate(texts)
+    }
+    docs_of = defaultdict(set)
+    for d, toks in tk.items():
+        for p in range(len(toks) - k + 1):
+            docs_of[" ".join(toks[p : p + k])].add(d)
+    dup = {g for g, s in docs_of.items() if len(s) > max_df}
+    out = {}
+    for d, toks in tk.items():
+        if not toks:
+            continue
+        cov = [False] * len(toks)
+        for p in range(len(toks) - k + 1):
+            if " ".join(toks[p : p + k]) in dup:
+                for i in range(p, p + k):
+                    cov[i] = True
+        kept = [t for t, c in zip(toks, cov) if not c]
+        out[d] = (len(toks), len(kept), " ".join(kept))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "c", "dd", "e"]),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(2, 4),
+    st.integers(1, 2),
+)
+@_prop_settings
+def test_substring_dedup_matches_python_model(spark, texts, k, max_df):
+    """Five-word alphabet makes cross-document k-gram repeats (and
+    overlapping matched windows that must merge into one removed span)
+    common; the model recomputes coverage independently of the
+    Spark window/join machinery."""
+    from energydatalake_spark.text.dedup import substring_dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.text_kept)
+        for r in substring_dedup(df, k=k, max_df=max_df).collect()
+    }
+    assert got == _py_substring_dedup(texts, k, max_df)
