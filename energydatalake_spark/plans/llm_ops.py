@@ -2055,9 +2055,12 @@ def q_corpus_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier reuses the banded-LSH candidate generation (never
     all-pairs). At production scale the existing corpus's signatures
     and band buckets are a persisted index appended per batch, not
-    recomputed — the plan here recomputes them because the oracle
-    replays one self-contained expression; the operator surface
-    (`text/dedup.py minhash_pairs`) is the same either way."""
+    recomputed — that loop is implemented in
+    ``pipelines/incremental.py`` (build_minhash_index /
+    incremental_ingest, sharing this query's signature space via
+    ``text.dedup.minhash_signatures``; pinned scans-index-not-corpus
+    by tests/test_incremental.py). The plan HERE recomputes because
+    the oracle replays one self-contained expression."""
     docs = read_table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % INCR_MOD == 0
     new_h = docs.filter(is_new).select("doc_id", F.md5("text").alias("h"))

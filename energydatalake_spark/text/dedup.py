@@ -622,3 +622,74 @@ def substring_dedup(
             ).alias(out_col),
         )
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 16,
+    rows: int = 2,
+) -> DataFrame:
+    """Per-document MinHash signature as ONE array column — the
+    persistable form of the signature matrix ``minhash_pairs`` builds
+    inline (same shingles, same multiply-shift permutations, so the
+    two signature spaces are identical and index lookups match inline
+    runs). One row per document with ≥1 shingle: ``(id_col,
+    sig: array<bigint> length bands*rows)``.
+
+    Scale shape: identical to minhash_pairs' signature stage — one
+    shingle explode shuffled as 32-bit hash ints, one
+    map-side-combining min-aggregate per permutation."""
+    k = bands * rows
+    perm_a, perm_b = _perm_constants(k)
+    ex = _exploded_shingles(df, text_col, id_col, n).select(
+        F.col(id_col), _hash_long(F.md5(F.col("shingle"))).alias("h0")
+    )
+    agg = ex.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(perm_a[i]) * F.col("h0") + F.lit(perm_b[i])).bitwiseAND(
+                    F.lit(PERM_MASK)
+                )
+            ).alias(f"m{i}")
+            for i in range(k)
+        ]
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"),
+    )
+
+
+def signature_band_buckets(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 2
+) -> DataFrame:
+    """LSH band buckets from a signature frame: one row per (doc,
+    band) with the band's hash — the same ``md5(concat_ws(','))`` rule
+    minhash_pairs uses, so buckets from a persisted index collide with
+    buckets from a live batch. Input: ``(id_col, sig array<bigint>)``.
+    Output: ``(id_col, band, band_hash)``."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", i + 1).cast("string")
+                        for i in range(b * rows, (b + 1) * rows)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bh")
+    ).select(
+        F.col(id_col),
+        F.col("bh.band").alias("band"),
+        F.col("bh.band_hash").alias("band_hash"),
+    )

@@ -1,0 +1,149 @@
+"""Persisted-index incremental ingestion (pipelines/incremental.py).
+
+The inline registry query ``corpus_increment`` is oracle-checked; these
+tests pin the production twin: index bootstrap, verdict parity on
+clear-cut cases, the scans-index-not-corpus claim (the whole point of
+persisting), and append-then-reingest behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+BASE = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "spark shuffles hash partitions across the cluster ring buffer"),
+    (3, "completely different third document about parquet row groups"),
+]
+
+
+def _corpus_df(spark):
+    return spark.createDataFrame(BASE, "doc_id bigint, text string")
+
+
+@pytest.fixture()
+def index_path(spark, tmp_path):
+    from energydatalake_spark.pipelines.incremental import build_minhash_index
+
+    p = str(tmp_path / "mh_index")
+    build_minhash_index(_corpus_df(spark), p)
+    return p
+
+
+def test_incremental_ingest_verdicts(spark, index_path):
+    from energydatalake_spark.pipelines.incremental import incremental_ingest
+
+    batch = spark.createDataFrame(
+        [
+            (101, BASE[0][1]),  # exact copy of doc 1
+            # near-dup of doc 2: one word changed out of nine
+            (102, "spark shuffles hash partitions across the cluster ring pool"),
+            (103, "an entirely novel document mentioning z order clustering"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.verdict, r.matched_doc_id)
+        for r in incremental_ingest(batch, index_path, append=False).collect()
+    }
+    assert got[101] == ("exact", 1)
+    assert got[102] == ("near_dup", 2)
+    assert got[103] == ("accept", None)
+
+
+def test_incremental_ingest_scans_index_not_corpus(spark, tmp_path):
+    """VERDICT r7 #4's done-condition: the second increment's verdict
+    plan reads the signature tables, NOT the raw corpus text. The
+    corpus here lives in its own parquet file; its path must not
+    appear in any scan of the verdict plan, while all three index
+    tables must."""
+    from energydatalake_spark.pipelines.incremental import (
+        build_minhash_index,
+        incremental_ingest,
+    )
+
+    corpus_p = str(tmp_path / "corpus_docs")
+    _corpus_df(spark).write.parquet(corpus_p)
+    index_p = str(tmp_path / "mh_index")
+    build_minhash_index(spark.read.parquet(corpus_p), index_p)
+
+    batch = spark.createDataFrame(
+        [(201, "first increment totally fresh text about watermarks")],
+        "doc_id bigint, text string",
+    )
+    incremental_ingest(batch, index_p)  # increment 1 (appends doc 201)
+
+    batch2 = spark.createDataFrame(
+        [
+            (202, "first increment totally fresh text about watermarks"),
+            (203, "yet another brand new document body"),
+        ],
+        "doc_id bigint, text string",
+    )
+    verdicts = incremental_ingest(batch2, index_p, append=False)
+    files = verdicts.inputFiles()
+    assert files, "expected file-backed scans in the verdict plan"
+    assert not any(corpus_p in f for f in files), (
+        "second increment re-scanned corpus text"
+    )
+    for sub in ("exact", "sig", "buckets"):
+        assert any(f"mh_index/{sub}" in f for f in files), (
+            f"index table {sub} not scanned"
+        )
+    got = {r.doc_id: r.verdict for r in verdicts.collect()}
+    # 202 duplicates a doc admitted by increment 1 — only the INDEX
+    # knows it, so this also proves the append took effect.
+    assert got == {202: "exact", 203: "accept"}
+
+
+def test_incremental_ingest_append_and_reingest(spark, index_path):
+    from energydatalake_spark.pipelines.incremental import incremental_ingest
+
+    batch = spark.createDataFrame(
+        [(301, "some fresh text that should be accepted and indexed")],
+        "doc_id bigint, text string",
+    )
+    first = {r.doc_id: r.verdict for r in incremental_ingest(batch, index_path).collect()}
+    assert first == {301: "accept"}
+    # Redelivery of the same batch: everything is now an exact dup of
+    # the previously admitted copy.
+    again = {
+        (r.doc_id): (r.verdict, r.matched_doc_id)
+        for r in incremental_ingest(batch, index_path).collect()
+    }
+    assert again == {301: ("exact", 301)}
+    # And a rejected redelivery must NOT have re-appended: index holds
+    # exactly one signature row for doc 301.
+    sig = spark.read.parquet(index_path + "/sig")
+    assert sig.filter(F.col("doc_id") == 301).count() == 1
+
+
+def test_signature_space_matches_inline_minhash(spark):
+    """The persisted index and the inline ``minhash_pairs`` must live
+    in the SAME signature space (shared helpers): estimated Jaccard
+    from `minhash_signatures` components must be high exactly where
+    minhash_pairs reports a pair."""
+    from energydatalake_spark.text.dedup import (
+        minhash_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+            (3, "unrelated words entirely separate content here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(docs).collect()}
+    k = len(sigs[1])
+    est12 = sum(a == b for a, b in zip(sigs[1], sigs[2])) / k
+    est13 = sum(a == b for a, b in zip(sigs[1], sigs[3])) / k
+    assert est12 >= 0.5 > est13
