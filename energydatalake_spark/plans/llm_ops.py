@@ -2734,6 +2734,34 @@ _PROBE_SCORE = (
 )
 
 
+def _probe_weights(env: dict[str, float]) -> tuple[float, float, float]:
+    """Plain-Python twin of the `_PROBE_DET*` expression strings
+    (which remain the single source for both SQL engines). The Python
+    expressions mirror the strings token-for-token, so operator
+    precedence — and hence IEEE evaluation order and the literal
+    weights — stays bit-identical to an `F.expr`/DuckDB parse, without
+    the `eval()` footgun the r7 verdict flagged. Pinned bit-exact
+    against the strings by
+    tests/test_corpus_ops.py::test_probe_weights_match_formula_strings.
+    """
+    n, s1, s2 = env["n"], env["s1"], env["s2"]
+    q11, q12, q22 = env["q11"], env["q12"], env["q22"]
+    b0, b1, b2 = env["b0"], env["b1"], env["b2"]
+    det = (
+        n*(q11*q22 - q12*q12) - s1*(s1*q22 - q12*s2) + s2*(s1*q12 - q11*s2)
+    )
+    w0 = (
+        b0*(q11*q22 - q12*q12) - s1*(b1*q22 - q12*b2) + s2*(b1*q12 - q11*b2)
+    ) / det
+    w1 = (
+        n*(b1*q22 - q12*b2) - b0*(s1*q22 - q12*s2) + s2*(s1*b2 - b1*s2)
+    ) / det
+    w2 = (
+        n*(q11*b2 - b1*q12) - s1*(s1*b2 - b1*s2) + b0*(s1*q12 - q11*s2)
+    ) / det
+    return w0, w1, w2
+
+
 
 def _probe_features(docs: DataFrame) -> DataFrame:
     """Integer-quantized probe features (shared by the batch trainer
@@ -2870,11 +2898,7 @@ def q_streaming_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     env = {k: float(mom[k]) for k in mom.asDict()}
-    safe = {"__builtins__": {}}
-    det = eval(_PROBE_DET, safe, dict(env))  # noqa: S307 — module-const exprs
-    w0 = eval(_PROBE_DET0, safe, dict(env)) / det
-    w1 = eval(_PROBE_DET1, safe, dict(env)) / det
-    w2 = eval(_PROBE_DET2, safe, dict(env)) / det
+    w0, w1, w2 = _probe_weights(env)
 
     stream = read_table_stream(spark, sf_dir, "documents")
     scored = _probe_features(stream).select(

@@ -276,3 +276,32 @@ def test_embedding_clusters_kmeans_partitions_corpus(spark):
     ).fetchone()[0]
     assert sum(r.n_members for r in out) == n_vecs
     assert len({r.cell_id for r in out}) == len(out)
+
+
+def test_probe_weights_match_formula_strings():
+    """_probe_weights (plain Python, no eval) must be bit-identical to
+    evaluating the _PROBE_DET* expression strings — the strings stay
+    the cross-engine source of truth, the function merely mirrors
+    them (VERDICT r7 What's-wrong #4)."""
+    import random
+
+    from energydatalake_spark.plans.llm_ops import (
+        _PROBE_DET,
+        _PROBE_DET0,
+        _PROBE_DET1,
+        _PROBE_DET2,
+        _probe_weights,
+    )
+
+    rnd = random.Random(7)
+    for _ in range(50):
+        env = {
+            k: rnd.uniform(1.0, 1e6)
+            for k in ("n", "s1", "s2", "q11", "q12", "q22", "b0", "b1", "b2")
+        }
+        det = eval(_PROBE_DET, {"__builtins__": {}}, dict(env))
+        want = tuple(
+            eval(e, {"__builtins__": {}}, dict(env)) / det
+            for e in (_PROBE_DET0, _PROBE_DET1, _PROBE_DET2)
+        )
+        assert _probe_weights(env) == want  # bit-exact, not approx

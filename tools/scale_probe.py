@@ -1,0 +1,147 @@
+"""sf1 scale probe for the heavy query family (VERDICT r7 #7).
+
+Generates 1× and 10× synthetic ``documents`` / ``embeddings`` tables
+with the driver testdata's distribution shape (sf0.1 profile: 5,000
+docs × ~54 tokens over a 31-word vocab, 5 langs × 20 sources; 2,000
+unit-norm 64-dim embeddings in 10 clusters — so 10× ≈ sf1), runs each
+heavy query on BOTH via the registry build, and reports wall-clock plus
+the scaling exponent  α = log(t₁₀/t₁)/log(10).  α ≈ 1 is linear; the
+"scale-safe" claims in VERDICT/PLANS predict α ≲ 1.2 for every query
+here (banded/bucketed dedup, model-sized k-means collects). Both
+datasets come from the SAME generator, so the ratio is apples-to-apples
+regardless of how closely the distribution matches the driver's.
+
+Writes nothing under /root/testdata (read-only); probe data lives in a
+temp dir. Usage:  python tools/scale_probe.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEAVY = [
+    "minhash_pairs",
+    "line_dedup",
+    "substring_dedup",
+    "dedup_clusters",
+    "semantic_dedup",
+    "similarity_ivf_kmeans",
+]
+
+VOCAB = [
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "merge", "batch", "spark", "a", "the", "line", "sort", "window",
+    "order", "data", "column", "join", "small", "customer", "query", "big",
+    "stream", "group", "filter", "vector", "sessionize",
+]
+
+
+def gen_documents(path: str, n_docs: int, rng: np.random.Generator) -> None:
+    """~54-token docs over the 31-word vocab; ~0.2% exact dups and a
+    planted pool of shared 6-token spans (the sf0.1 corpus shows ~1k
+    cross-doc spans at k=5-8) so dedup finds real structure."""
+    spans = [
+        list(rng.choice(VOCAB, size=6)) for _ in range(max(20, n_docs // 250))
+    ]
+    texts: list[str] = []
+    for i in range(n_docs):
+        if texts and rng.random() < 0.002:
+            texts.append(texts[rng.integers(0, len(texts))])  # exact dup
+            continue
+        toks = list(rng.choice(VOCAB, size=int(rng.integers(40, 69))))
+        if rng.random() < 0.3:  # plant a shared span mid-document
+            span = spans[rng.integers(0, len(spans))]
+            p = int(rng.integers(0, len(toks) - 6))
+            toks[p : p + 6] = span
+        texts.append(" ".join(toks))
+    langs = rng.choice(["en", "de", "fr", "es", "pt"], size=n_docs)
+    sources = rng.choice([f"src{i}" for i in range(20)], size=n_docs)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs.tolist()),
+            "source": pa.array(sources.tolist()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def gen_embeddings(path: str, n_vecs: int, rng: np.random.Generator) -> None:
+    """Unit-norm 64-dim vectors in 10 clusters + ~2% planted near-dup
+    twins (tiny perturbation of an earlier vector)."""
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, 10, size=n_vecs)
+    vecs = centers[labels] + 0.35 * rng.normal(size=(n_vecs, 64))
+    dup = rng.random(n_vecs) < 0.02
+    for i in np.flatnonzero(dup):
+        if i == 0:
+            continue
+        j = int(rng.integers(0, i))
+        vecs[i] = vecs[j] + 0.01 * rng.normal(size=64)
+        labels[i] = labels[j]
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def main() -> None:
+    queries = sys.argv[1:] or HEAVY
+    base = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        dirs = {}
+        for mult, n_docs, n_vecs in ((1, 5_000, 2_000), (10, 50_000, 20_000)):
+            d = os.path.join(base, f"x{mult}")
+            os.makedirs(d)
+            rng = np.random.default_rng(4242)  # same seed: x10 ⊃-shaped like x1
+            gen_documents(os.path.join(d, "documents.parquet"), n_docs, rng)
+            gen_embeddings(os.path.join(d, "embeddings.parquet"), n_vecs, rng)
+            dirs[mult] = d
+
+        from energydatalake_spark.plans.registry import QUERIES
+        from energydatalake_spark.session import get_spark
+        from energydatalake_spark.text.dedup import release_shingle_cache
+
+        spark = get_spark("scale_probe")
+        print(f"{'query':28s} {'t_x1':>8s} {'t_x10':>8s} {'alpha':>6s}")
+        for name in queries:
+            t = {}
+            for mult in (1, 10):
+                QUERIES[name].build(spark, dirs[mult]).collect()  # warm
+                release_shingle_cache()
+                t0 = time.perf_counter()
+                QUERIES[name].build(spark, dirs[mult]).collect()
+                t[mult] = time.perf_counter() - t0
+                release_shingle_cache()
+            alpha = math.log(t[10] / t[1]) / math.log(10)
+            print(
+                f"{name:28s} {t[1]:8.2f} {t[10]:8.2f} {alpha:6.2f}"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
