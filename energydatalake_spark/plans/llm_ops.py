@@ -2456,6 +2456,58 @@ GROUP BY doc_id
 """
 
 
+HTF_DIM = 64  # hashed-tfidf vector width
+
+
+def q_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing tf-idf vectorizer (``text.relevance
+    .hashed_tfidf``): every document becomes a sparse L2-normalized
+    ``HTF_DIM``-dimension vector via the hashing trick — the
+    text→vector bridge between the corpus-cleaning tier and the
+    ANN/similarity tier. Emitted sparse as (doc_id, dim_idx, weight).
+    """
+    from energydatalake_spark.text.relevance import hashed_tfidf
+
+    docs = read_table(spark, sf_dir, "documents")
+    return hashed_tfidf(docs, dim=HTF_DIM)
+
+
+SQL_HASHED_TFIDF = f"""
+WITH tf AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(((('0x' || substr(md5(tf.term), 1, 15))::BIGINT >> 1)
+               % {HTF_DIM}) AS INTEGER) AS dim_idx,
+         (1 - (('0x' || substr(md5(tf.term), 1, 15))::BIGINT % 2) * 2)
+         * CAST(FLOOR(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df)
+                      * 1000000.0 + 0.5) AS BIGINT) AS wq
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+bucket AS (
+  SELECT doc_id, dim_idx, SUM(wq) AS wq
+  FROM scored GROUP BY doc_id, dim_idx
+  HAVING SUM(wq) <> 0
+),
+norms AS (
+  SELECT doc_id,
+         SUM(CAST(FLOOR(POW(CAST(wq AS DOUBLE) / 1000000.0, 2.0)
+                        * 1000000.0 + 0.5) AS BIGINT)) AS nsum
+  FROM bucket GROUP BY doc_id
+)
+SELECT b.doc_id, b.dim_idx,
+       FLOOR((CAST(b.wq AS DOUBLE) / 1000000.0)
+             / SQRT(CAST(n2.nsum AS DOUBLE) / 1000000.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS weight
+FROM bucket b JOIN norms n2 USING (doc_id)
+"""
+
+
 LM_T1, LM_T2 = 1.0 / 3.0, 2.0 / 3.0  # per-lang tercile cutpoints
 
 
@@ -3014,6 +3066,8 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("line_dedup", q_line_dedup, SQL_LINE_DEDUP, "ext:line-frequency-dedup"),
     ("substring_dedup", q_substring_dedup, SQL_SUBSTRING_DEDUP,
      "ext:duplicate-span-removal"),
+    ("hashed_tfidf", q_hashed_tfidf, SQL_HASHED_TFIDF,
+     "ext:feature-hashing-vectorizer"),
     ("lm_score", q_lm_score, SQL_LM_SCORE, "ext:bigram-lm-quality"),
     ("lm_buckets", q_lm_buckets, SQL_LM_BUCKETS, "ext:perplexity-buckets"),
     ("quality_probe", q_quality_probe, _sql_quality_probe(),

@@ -154,3 +154,89 @@ def bigram_lm_scores(
             6,
         ).alias("avg_logp"),
     )
+
+
+def hashed_tfidf(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) tf-idf vectorizer — the
+    text→vector bridge of a training pipeline (fastText/Vowpal-style):
+    every term hashes to one of ``dim`` buckets with a ±1 sign, its
+    tf·idf adds into the bucket, and the resulting per-document vector
+    is L2-normalized. Emitted SPARSE, one row per non-zero bucket:
+    ``(id_col, dim_idx, weight)`` — the natural shuffle-friendly shape
+    at corpus scale, and directly consumable by the ANN/similarity
+    tier (which accepts dense arrays via a one-line pivot).
+
+    Bucket and sign both derive from ONE 60-bit md5 of the term
+    (sign = parity, bucket = h/2 mod dim) so the mapping is
+    engine-portable and collision behavior is explicit.
+
+    Cross-engine determinism (the lm_score idiom): each term's
+    non-negative tf·idf is quantized to bigint micro-units BEFORE the
+    signed bucket sum, making the reduction addition-order-independent;
+    the norm is likewise a bigint sum of per-bucket quantized squares.
+
+    Scale shape: one token explode feeds the (doc, term) tf aggregate;
+    the vocab-sized df table joins back (AQE broadcasts while it
+    fits); the bucket reduction is a map-side-combined (doc, bucket)
+    aggregate — never wider than dim rows per doc; the norm rides a
+    per-doc aggregate over ≤dim rows and rejoins batch-sized.
+    """
+    from energydatalake_spark.text.stats import _hex15_to_long
+
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    h = _hex15_to_long(F.md5(F.col("term")))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            # shiftright, NOT h/2: true division would round the
+            # 60-bit hash through a 53-bit double mantissa.
+            (F.shiftright(h, 1) % F.lit(dim)).cast("int").alias("dim_idx"),
+            (
+                (F.lit(1) - (h % F.lit(2)) * F.lit(2))
+                * F.floor(
+                    F.col("tf")
+                    * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("wq"),
+        )
+    )
+    bucket = (
+        scored.groupBy(id_col, "dim_idx")
+        .agg(F.sum("wq").alias("wq"))
+        .filter(F.col("wq") != 0)
+    )
+    # Quantized square per bucket → exact bigint norm² sum per doc.
+    nq = F.floor(
+        F.pow(F.col("wq").cast("double") / F.lit(1e6), F.lit(2.0))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    norms = (
+        bucket.select(id_col, nq.alias("nq"))
+        .groupBy(id_col)
+        .agg(F.sum("nq").alias("nsum"))
+    )
+    return bucket.join(norms, id_col).select(
+        id_col,
+        "dim_idx",
+        _r(
+            (F.col("wq").cast("double") / F.lit(1e6))
+            / F.sqrt(F.col("nsum").cast("double") / F.lit(1e6)),
+            6,
+        ).alias("weight"),
+    )

@@ -264,3 +264,28 @@ def test_lm_buckets_percentile_parity_on_edge_shapes(spark, tmp_path):
             tuple(r) for r in con.execute(SQL_LM_BUCKETS).fetchall()
         )
         assert got == want, f"corpus {name}: {got} != {want}"
+
+
+def test_hashed_tfidf_unit_norm_and_partition_invariance(spark):
+    """Every document's sparse hashed-tfidf vector must be
+    L2-normalized (≈1 up to the documented micro-unit quantization),
+    and the output must not depend on input partitioning (the bigint
+    micro-unit sums make the reduction order-free)."""
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.io.readers import read_table
+    from energydatalake_spark.text.relevance import hashed_tfidf
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    out = hashed_tfidf(docs, dim=16)
+    norms = (
+        out.groupBy("doc_id")
+        .agg(F.sum(F.col("weight") * F.col("weight")).alias("n2"))
+        .collect()
+    )
+    assert norms
+    for r in norms:
+        assert abs(r.n2 - 1.0) < 1e-3, f"doc {r.doc_id} norm² {r.n2}"
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, hashed_tfidf(docs.repartition(13), dim=16).collect()))
+    assert a == b
