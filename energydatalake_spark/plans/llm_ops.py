@@ -2666,6 +2666,71 @@ def _sql_ann_recall() -> str:
     return _sql_recall_vs_exact(_sql_similarity_lsh())
 
 
+def q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of an INT8-QUANTIZED index against the float exact
+    top-k — the measurement that licenses the 4× memory cut of
+    quantizing a 100 TB embedding index (similarity.search
+    .quantize_embeddings): corpus vectors snap to their per-vector
+    255-level grid, queries stay full precision (the deployed
+    asymmetric-search shape), and recall is evaluated on the nq·k
+    result sets exactly like ann_recall/ivf_recall."""
+    from energydatalake_spark.similarity.search import quantize_embeddings
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=TOPK_K).select("query_id", "vec_id")
+    approx = cosine_topk(quantize_embeddings(emb), queries, k=TOPK_K).select(
+        "query_id", "vec_id"
+    )
+    return _recall_vs_exact(exact, approx)
+
+
+SQL_QUANTIZED_TOPK = f"""
+WITH q0 AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {TOPK_NQ}
+),
+c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS amax
+  FROM c0
+),
+dq AS (
+  SELECT vec_id,
+         CASE WHEN amax = 0 THEN v ELSE
+           list_transform(v, x ->
+             LEAST(GREATEST(FLOOR(x * (127.0 / amax) + 0.5), -127.0), 127.0)
+             / (127.0 / amax))
+         END AS cv
+  FROM sc
+),
+qn AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qnorm FROM q0),
+cn AS (SELECT vec_id, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM dq),
+scored AS (
+  SELECT query_id, vec_id, list_dot_product(qv, cv) / (qnorm * cnorm) AS cos_raw
+  FROM qn, cn WHERE vec_id != query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_raw DESC, vec_id) AS INTEGER)
+           AS rank
+  FROM scored
+)
+SELECT query_id, vec_id,
+       FLOOR(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+       rank
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
+def _sql_quantized_recall() -> str:
+    return _sql_recall_vs_exact(SQL_QUANTIZED_TOPK)
+
+
 def _recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
     """Shared recall@k comparison over two (query_id, vec_id) result
     sets (see q_ann_recall for the semantics and scale notes)."""
@@ -3117,6 +3182,8 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("ann_recall", q_ann_recall, _sql_ann_recall(), "ext:ann-recall-eval"),
     ("ivf_recall", q_ivf_recall, _sql_recall_vs_exact(SQL_SIMILARITY_IVF),
      "ext:ivf-recall-eval"),
+    ("quantized_recall", q_quantized_recall, _sql_quantized_recall(),
+     "ext:int8-quantization-recall"),
     ("similarity_ivf", q_similarity_ivf, SQL_SIMILARITY_IVF, "ext:ann-ivf"),
     (
         "similarity_ivf_kmeans",

@@ -510,3 +510,41 @@ def lsh_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization, returned DEQUANTIZED:
+    each component maps to its nearest point on the 255-level grid
+    ``{-127..127}·(amax/127)`` — the memory layout that shrinks a
+    100 TB float32 corpus index 4× (store int8 + one float scale per
+    vector; this operator materializes the value the int8 index would
+    reproduce, so downstream cosine math needs no new code path).
+    Zero vectors pass through unchanged (no 0·inf NaN).
+
+    Pure per-row expressions: amax is a max-fold (order-independent),
+    the grid round uses the portable floor(x+0.5) idiom, so the grid
+    is bit-identical across engines."""
+    v = _as_double(F.col(vec_col))
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+    )
+    deq = F.when(amax == 0.0, v).otherwise(
+        F.transform(
+            v,
+            lambda x: F.least(
+                F.greatest(
+                    F.floor(x * (F.lit(127.0) / amax) + F.lit(0.5)).cast(
+                        "double"
+                    ),
+                    F.lit(-127.0),
+                ),
+                F.lit(127.0),
+            )
+            / (F.lit(127.0) / amax),
+        )
+    )
+    return df.select(F.col(id_col), deq.alias(vec_col))

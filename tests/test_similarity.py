@@ -165,3 +165,40 @@ def test_kmeans_sample_training(spark):
     # too-aggressive sampling fails loudly, not with a silent bad model
     with pytest.raises(ValueError, match="lower train_sample_mod"):
         kmeans_centroids(emb, n_cells=300, n_iter=1, train_sample_mod=4)
+
+
+def test_quantize_embeddings_grid_and_fidelity(spark):
+    """int8 grid invariants: every dequantized component is an integer
+    multiple of its vector's step amax/127 within fp tolerance, |q| ≤
+    127 levels, zero vectors pass through, and cosine to the original
+    stays near 1 (the 4×-memory claim is only licensed by fidelity)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.similarity.search import quantize_embeddings
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [1e-3, 2e-3, -3e-3, 4e-3]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: list(r.embedding) for r in quantize_embeddings(df).collect()}
+    assert out[3] == [0.0, 0.0, 0.0, 0.0]
+    import numpy as np
+
+    for vid, orig in ((1, rows[0][1]), (2, rows[1][1])):
+        # the column is float32 — reference math must quantize the
+        # SAME values Spark saw, not the python doubles
+        orig = [float(np.float32(x)) for x in orig]
+        amax = max(abs(x) for x in orig)
+        step = amax / 127.0
+        got = out[vid]
+        for x in got:
+            q = x / step
+            assert abs(q - round(q)) < 1e-9 and abs(q) <= 127.0 + 1e-9
+        d = sum(a * b for a, b in zip(orig, got))
+        na = math.sqrt(sum(a * a for a in orig))
+        nb = math.sqrt(sum(b * b for b in got))
+        assert d / (na * nb) > 0.999
