@@ -312,6 +312,74 @@ JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE CAST(i.ni AS DOUBLE) / (sa.ns + sb.ns - i.ni) >= {NJ_THRESHOLD}
 """
 
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-tier quality evaluation — the near-dup twin of
+    `ann_recall`: recall/precision of the banded MinHash-LSH pair
+    finder against the exact n-gram-Jaccard ground truth at the same
+    (n, threshold). Precision is 1 by construction (minhash_pairs
+    verifies candidates with exact Jaccard) — the metric that matters
+    is recall: the fraction of true ≥0.5-Jaccard pairs whose
+    signatures collide in at least one band. This is the measurement
+    that licenses replacing the quadratic exact tier with the banded
+    tier at 100 TB.
+
+    Scale shape: the comparison joins two pairs-sized frames and
+    reduces to ONE row; the ground-truth side is the quadratic exact
+    tier and is an EVAL-scale op by nature (run it on a sample at
+    production scale — the verdict is a rate, not a row set)."""
+    docs = read_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(
+        docs, n=NJ_N, threshold=NJ_THRESHOLD, max_doc_freq=None
+    ).select("id_a", "id_b")
+    approx = minhash_pairs(
+        docs, n=MH_N, bands=MH_BANDS, rows=MH_ROWS, threshold=MH_THRESHOLD
+    ).select("id_a", "id_b")
+    hits = truth.join(approx, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    a = approx.agg(F.count(F.lit(1)).alias("n_lsh"))
+    h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        t.join(F.broadcast(a))
+        .join(F.broadcast(h))
+        .select(
+            "n_truth",
+            "n_lsh",
+            "n_hits",
+            F.when(
+                F.col("n_truth") > 0,
+                _r(F.col("n_hits") / F.col("n_truth"), 6),
+            ).alias("recall"),
+            F.when(
+                F.col("n_lsh") > 0,
+                _r(F.col("n_hits") / F.col("n_lsh"), 6),
+            ).alias("precision"),
+        )
+    )
+
+
+def _sql_dedup_recall() -> str:
+    return f"""
+WITH truth AS ({SQL_NGRAM_JACCARD}),
+approx AS ({SQL_MINHASH_PAIRS}),
+hits AS (
+  SELECT t.id_a, t.id_b FROM truth t
+  WHERE EXISTS (SELECT 1 FROM approx a
+                WHERE a.id_a = t.id_a AND a.id_b = t.id_b)
+),
+c AS (SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+             (SELECT COUNT(*) FROM approx) AS n_lsh,
+             (SELECT COUNT(*) FROM hits) AS n_hits)
+SELECT n_truth, n_lsh, n_hits,
+       CASE WHEN n_truth > 0 THEN
+         FLOOR(CAST(n_hits AS DOUBLE) / n_truth * 1000000.0 + 0.5) / 1000000.0
+       END AS recall,
+       CASE WHEN n_lsh > 0 THEN
+         FLOOR(CAST(n_hits AS DOUBLE) / n_lsh * 1000000.0 + 0.5) / 1000000.0
+       END AS precision
+FROM c
+"""
+
+
 # -------------------------------------------------------------------- simhash
 
 SH_BITS = 32
@@ -3175,6 +3243,8 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, "ext:dedup-exact"),
     ("minhash_pairs", q_minhash_pairs, SQL_MINHASH_PAIRS, "ext:dedup-minhash-lsh"),
     ("ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD, "ext:dedup-ngram-jaccard"),
+    ("dedup_recall", q_dedup_recall, _sql_dedup_recall(),
+     "ext:dedup-lsh-recall-eval"),
     ("simhash", q_simhash, SQL_SIMHASH, "ext:dedup-simhash"),
     ("simhash_pairs", q_simhash_pairs, SQL_SIMHASH_PAIRS, "ext:dedup-simhash-pairs"),
     ("similarity_topk", q_similarity_topk, SQL_SIMILARITY_TOPK, "ext:ann-bruteforce"),
