@@ -236,3 +236,71 @@ def zorder_column(df, cols: list[str]):
             )
     name = "__zval"
     return df.withColumn(name, z), name
+
+
+def expire_partitions(
+    folder: str,
+    keep_days: int,
+    today: "datetime.date | None" = None,
+) -> dict:
+    """Retention sweep over a Hive ``dt=``-partitioned warehouse root:
+    remove every partition directory strictly older than ``today -
+    keep_days`` — the storage-policy sibling of archive-after-write
+    (reference README.md:143-148 keeps the ingest side tidy; this
+    keeps the warehouse side bounded). Partition-drop granularity is
+    the ONLY retention shape that scales: the decision reads directory
+    names, never data, so a 100 TB table expires in directory-count
+    time (on Delta/Iceberg the same call is a metadata-only
+    ``DELETE WHERE dt < cutoff`` + VACUUM).
+
+    ``today`` is injectable for tests and replay (defaults to the
+    current UTC date). The null-dt partition
+    (``dt=__HIVE_DEFAULT_PARTITION__`` — rows whose source timestamp
+    never parsed) has no age and is NEVER expired; non-``dt=`` entries
+    are refused loudly rather than guessed at. Returns
+    ``{"dropped": [...], "kept": n}``; dropping nothing is a no-op,
+    not an error.
+    """
+    import datetime
+    import os
+    import shutil
+
+    if keep_days < 0:
+        raise ValueError(f"expire_partitions: keep_days {keep_days} < 0")
+    if today is None:
+        today = datetime.datetime.now(datetime.timezone.utc).date()
+    cutoff = today - datetime.timedelta(days=keep_days)
+    entries = [
+        n
+        for n in os.listdir(folder)
+        if not n.startswith((".", "_")) or n == "dt=__HIVE_DEFAULT_PARTITION__"
+    ]
+    bad = [
+        n
+        for n in entries
+        if not (n.startswith("dt=") and os.path.isdir(os.path.join(folder, n)))
+    ]
+    if bad:
+        raise ValueError(
+            f"expire_partitions: {folder} is not a dt=-partitioned root "
+            f"(unexpected entries: {sorted(bad)[:5]})"
+        )
+    dropped = []
+    kept = 0
+    for n in sorted(entries):
+        val = n[len("dt=") :]
+        if val == "__HIVE_DEFAULT_PARTITION__":
+            kept += 1
+            continue
+        try:
+            d = datetime.date.fromisoformat(val)
+        except ValueError as exc:
+            raise ValueError(
+                f"expire_partitions: unparseable partition {n!r}"
+            ) from exc
+        if d < cutoff:
+            shutil.rmtree(os.path.join(folder, n))
+            dropped.append(n)
+        else:
+            kept += 1
+    return {"dropped": dropped, "kept": kept}

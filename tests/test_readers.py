@@ -406,3 +406,44 @@ def test_zorder_compaction_prunes_on_both_columns(spark, tmp_path):
     assert y_rows < n // 2, f"y predicate decoded {y_rows}"
     # and the data survives bit-for-bit (checksum gate ran inside)
     assert zr.count() == n
+
+
+def test_expire_partitions_retention(spark, tmp_path):
+    """Retention sweep: partitions older than the cutoff drop (by
+    directory, no data read), newer ones and the null-dt partition
+    survive, non-dt entries refuse, and a no-op pass drops nothing."""
+    import datetime
+    import os
+
+    import pytest
+
+    from energydatalake_spark.io.maintenance import expire_partitions
+
+    root = str(tmp_path / "wh")
+    for d in ("2024-01-01", "2024-02-01", "2024-03-01"):
+        os.makedirs(os.path.join(root, f"dt={d}"))
+    os.makedirs(os.path.join(root, "dt=__HIVE_DEFAULT_PARTITION__"))
+    today = datetime.date(2024, 3, 10)
+
+    res = expire_partitions(root, keep_days=45, today=today)  # cutoff 01-25
+    assert res["dropped"] == ["dt=2024-01-01"]
+    assert res["kept"] == 3
+    assert sorted(os.listdir(root)) == [
+        "dt=2024-02-01",
+        "dt=2024-03-01",
+        "dt=__HIVE_DEFAULT_PARTITION__",
+    ]
+    # idempotent second sweep: nothing left to drop
+    assert expire_partitions(root, keep_days=45, today=today)["dropped"] == []
+    # keep_days=0 drops everything strictly before today
+    res = expire_partitions(root, keep_days=0, today=today)
+    assert res["dropped"] == ["dt=2024-02-01", "dt=2024-03-01"]
+    assert os.path.isdir(os.path.join(root, "dt=__HIVE_DEFAULT_PARTITION__"))
+
+    bad = str(tmp_path / "bad")
+    os.makedirs(os.path.join(bad, "dt=2024-01-01"))
+    open(os.path.join(bad, "stray.csv"), "w").write("x\n")
+    with pytest.raises(ValueError, match="not a dt=-partitioned root"):
+        expire_partitions(bad, keep_days=1, today=today)
+    with pytest.raises(ValueError, match="keep_days"):
+        expire_partitions(root, keep_days=-1, today=today)
