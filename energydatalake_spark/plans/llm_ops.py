@@ -328,12 +328,23 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier and is an EVAL-scale op by nature (run it on a sample at
     production scale — the verdict is a rate, not a row set)."""
     docs = read_table(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(
-        docs, n=NJ_N, threshold=NJ_THRESHOLD, max_doc_freq=None
-    ).select("id_a", "id_b")
-    approx = minhash_pairs(
-        docs, n=MH_N, bands=MH_BANDS, rows=MH_ROWS, threshold=MH_THRESHOLD
-    ).select("id_a", "id_b")
+    # Both pair frames feed two consumers (the hit join and their own
+    # count); localCheckpoint the pairs-sized results so neither
+    # pipeline replays (measured 19 exchanges vs 7 this way).
+    truth = (
+        ngram_jaccard_pairs(
+            docs, n=NJ_N, threshold=NJ_THRESHOLD, max_doc_freq=None
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    approx = (
+        minhash_pairs(
+            docs, n=MH_N, bands=MH_BANDS, rows=MH_ROWS, threshold=MH_THRESHOLD
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     hits = truth.join(approx, ["id_a", "id_b"], "left_semi")
     t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     a = approx.agg(F.count(F.lit(1)).alias("n_lsh"))

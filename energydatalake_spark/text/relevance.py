@@ -220,23 +220,22 @@ def hashed_tfidf(
         .agg(F.sum("wq").alias("wq"))
         .filter(F.col("wq") != 0)
     )
-    # Quantized square per bucket → exact bigint norm² sum per doc.
+    # Quantized square per bucket → exact bigint norm² sum per doc,
+    # taken as a WINDOW over the ≤dim-rows-per-doc bucket frame: a
+    # groupBy+join would re-derive the whole tf→bucket subtree for the
+    # second consumer (measured 13 exchanges vs 5 this way).
     nq = F.floor(
         F.pow(F.col("wq").cast("double") / F.lit(1e6), F.lit(2.0))
         * F.lit(1e6)
         + F.lit(0.5)
     ).cast("bigint")
-    norms = (
-        bucket.select(id_col, nq.alias("nq"))
-        .groupBy(id_col)
-        .agg(F.sum("nq").alias("nsum"))
-    )
-    return bucket.join(norms, id_col).select(
+    nsum = F.sum(nq).over(Window.partitionBy(id_col))
+    return bucket.select(
         id_col,
         "dim_idx",
         _r(
             (F.col("wq").cast("double") / F.lit(1e6))
-            / F.sqrt(F.col("nsum").cast("double") / F.lit(1e6)),
+            / F.sqrt(nsum.cast("double") / F.lit(1e6)),
             6,
         ).alias("weight"),
     )
