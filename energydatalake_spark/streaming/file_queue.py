@@ -126,3 +126,59 @@ def stream_folder_upsert(
     )
     q.awaitTermination()
     return n_batches
+
+
+def stream_cdc_apply(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType | str,
+    sink_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    partition_date_col: str | None = None,
+) -> int:
+    """One AvailableNow pass with a DELETE-CAPABLE CDC sink: a JSONL
+    change feed (``op_col`` ∈ {'I','U','D'}, the Debezium/DMS envelope
+    shape) applied per micro-batch through ``apply_cdc_batch`` — the
+    streaming completion of ``stream_folder_upsert`` (whose MERGE is
+    insert-only). The checkpoint gives exactly-once per FILE; the
+    latest-per-key batch semantics plus keyed replace give
+    exactly-once per ROW even when a retrying producer re-ships a
+    change batch under a new file name.
+
+    Micro-batch ordering is the stream's file order — each batch's
+    changes land before the next batch is read, so cross-batch
+    ordering needs no ``seq_col``; within a batch the usual CDC
+    contract applies (pass ``seq_col`` when one file can carry several
+    changes for a key). Scale shape inherits from apply_cdc_batch:
+    only touched dt partitions rewrite.
+    """
+    from energydatalake_spark.io.writers import apply_cdc_batch
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+    n_batches = 0
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal n_batches
+        if batch_df.isEmpty():
+            return
+        n_batches += 1
+        apply_cdc_batch(
+            batch_df,
+            sink_path,
+            keys,
+            op_col=op_col,
+            seq_col=seq_col,
+            partition_date_col=partition_date_col,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches

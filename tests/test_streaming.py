@@ -464,3 +464,50 @@ def test_streaming_asof_matches_across_batches(spark, tmp_path):
     ).collect()
     assert len(reduced) == 1
     assert reduced[0].purchase_value == 20.0
+
+
+def test_stream_cdc_apply_deletes_and_exactly_once(spark, tmp_path):
+    """CDC change feed through the streaming sink: insert batch, then
+    a delete+update batch, applied in file order with checkpointed
+    exactly-once — final table equals the change log's net effect, and
+    a re-run of the same source adds nothing."""
+    import json
+    import os
+
+    from energydatalake_spark.streaming.file_queue import stream_cdc_apply
+
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    sink = str(tmp_path / "cdc_sink")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "k string, v bigint, t string, op string"
+
+    def write_batch(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_batch("b1.json", [
+        {"k": "a", "v": 1, "t": "2024-03-01 10:00:00", "op": "I"},
+        {"k": "b", "v": 2, "t": "2024-03-02 10:00:00", "op": "I"},
+    ])
+    n = stream_cdc_apply(
+        spark, src, schema, sink, ckpt, keys=["k"], partition_date_col="t"
+    )
+    assert n == 1
+    write_batch("b2.json", [
+        {"k": "a", "v": 1, "t": "2024-03-01 10:00:00", "op": "D"},
+        {"k": "b", "v": 20, "t": "2024-03-02 10:00:00", "op": "U"},
+        {"k": "c", "v": 3, "t": "2024-03-03 10:00:00", "op": "I"},
+    ])
+    stream_cdc_apply(
+        spark, src, schema, sink, ckpt, keys=["k"], partition_date_col="t"
+    )
+    got = {(r.k, r.v) for r in spark.read.parquet(sink).collect()}
+    assert got == {("b", 20), ("c", 3)}
+    # exactly-once: replaying the unchanged source applies no batch
+    n3 = stream_cdc_apply(
+        spark, src, schema, sink, ckpt, keys=["k"], partition_date_col="t"
+    )
+    assert n3 == 0
+    assert {(r.k, r.v) for r in spark.read.parquet(sink).collect()} == got
