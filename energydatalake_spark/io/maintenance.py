@@ -304,3 +304,48 @@ def expire_partitions(
         else:
             kept += 1
     return {"dropped": dropped, "kept": kept}
+
+
+def compact_partitioned_root(
+    spark: SparkSession,
+    folder: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+) -> dict:
+    """Maintenance driver for a Hive ``dt=``-partitioned root: run
+    ``compact_folder`` on EACH partition directory — the per-partition
+    scheduling loop its docstring prescribes (a flat rewrite of the
+    root would silently drop the partition layout, which is why
+    compact_folder refuses roots). Partitions keep their independent
+    verify-then-swap safety: a failure in one partition leaves it and
+    every other partition intact (the exception propagates with the
+    partition named).
+
+    At 100 TB this loop IS the nightly OPTIMIZE job: each partition is
+    a bounded unit of work, trivially schedulable/resumable, and only
+    partitions past their write window need visiting (callers filter
+    the returned names on their own freshness policy before re-runs).
+    Returns ``{partition_name: compact_folder_result}``.
+    """
+    parts = sorted(_partition_dirs(folder))
+    if not parts:
+        raise ValueError(
+            f"compact_partitioned_root: {folder} has no col= partition "
+            "directories — use compact_folder for flat folders"
+        )
+    results = {}
+    for p in parts:
+        try:
+            results[p] = compact_folder(
+                spark,
+                os.path.join(folder, p),
+                target_rows_per_file=target_rows_per_file,
+                sort_by=sort_by,
+                zorder_by=zorder_by,
+            )
+        except Exception as exc:
+            raise RuntimeError(
+                f"compact_partitioned_root: partition {p} failed: {exc}"
+            ) from exc
+    return results

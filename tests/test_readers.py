@@ -447,3 +447,36 @@ def test_expire_partitions_retention(spark, tmp_path):
         expire_partitions(bad, keep_days=1, today=today)
     with pytest.raises(ValueError, match="keep_days"):
         expire_partitions(root, keep_days=-1, today=today)
+
+
+def test_compact_partitioned_root_per_partition(spark, tmp_path):
+    """The per-partition OPTIMIZE loop: every dt partition compacts to
+    its own file budget, rows and content survive, untouched layout
+    (the partition dirs themselves) stays; flat folders refuse."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.io.maintenance import compact_partitioned_root
+
+    root = str(tmp_path / "proot")
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "2024-01-01").otherwise("2024-01-02")
+        .alias("dt"),
+    )
+    # many small files per partition
+    df.repartition(8).write.partitionBy("dt").parquet(root)
+    res = compact_partitioned_root(spark, root, target_rows_per_file=1000)
+    assert set(res) == {"dt=2024-01-01", "dt=2024-01-02"}
+    for r in res.values():
+        assert r["files_after"] == 1 and r["files_before"] > 1
+    back = spark.read.parquet(root)
+    assert back.count() == 200
+    assert back.select(F.sum("id")).collect()[0][0] == sum(range(200))
+
+    flat = str(tmp_path / "flat")
+    spark.range(5).write.parquet(flat)
+    with pytest.raises(ValueError, match="no col= partition"):
+        compact_partitioned_root(spark, flat)
