@@ -112,12 +112,24 @@ def main() -> None:
     # untimed — the same precedent as the flagship / regex-chain / LSH
     # warm-ups above: bench measures steady-state plans, not session
     # bring-up. (Verified: with this step, run0 = 1.09 s / 3.51 s.)
-    for warm_q in ("streaming_enrich", "streaming_asof"):
+    # multimodal_decode and minhash_pairs join the list after the r8
+    # rotation moved them to bench positions 1/5: the first
+    # mapInPandas query pays Arrow python-worker bring-up (+1.5 s) and
+    # the first shingle-chain query its codegen (+0.9 s) — same class.
+    from energydatalake_spark.text.dedup import release_shingle_cache
+
+    for warm_q in (
+        "streaming_enrich",
+        "streaming_asof",
+        "multimodal_decode",
+        "minhash_pairs",
+    ):
         if warm_q in QUERIES:
             try:
                 QUERIES[warm_q].build(spark, "/root/testdata/sf0.001").collect()
             except Exception as exc:
                 print(f"# {warm_q} smoke warm-up skipped: {exc}", file=sys.stderr)
+            release_shingle_cache()
 
     # Round-over-round regression guard: compare per-query against the
     # newest BENCH_r*.json (stderr only — the stdout contract stays one
@@ -142,8 +154,6 @@ def main() -> None:
                 prev = json.load(open(bench_files[-1]))["parsed"]["queries"]
             except Exception:
                 prev = {}
-
-    from energydatalake_spark.text.dedup import release_shingle_cache
 
     # Per-query isolation (VERDICT r4 item 2): one failing query must
     # never zero the other measurements — record its error and keep
