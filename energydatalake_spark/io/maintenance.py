@@ -349,3 +349,48 @@ def compact_partitioned_root(
                 f"compact_partitioned_root: partition {p} failed: {exc}"
             ) from exc
     return results
+
+
+def vacuum_folder(folder: str, recover: bool = True) -> dict:
+    """Crash-recovery sweep for ``compact_folder``'s two-rename swap:
+    a crash can leave ``__compact_*`` temp rewrites (unverified —
+    always safe to delete) and ``__precompact_*`` backups. A backup
+    WITH the canonical folder present means the swap completed and
+    only cleanup died — the backup is a verified-equal stale copy,
+    deleted. A backup WITHOUT the canonical folder means the crash hit
+    between the two renames; with ``recover=True`` the backup is
+    renamed back (restoring the pre-compaction layout — the documented
+    recovery), else reported for manual action.
+
+    Operates on directory names only; never opens data. Returns
+    ``{"removed": [...], "recovered": [...], "needs_action": [...]}``.
+    """
+    import os
+    import re
+    import shutil
+
+    parent, base = os.path.split(folder.rstrip("/"))
+    parent = parent or "."
+    removed, recovered, needs_action = [], [], []
+    pat = re.compile(re.escape(base) + r"__(compact|precompact)_[0-9a-f]{8}$")
+    for name in sorted(os.listdir(parent)):
+        m = pat.match(name)
+        if not m:
+            continue
+        p = os.path.join(parent, name)
+        if m.group(1) == "compact":
+            shutil.rmtree(p)
+            removed.append(name)
+        elif os.path.isdir(folder):
+            shutil.rmtree(p)
+            removed.append(name)
+        elif recover:
+            os.rename(p, folder)
+            recovered.append(name)
+        else:
+            needs_action.append(name)
+    return {
+        "removed": removed,
+        "recovered": recovered,
+        "needs_action": needs_action,
+    }

@@ -480,3 +480,42 @@ def test_compact_partitioned_root_per_partition(spark, tmp_path):
     spark.range(5).write.parquet(flat)
     with pytest.raises(ValueError, match="no col= partition"):
         compact_partitioned_root(spark, flat)
+
+
+def test_vacuum_folder_recovers_and_cleans(spark, tmp_path):
+    """The three crash states of compact_folder's swap: stale temp →
+    removed; backup beside a live canonical folder → removed; backup
+    with the canonical folder missing (crash between renames) →
+    renamed back, data intact."""
+    import os
+
+    from energydatalake_spark.io.maintenance import vacuum_folder
+
+    base = tmp_path / "tbl"
+    spark.range(10).write.parquet(str(base))
+    os.makedirs(str(tmp_path / "tbl__compact_deadbeef"))
+    os.makedirs(str(tmp_path / "tbl__precompact_12345678"))
+    res = vacuum_folder(str(base))
+    assert res["removed"] == [
+        "tbl__compact_deadbeef", "tbl__precompact_12345678"
+    ] and not res["recovered"]
+
+    # crash between the two renames: canonical gone, backup holds data
+    os.rename(str(base), str(tmp_path / "tbl__precompact_aaaaaaaa"))
+    res = vacuum_folder(str(base))
+    assert res["recovered"] == ["tbl__precompact_aaaaaaaa"]
+    assert spark.read.parquet(str(base)).count() == 10
+
+    # recover=False reports instead of acting
+    os.rename(str(base), str(tmp_path / "tbl__precompact_bbbbbbbb"))
+    res = vacuum_folder(str(base), recover=False)
+    assert res["needs_action"] == ["tbl__precompact_bbbbbbbb"]
+    os.rename(str(tmp_path / "tbl__precompact_bbbbbbbb"), str(base))
+
+    # unrelated siblings untouched
+    other = tmp_path / "tbl_other"
+    os.makedirs(str(other))
+    assert vacuum_folder(str(base)) == {
+        "removed": [], "recovered": [], "needs_action": []
+    }
+    assert os.path.isdir(str(other))
