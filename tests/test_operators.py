@@ -271,3 +271,34 @@ def test_connected_components_matches_union_find(spark):
         r.v: r.label for r in connected_components(edges, nodes=nodes).collect()
     }
     assert got_uf == expected
+
+
+def test_validate_rows_and_split(spark):
+    """Expectations: pass/fail per rule, NULL counts as failed, string
+    and Column rules mix, split_valid partitions exactly."""
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.operators.clean import split_valid, validate_rows
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, None), (3, None, "c"), (4, 7.0, "d")],
+        "id bigint, v double, s string",
+    )
+    rules = {
+        "v_positive": "v > 0",
+        "s_present": F.col("s").isNotNull(),
+    }
+    got = {
+        r.id: sorted(r.failed_rules)
+        for r in validate_rows(df, rules).collect()
+    }
+    assert got == {
+        1: [],
+        2: ["s_present", "v_positive"],
+        3: ["v_positive"],  # NULL v -> rule cannot hold -> failed
+        4: [],
+    }
+    good, bad = split_valid(df, rules)
+    assert {r.id for r in good.collect()} == {1, 4}
+    assert "failed_rules" not in good.columns
+    assert {r.id for r in bad.collect()} == {2, 3}
