@@ -1724,6 +1724,76 @@ LIMIT {VOCAB_TOPK}
 """
 
 
+VOCAB_COVER_K = 20  # coverage of the top-20 corpus vocabulary
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV rate per source — the measurement
+    behind vocabulary-size decisions (tokenizer design, `vocab_topk`'s
+    evaluation twin): what fraction of each source's token stream is
+    covered by the corpus-wide top-``VOCAB_COVER_K`` vocabulary, and
+    how many distinct OOV types remain.
+
+    Scale shape: the vocab is a k-row frame built from the ONE
+    map-side-combined corpus count (vocab_topk's aggregate) and
+    broadcasts to the per-source token stream; coverage is then a
+    second map-side-combined aggregate keyed by source — two
+    vocab/source-sized shuffles, token rows never shuffle twice.
+    Micro-unit rates make the division portable."""
+    from energydatalake_spark.text.stats import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(VOCAB_COVER_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "w", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNotNull().cast("long")).alias(
+                "n_covered"
+            ),
+            F.count_distinct(
+                F.when(F.col("in_vocab").isNull(), F.col("w"))
+            ).alias("oov_types"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_covered",
+            "oov_types",
+            _r(F.col("n_covered") / F.col("n_tokens"), 6).alias("coverage"),
+        )
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS n FROM toks GROUP BY w
+                 ORDER BY n DESC, w LIMIT {VOCAB_COVER_K})
+)
+SELECT source,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       CAST(COUNT(DISTINCT CASE WHEN v.w IS NULL THEN toks.w END) AS BIGINT)
+         AS oov_types,
+       FLOOR(CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS coverage
+FROM toks LEFT JOIN vocab v USING (w)
+GROUP BY source
+"""
+
+
 SHUFFLE_SHARDS = 16
 
 
@@ -3234,6 +3304,8 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
     ("dedup_clusters", q_dedup_clusters, _sql_dedup_clusters(),
      "ext:dedup-cluster-cc"),
     ("vocab_topk", q_vocab_topk, SQL_VOCAB_TOPK, "ext:vocab-counts"),
+    ("vocab_coverage", q_vocab_coverage, SQL_VOCAB_COVERAGE,
+     "ext:vocab-oov-coverage"),
     ("shuffle_shards", q_shuffle_shards, _sql_shuffle_shards(),
      "ext:global-shuffle"),
     ("text_stats", q_text_stats, SQL_TEXT_STATS, "ext:text-stats"),
