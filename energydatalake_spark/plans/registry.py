@@ -1622,6 +1622,61 @@ FROM ({inner})
 _register("sessionize", q_sessionize, _sessionize_oracle(), "ext:sessionize")
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the classic warehouse
+    engagement rollup (reference analogue: the README dashboard tier's
+    "users over time" intent): users cohort by the ISO week of their
+    FIRST event; each later active week counts them into
+    (cohort_week, week_offset). Output rows are the retention
+    triangle; n_users at offset 0 is the cohort size.
+
+    Scale shape: one (user_id) aggregate for first-event weeks
+    (map-side combining), one distinct over (user, week) — both
+    user-sized, never event-sized after the first pass; the cohort
+    join is an equi-join on user_id that AQE broadcasts while the
+    user dimension fits. Week truncation is ISO-Monday in BOTH
+    engines, so the keys agree exactly."""
+    e = read_table(spark, sf_dir, "events")
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
+    firsts = (
+        e.select("user_id", wk.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_week"))
+    )
+    active = e.select("user_id", wk.alias("w")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS w FROM events
+),
+firsts AS (SELECT user_id, MIN(w) AS cohort_week FROM uw GROUP BY user_id)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+       CAST((uw.w - f.cohort_week) / 7 AS INTEGER) AS week_offset,
+       CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+FROM uw JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+_register(
+    "cohort_retention",
+    q_cohort_retention,
+    SQL_COHORT_RETENTION,
+    "A-cohort retention triangle",
+)
+
+
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join (§2.9 extension): the events
     STREAM joined per micro-batch against the static ``customer``
