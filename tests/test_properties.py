@@ -889,3 +889,28 @@ def test_substring_dedup_matches_python_model(spark, texts, k, max_df):
         for r in substring_dedup(df, k=k, max_df=max_df).collect()
     }
     assert got == _py_substring_dedup(texts, k, max_df)
+
+
+def test_substring_dedup_mixed_whitespace(spark):
+    """The tokenizer contract is ANY-whitespace split (regex \\s+):
+    tabs, newlines, and runs of spaces must tokenize — and therefore
+    dedup — exactly like single spaces, and reassembly normalizes to
+    single-space joins. Checked against the python model."""
+    from energydatalake_spark.text.dedup import substring_dedup
+
+    texts = [
+        "a\tb  c\nd e",       # same token stream as doc 1, odd whitespace
+        "a b c d e",
+        "  leading and trailing  ",
+        "x\n\ny\tz",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.text_kept)
+        for r in substring_dedup(df, k=3).collect()
+    }
+    assert got == _py_substring_dedup(texts, 3, 1)
+    # docs 0 and 1 are token-identical -> both fully covered at k=3
+    assert got[0] == (5, 0, "") and got[1] == (5, 0, "")
