@@ -314,3 +314,37 @@ def test_source_cap_keep_form_uses_window_group_limit(spark):
     kept = cap_per_domain(docs, cap=15).filter(F.col("kept"))
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """session.py pins spark.sql.optimizer.runtime.bloomFilter.enabled
+    for the 100 TB fact⋈filtered-dim shape; prove the rewrite actually
+    fires: with the size thresholds scoped down to test scale (real
+    defaults: 10 MB creation side / 10 GB application side) and
+    broadcast disabled (a BHJ needs no bloom filter), the fact side
+    gains a BloomFilterMightContain probe fed by the dim's filter."""
+    import pyspark.sql.functions as F
+
+    from energydatalake_spark.io.readers import read_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        sup = read_table(spark, SF_SMOKE, "supplier").filter(
+            F.col("s_suppkey") % 100 == 0  # selective dim predicate
+        )
+        j = li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilterMightContain" in plan.replace(
+            "might_contain", "BloomFilterMightContain"
+        ), f"runtime bloom filter did not inject:\n{plan[:800]}"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
