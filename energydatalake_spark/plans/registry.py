@@ -1677,6 +1677,159 @@ _register(
 )
 
 
+SKEWP_K = 10  # heaviest join keys to surface
+
+
+def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile — the measurement that precedes a salting
+    or AQE-skew-join decision at 100 TB (`skew_join`'s diagnostic
+    twin): per-key row counts for the heaviest ``SKEWP_K`` keys of the
+    fact side, each with its share of the table and its ratio to the
+    mean key load. A ratio ≫ 1 on the top key is the planner's cue to
+    salt that key or lean on AQE skew splitting.
+
+    Scale shape: ONE map-side-combined count aggregate (key-sized,
+    never fact-sized after the partial), a 1-row global summary
+    broadcast back, and a top-k sort on the key-sized frame. Shares
+    are micro-unit-rounded for the cross-engine hash."""
+    li = read_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    summary = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        counts.join(F.broadcast(summary))
+        .select(
+            "key",
+            "n_rows",
+            _r(F.col("n_rows") / F.col("total_rows"), 6).alias("share"),
+            _r(
+                F.col("n_rows")
+                * F.col("n_keys")
+                / F.col("total_rows"),
+                4,
+            ).alias("ratio_to_mean"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(SKEWP_K)
+    )
+
+
+SQL_JOIN_SKEW_PROFILE = f"""
+WITH counts AS (
+  SELECT l_suppkey AS key, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+),
+s AS (SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_keys FROM counts)
+SELECT key, n_rows,
+       FLOOR(CAST(n_rows AS DOUBLE) / total_rows * 1000000.0 + 0.5)
+         / 1000000.0 AS share,
+       FLOOR(CAST(n_rows AS DOUBLE) * n_keys / total_rows * 10000.0 + 0.5)
+         / 10000.0 AS ratio_to_mean
+FROM counts CROSS JOIN s
+ORDER BY n_rows DESC, key
+LIMIT {SKEWP_K}
+"""
+
+
+_register(
+    "join_skew_profile",
+    q_join_skew_profile,
+    SQL_JOIN_SKEW_PROFILE,
+    "A-join-skew diagnostic",
+)
+
+
+def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value decile profile: orders bucketed by the nine exact
+    price deciles (cutpoints), each bucket reporting count, price
+    band, and exact decimal revenue — the distribution dashboard tier.
+
+    Deliberately NOT a global ``ntile`` window: that plans an
+    unpartitioned WindowExec (single-partition sort of the table —
+    the r6 moving_avg defect class). Instead the `lm_buckets`
+    cutpoint pattern: one exact-percentile aggregate produces nine
+    doubles, they broadcast back, and assignment is a per-row
+    comparison sum — no global order anywhere. Exact percentile
+    interpolation is engine-portable (the `quantiles` precedent);
+    at 100 TB swap in ``approx_percentile`` at the same call site
+    (bucket edges are distribution estimates — sketch error moves
+    only borderline rows)."""
+    o = read_table(spark, sf_dir, "orders")
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts = o.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q})").alias(f"c{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    decile = (
+        F.lit(1)
+        + sum(
+            (F.col("o_totalprice") > F.col(f"c{i}")).cast("int")
+            for i in range(1, 10)
+        )
+    ).alias("decile")
+    return (
+        o.join(F.broadcast(cuts))
+        .select(decile, "o_totalprice")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r(F.min("o_totalprice"), 2).alias("min_price"),
+            _r(F.max("o_totalprice"), 2).alias("max_price"),
+            _r(
+                F.sum(F.col("o_totalprice").cast("decimal(25,8)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+SQL_DECILE_STATS = """
+WITH cuts AS (
+  SELECT quantile_cont(o_totalprice, 0.1) AS c1,
+         quantile_cont(o_totalprice, 0.2) AS c2,
+         quantile_cont(o_totalprice, 0.3) AS c3,
+         quantile_cont(o_totalprice, 0.4) AS c4,
+         quantile_cont(o_totalprice, 0.5) AS c5,
+         quantile_cont(o_totalprice, 0.6) AS c6,
+         quantile_cont(o_totalprice, 0.7) AS c7,
+         quantile_cont(o_totalprice, 0.8) AS c8,
+         quantile_cont(o_totalprice, 0.9) AS c9
+  FROM orders
+),
+t AS (
+  SELECT 1 + CAST(o_totalprice > c1 AS INT) + CAST(o_totalprice > c2 AS INT)
+           + CAST(o_totalprice > c3 AS INT) + CAST(o_totalprice > c4 AS INT)
+           + CAST(o_totalprice > c5 AS INT) + CAST(o_totalprice > c6 AS INT)
+           + CAST(o_totalprice > c7 AS INT) + CAST(o_totalprice > c8 AS INT)
+           + CAST(o_totalprice > c9 AS INT) AS decile,
+         o_totalprice
+  FROM orders CROSS JOIN cuts
+)
+SELECT decile,
+       COUNT(*) AS n_orders,
+       FLOOR(MIN(o_totalprice) * 100.0 + 0.5) / 100.0 AS min_price,
+       FLOOR(MAX(o_totalprice) * 100.0 + 0.5) / 100.0 AS max_price,
+       FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS revenue
+FROM t GROUP BY decile
+"""
+
+
+_register(
+    "decile_stats",
+    q_decile_stats,
+    SQL_DECILE_STATS,
+    "A-ntile decile profile",
+)
+
+
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join (§2.9 extension): the events
     STREAM joined per micro-batch against the static ``customer``
