@@ -32,6 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HEAVY = [
     "minhash_pairs",
+    "hashed_tfidf",
+    "vocab_coverage",
     "line_dedup",
     "substring_dedup",
     "dedup_clusters",
