@@ -103,16 +103,23 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DECIMAL→DOUBLE goes through VARCHAR: DuckDB's direct decimal cast
+# divides the int128 by 10^scale in floating point and can land 1 ulp
+# off the correctly-rounded double (found by the r8 sf0.1 oracle
+# sweep: sum_disc_price 2706323975.3560996 vs Spark's correctly
+# rounded ...3561 — identical exact decimal sums). The string parse
+# is correctly rounded in both engines, so ::VARCHAR::DOUBLE pins the
+# same double Spark's BigDecimal.doubleValue() produces.
 SQL_PRICING_SUMMARY = """
 SELECT
   l_returnflag,
   l_linestatus,
   SUM(l_quantity) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,8))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,8))) AS DOUBLE) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE) AS sum_charge,
   SUM(l_quantity) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
