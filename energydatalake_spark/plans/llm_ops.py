@@ -683,7 +683,7 @@ cent_0 AS (
 cent_{i + 1} AS (
   SELECT cell_id, list(mv ORDER BY i) AS cv FROM (
     SELECT a.cell_id, t.i,
-           FLOOR(CAST(SUM(CAST(a.v[t.i] AS DECIMAL(38,28))) AS DOUBLE)
+           FLOOR(CAST(CAST(SUM(CAST(a.v[t.i] AS DECIMAL(38,28))) AS VARCHAR) AS DOUBLE)
                  / COUNT(*) * 1000000000.0 + 0.5) / 1000000000.0 AS mv
     FROM assign_{i} a, range(1, {dim + 1}) AS t(i)
     GROUP BY a.cell_id, t.i
@@ -3109,9 +3109,9 @@ mom AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n,
          CAST(SUM(x1) AS DOUBLE) AS s1,
          CAST(SUM(x2) AS DOUBLE) AS s2,
-         CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS q11,
-         CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS q12,
-         CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS q22,
+         CAST(CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS VARCHAR) AS DOUBLE) AS q11,
+         CAST(CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS VARCHAR) AS DOUBLE) AS q12,
+         CAST(CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS VARCHAR) AS DOUBLE) AS q22,
          CAST(SUM(y) AS DOUBLE) AS b0,
          CAST(SUM(x1 * y) AS DOUBLE) AS b1,
          CAST(SUM(x2 * y) AS DOUBLE) AS b2

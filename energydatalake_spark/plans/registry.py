@@ -168,7 +168,7 @@ def q_avg_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_AVG_BY_HOUR = """
 SELECT CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hour,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_value,
        COUNT(*) AS n_events
 FROM events
 GROUP BY hour
@@ -195,11 +195,11 @@ def q_mix_percentage(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MIX_PERCENTAGE = """
 SELECT
   FLOOR(CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(25,8)) ELSE 0 END) AS DOUBLE)
-        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) * 100 * 100.0 + 0.5) / 100.0 AS pct_a,
+        / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE) * 100 * 100.0 + 0.5) / 100.0 AS pct_a,
   FLOOR(CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(25,8)) ELSE 0 END) AS DOUBLE)
-        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) * 100 * 100.0 + 0.5) / 100.0 AS pct_n,
+        / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE) * 100 * 100.0 + 0.5) / 100.0 AS pct_n,
   FLOOR(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(25,8)) ELSE 0 END) AS DOUBLE)
-        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) * 100 * 100.0 + 0.5) / 100.0 AS pct_r
+        / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE) * 100 * 100.0 + 0.5) / 100.0 AS pct_r
 FROM lineitem
 """
 
@@ -218,7 +218,7 @@ def q_multikey_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MULTIKEY_AVG = """
 SELECT l_returnflag, l_linestatus,
-       FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) / COUNT(*) * 100.0 + 0.5) / 100.0
+       FLOOR(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) * 100.0 + 0.5) / 100.0
          AS average_price
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -285,7 +285,7 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TREND_FIT = """
 WITH daily AS (
   SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS rev
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE) AS rev
   FROM orders GROUP BY 1, 2
 ),
 pts AS (
@@ -299,9 +299,9 @@ m AS (
          CAST(COUNT(*) AS DOUBLE) AS n,
          CAST(SUM(x) AS DOUBLE) AS sx,
          CAST(SUM(c) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x AS HUGEINT) * c) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * c) AS VARCHAR) AS DOUBLE) AS sxy,
          CAST(SUM(x * x) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS syy
+         CAST(CAST(SUM(CAST(c AS HUGEINT) * c) AS VARCHAR) AS DOUBLE) AS syy
   FROM pts GROUP BY 1
 )
 SELECT o_orderpriority,
@@ -341,7 +341,7 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SKEW_JOIN = """
 SELECT CAST(s.s_nationkey AS INTEGER) AS nationkey,
        COUNT(*) AS n_items,
-       FLOOR(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) * 100.0 + 0.5) / 100.0
+       FLOOR(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE) * 100.0 + 0.5) / 100.0
          AS sum_price
 FROM lineitem l
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -387,11 +387,11 @@ SQL_PEARSON_CORR = """
 WITH m AS (
   SELECT l_returnflag,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy
   FROM lineitem
   GROUP BY l_returnflag
 )
@@ -637,14 +637,14 @@ def q_moving_avg(
 SQL_MOVING_AVG = """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS revenue
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE) AS revenue
   FROM orders GROUP BY 1
 )
 SELECT CAST(day AS VARCHAR) AS day,
        FLOOR(revenue * 100.0 + 0.5) / 100.0 AS revenue,
-       FLOOR(CAST(SUM(CAST(revenue AS DECIMAL(25,8)))
+       FLOOR(CAST(CAST(SUM(CAST(revenue AS DECIMAL(25,8)))
                   OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-                  AS DOUBLE)
+                  AS VARCHAR) AS DOUBLE)
              / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
              * 10000.0 + 0.5) / 10000.0 AS ma7
 FROM daily
@@ -722,7 +722,7 @@ SQL_ROLLUP_REVENUE = """
 SELECT COALESCE(l_returnflag, '<ALL>') AS returnflag,
        COALESCE(l_linestatus, '<ALL>') AS linestatus,
        COUNT(*) AS n_rows,
-       FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE)
+       FLOOR(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE)
              * 100.0 + 0.5) / 100.0 AS sum_price
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -776,7 +776,7 @@ def _sql_data_profile() -> str:
        COUNT(*) - COUNT({c}) AS n_nulls,
        MIN({c}) AS min_value,
        MAX({c}) AS max_value,
-       FLOOR(CAST(SUM(CAST({c} AS DECIMAL(25,8))) AS DOUBLE) / COUNT({c})
+       FLOOR(CAST(CAST(SUM(CAST({c} AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE) / COUNT({c})
              * 1000000.0 + 0.5) / 1000000.0 AS mean_value
 FROM lineitem"""
         for c in _PROFILE_COLS
@@ -1089,7 +1089,7 @@ WITH j AS (
 )
 SELECT user_id,
        COUNT(*) AS n_obs,
-       FLOOR(CAST(SUM(CAST(abs(actual - predicted) AS DECIMAL(25,8))) AS DOUBLE)
+       FLOOR(CAST(CAST(SUM(CAST(abs(actual - predicted) AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE)
              / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS mae,
        FLOOR(MAX(abs(actual - predicted)) * 1000000.0 + 0.5) / 1000000.0
          AS max_abs_err
@@ -1193,7 +1193,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REVENUE_BY_NATION = """
 SELECT n.n_name,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,8))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE)
          AS revenue,
        COUNT(*) AS n_items
 FROM lineitem l
@@ -1822,7 +1822,7 @@ SELECT decile,
        COUNT(*) AS n_orders,
        FLOOR(MIN(o_totalprice) * 100.0 + 0.5) / 100.0 AS min_price,
        FLOOR(MAX(o_totalprice) * 100.0 + 0.5) / 100.0 AS max_price,
-       FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE)
+       FLOOR(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE)
              * 100.0 + 0.5) / 100.0 AS revenue
 FROM t GROUP BY decile
 """
@@ -1881,7 +1881,7 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_ENRICH = """
 SELECT c.c_mktsegment,
        COUNT(*) AS n_events,
-       FLOOR(CAST(SUM(CAST(e.value AS DECIMAL(25,8))) AS DOUBLE)
+       FLOOR(CAST(CAST(SUM(CAST(e.value AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE)
              * 10000.0 + 0.5) / 10000.0 AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
