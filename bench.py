@@ -28,6 +28,23 @@ def main() -> None:
 
     spark = get_spark("bench")
 
+    # ------------------------------------------------------------------
+    # WARM-UP POLICY (frozen r9, VERDICT r8 #8). The list below is
+    # CLOSED. Any new entry requires BOTH:
+    #   (a) an A/B evidence line in SURVEY.md §8 (fresh-session cold vs
+    #       warm timings showing a first-invocation cost, not a plan
+    #       cost), and
+    #   (b) a re-stated baseline comparison in the §8 ledger that
+    #       EXCLUDES the newly-warmed queries — the r01 baseline ran
+    #       with less warm-up, so cross-round ratio gains must never be
+    #       manufactured by widening warm-up coverage.
+    # Legitimate trigger: a window rotation exposing a NEW cold class
+    # (an expression family whose first compile/JIT/worker bring-up has
+    # never been absorbed). Everything currently known is covered:
+    # parquet footers, agg+join codegen, regex JIT, sign-LSH fold
+    # chains, stateful-streaming machinery (all three classes),
+    # Arrow python-worker bring-up, shingle-chain codegen.
+    # ------------------------------------------------------------------
     # Warm-up: JVM/codegen/parquet-footer costs out of the measurement.
     # Footer/scan warmup alone is not enough — round-1 showed the first
     # timed query paying ~2 s of codegen/agg warmup (pricing_summary
@@ -199,15 +216,32 @@ def main() -> None:
     # Committed full artifact (VERDICT r7 #6): the driver's
     # BENCH_r{N}.json stores only a 4 KB stdout tail, which at 90+
     # queries truncates the head of the per-query map and nulls
-    # `parsed`. Write the complete payload to BENCHFULL_r{N}.json
-    # (N = newest driver BENCH round + 1, i.e. the round in flight) so
+    # `parsed`. Write the complete payload to BENCHFULL_r{N}.json so
     # round-over-round comparison never degrades. stdout stays ONE line.
-    rounds = [
+    #
+    # Round labeling (ADVICE r8): $SPARK_GRAFT_ROUND wins when set;
+    # otherwise the round in flight is max(newest driver BENCH + 1,
+    # newest BENCHFULL) — the BENCHFULL term keeps repeat in-round runs
+    # on the same label even if the driver writes BENCH_r{N} between
+    # them, instead of unconditionally bumping to N+1.
+    env_round = os.environ.get("SPARK_GRAFT_ROUND")
+    bench_rounds = [
         int(m.group(1))
         for f in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
         if (m := re.search(r"BENCH_r(\d+)\.json$", f))
     ]
-    this_round = (max(rounds) + 1) if rounds else 1
+    full_rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(repo_dir, "BENCHFULL_r*.json"))
+        if (m := re.search(r"BENCHFULL_r(\d+)\.json$", f))
+    ]
+    if env_round is not None:
+        this_round = int(env_round)
+    else:
+        this_round = max(
+            (max(bench_rounds) + 1) if bench_rounds else 1,
+            max(full_rounds) if full_rounds else 1,
+        )
     full_path = os.path.join(repo_dir, f"BENCHFULL_r{this_round:02d}.json")
     try:
         with open(full_path, "w") as fh:

@@ -270,11 +270,7 @@ def expire_partitions(
     if today is None:
         today = datetime.datetime.now(datetime.timezone.utc).date()
     cutoff = today - datetime.timedelta(days=keep_days)
-    entries = [
-        n
-        for n in os.listdir(folder)
-        if not n.startswith((".", "_")) or n == "dt=__HIVE_DEFAULT_PARTITION__"
-    ]
+    entries = [n for n in os.listdir(folder) if not n.startswith((".", "_"))]
     bad = [
         n
         for n in entries
@@ -407,6 +403,14 @@ def table_stats(folder: str) -> dict:
 
     Columns whose type has no min/max ordering in the footer (nested,
     binary) report ``None`` bounds; ``null_count`` is always exact.
+
+    String/binary bounds are BOUNDS, not witnesses: parquet writers may
+    truncate long string statistics (a truncated max is rounded UP to a
+    value that need not exist in the data; a truncated min is rounded
+    down). This pyarrow version exposes no exactness flag on
+    ``ColumnChunkMetaData.statistics``, so consumers must treat string
+    min/max as a containing range — fine for pruning, wrong for
+    "smallest/largest actual value" reporting.
     """
     import os
 

@@ -108,6 +108,17 @@ def incremental_ingest(
     when ``append`` is true, appends the ACCEPTED docs' exact/sig/
     bucket rows so the next increment sees them.
 
+    Intra-batch duplicates (ADVICE r8): co-arriving duplicates are the
+    common production case, so each batch doc is ALSO judged against
+    every SMALLER-id doc in the same batch — exact tier by md5
+    self-join, near tier by batch-internal band collisions — with the
+    same greedy min-id rule as ``minhash_pairs``'s ``id_a < id_b``.
+    ``matched_doc_id`` is the smallest matching id across both the
+    index and the batch; only the cluster's smallest-id batch doc can
+    be admitted, so N identical co-arriving docs append exactly one
+    index row. (A doc can match a batch doc that was itself rejected —
+    the chain still identifies one representative per cluster.)
+
     The verdict plan reads the three index tables and the batch —
     never the corpus text (pinned by
     test_incremental_ingest_scans_index_not_corpus)."""
@@ -117,11 +128,19 @@ def incremental_ingest(
     batch_exact = batch.select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h")
     )
+    # Batch-sized and read by four stages (index probe, intra-batch
+    # self-join, append) — materialize once instead of re-hashing.
+    batch_exact = batch_exact.localCheckpoint(eager=False)
     idx_exact = spark.read.parquet(exact_p).select(
         F.col("doc_id").alias("old_id"), "h"
     )
+    intra_exact = batch_exact.join(
+        batch_exact.select(F.col("doc_id").alias("old_id"), "h"), "h"
+    ).filter(F.col("old_id") < F.col("doc_id"))
     exact = (
         batch_exact.join(idx_exact, "h")
+        .select("doc_id", "old_id")
+        .unionByName(intra_exact.select("doc_id", "old_id"))
         .groupBy("doc_id")
         .agg(F.min("old_id").alias("exact_id"))
     )
@@ -138,18 +157,37 @@ def incremental_ingest(
     idx_buckets = spark.read.parquet(buckets_p).select(
         F.col("doc_id").alias("old_id"), "band", "band_hash"
     )
+    intra_cand = (
+        batch_buckets.join(
+            batch_buckets.select(
+                F.col("doc_id").alias("old_id"), "band", "band_hash"
+            ),
+            ["band", "band_hash"],
+        )
+        .filter(F.col("old_id") < F.col("doc_id"))
+        .select("doc_id", "old_id")
+    )
     cand = (
         batch_buckets.join(idx_buckets, ["band", "band_hash"])
         .select("doc_id", "old_id")
+        .unionByName(intra_cand)
         .distinct()
     )
     idx_sigs = spark.read.parquet(sig_p).select(
         F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old")
     )
+    # Near-tier signature lookup must resolve BATCH old_ids too — the
+    # candidate generation already enforced old_id < doc_id for the
+    # intra-batch pairs, so a plain union is sufficient.
+    old_sigs = idx_sigs.unionByName(
+        batch_sigs.select(
+            F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old")
+        )
+    )
     k = bands * rows
     est = (
         cand.join(batch_sigs, "doc_id")
-        .join(idx_sigs, "old_id")
+        .join(old_sigs, "old_id")
         .select(
             "doc_id",
             "old_id",

@@ -2209,7 +2209,12 @@ def q_corpus_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_ingest, sharing this query's signature space via
     ``text.dedup.minhash_signatures``; pinned scans-index-not-corpus
     by tests/test_incremental.py). The plan HERE recomputes because
-    the oracle replays one self-contained expression."""
+    the oracle replays one self-contained expression. Contract
+    difference: THIS query judges batch docs against the corpus side
+    only (batch-batch pairs are filtered out), while the production
+    loop also applies an intra-batch tier (smaller-id batch docs count
+    as already-seen — ADVICE r8), because co-arriving duplicates are
+    the common case there."""
     docs = read_table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % INCR_MOD == 0
     new_h = docs.filter(is_new).select("doc_id", F.md5("text").alias("h"))
@@ -2592,16 +2597,22 @@ kflag AS (
   SELECT doc_id, pos, tok,
          NOT COALESCE(last_dup_start >= pos - {SPAN_K} + 1, FALSE) AS keep
   FROM f
+),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                    FILTER (WHERE keep), '') AS kept
+  FROM kflag
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       COUNT(*) AS n_tokens,
-       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       md5(COALESCE(string_agg(tok, ' ' ORDER BY pos)
-                      FILTER (WHERE keep), '')) AS kept_md5,
-       CAST(len(COALESCE(string_agg(tok, ' ' ORDER BY pos)
-                           FILTER (WHERE keep), '')) AS BIGINT) AS kept_chars
-FROM kflag
-GROUP BY doc_id
+SELECT d.doc_id,
+       COALESCE(agg.n_tokens, 0) AS n_tokens,
+       COALESCE(agg.n_kept, 0) AS n_kept,
+       md5(COALESCE(agg.kept, '')) AS kept_md5,
+       CAST(len(COALESCE(agg.kept, '')) AS BIGINT) AS kept_chars
+FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 

@@ -2080,61 +2080,14 @@ _register(
 DRIVER_WINDOW = 50
 
 _DRIVER_WINDOW_FIRST = [
-    # r8 rotation (VERDICT r7 #1): the 41 extension queries parked in
-    # r7 (multimodal, minhash/simhash/ngram families, similarity_*,
-    # streaming, the r6 corpus ops) come back into the window — their
-    # newest driver rows are r6-old. r8-new queries are not listed:
-    # they fall into the "middle" block, which sits inside the window
-    # while front+middle <= 50.
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_embed",
-    "minhash_pairs",
-    "ngram_jaccard",
-    "simhash",
-    "simhash_pairs",
-    "similarity_topk",
-    "streaming_dedup",
-    "similarity_lsh",
-    "similarity_ivf",
-    "similarity_ivf_kmeans",
-    "corpus_prep",
-    "train_split",
-    "stratified_sample",
-    "doc_chunks",
-    "text_normalize",
-    "pack_chunks",
-    "corpus_prep_full",
-    "streaming_hourly",
-    "sessionize",
-    "streaming_enrich",
-    "streaming_asof",
-    "doc_repetition",
-    "contamination",
-    "corpus_mix",
-    "dedup_clusters",
-    "vocab_topk",
-    "shuffle_shards",
-    "tfidf_topk",
-    "lm_score",
-    "embedding_clusters",
-    "doc_outliers",
-    "source_profile",
-    "corpus_increment",
-    "boilerplate_filter",
-    "json_extract",
-    "snapshot_diff",
-    "corpus_funnel",
-    "embedding_clusters_kmeans",
-]
-
-_DRIVER_WINDOW_PARKED = [
-    # Parked in r8: every one of these earned a fresh driver-green row
-    # in CORRECTNESS_r07 (the r7 _DRIVER_WINDOW_FIRST block plus the
-    # nine middle-block queries), so their evidence is the newest in
-    # the registry. They stay covered by pytest and by
-    # tools/oracle_check.py (MIRROR_r{N}.json). Rotate back in r9+.
+    # r9 rotation (VERDICT r8 #1): the 48 queries parked through r8 —
+    # the §2 core set (asof/band/outer joins, the A4-A7 aggregates,
+    # casts/clean/setops, window functions) plus the r7-era extension
+    # rows (line_dedup, semantic_dedup, ann/ivf recall, streaming
+    # quality, embedding near-dup) — come back into the window; their
+    # newest driver rows are r7-old, the oldest evidence in the
+    # registry. With the flagship that fills 49 of 50 slots; any new
+    # r9 query lands in the one-slot "middle" block.
     "line_dedup",
     "lm_buckets",
     "source_cap",
@@ -2184,6 +2137,63 @@ _DRIVER_WINDOW_PARKED = [
     "revenue_by_nation",
     "dedup_embedding",
     "dedup_embedding_lsh",
+]
+
+_DRIVER_WINDOW_PARKED = [
+    # Parked in r9: every one of these earned a fresh driver-green row
+    # in CORRECTNESS_r08 (the 41 r8-rotated extension queries plus the
+    # 8 r8-new queries), so their evidence is the newest in the
+    # registry. They stay covered by pytest and by
+    # tools/oracle_check.py (MIRROR_r{N}.json). Rotate back in r10+.
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_embed",
+    "minhash_pairs",
+    "ngram_jaccard",
+    "simhash",
+    "simhash_pairs",
+    "similarity_topk",
+    "streaming_dedup",
+    "similarity_lsh",
+    "similarity_ivf",
+    "similarity_ivf_kmeans",
+    "corpus_prep",
+    "train_split",
+    "stratified_sample",
+    "doc_chunks",
+    "text_normalize",
+    "pack_chunks",
+    "corpus_prep_full",
+    "streaming_hourly",
+    "sessionize",
+    "streaming_enrich",
+    "streaming_asof",
+    "doc_repetition",
+    "contamination",
+    "corpus_mix",
+    "dedup_clusters",
+    "vocab_topk",
+    "shuffle_shards",
+    "tfidf_topk",
+    "lm_score",
+    "embedding_clusters",
+    "doc_outliers",
+    "source_profile",
+    "corpus_increment",
+    "boilerplate_filter",
+    "json_extract",
+    "snapshot_diff",
+    "corpus_funnel",
+    "embedding_clusters_kmeans",
+    "substring_dedup",
+    "hashed_tfidf",
+    "vocab_coverage",
+    "dedup_recall",
+    "quantized_recall",
+    "cohort_retention",
+    "join_skew_profile",
+    "decile_stats",
 ]
 
 

@@ -94,31 +94,6 @@ def release_shingle_cache(blocking: bool = False) -> int:
     return n
 
 
-def minhash_signatures(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    k: int = 32,
-) -> DataFrame:
-    """k-permutation MinHash signature per document over word n-gram
-    shingles: sig[i] = min over shingles of (a_i * md5_32(shingle) + b_i)
-    mod 2^32 — one md5 per shingle, k multiply-shift permutations."""
-    perm_a, perm_b = _perm_constants(k)
-    ex = _exploded_shingles(df, text_col, id_col, n).select(
-        F.col(id_col), _hash_long(F.md5(F.col("shingle"))).alias("h0")
-    )
-    aggs = [
-        F.min(
-            (F.lit(perm_a[i]) * F.col("h0") + F.lit(perm_b[i])).bitwiseAND(
-                F.lit(PERM_MASK)
-            )
-        ).alias(f"m{i}")
-        for i in range(k)
-    ]
-    return ex.groupBy(id_col).agg(*aggs)
-
-
 def minhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -541,7 +516,11 @@ def substring_dedup(
 
     Returns one row per input document: ``(id_col, n_tokens, n_kept,
     out_col)`` — a fully-duplicated document survives with
-    ``out_col = ''`` so the caller decides the drop policy.
+    ``out_col = ''`` so the caller decides the drop policy, and a
+    document whose text tokenizes to ZERO tokens (empty/whitespace)
+    still gets its row (``n_tokens = 0``, ``out_col = ''``) via a
+    final left join from the input ids — the id-side scan is
+    column-pruned to ``id_col`` only.
 
     Scale shape: k-grams shuffle as 60-bit md5-reduced longs (built
     from ``k-1`` lead() columns sharing ONE window over (doc, pos) —
@@ -603,7 +582,7 @@ def substring_dedup(
     keep = ~F.coalesce(
         last_dup_start >= F.col("pos") - F.lit(k - 1), F.lit(False)
     )
-    return (
+    per_doc = (
         flagged.withColumn("keep", keep)
         .groupBy(id_col)
         .agg(
@@ -621,6 +600,14 @@ def substring_dedup(
                 ),
             ).alias(out_col),
         )
+    )
+    # Zero-token documents produce no posexplode rows; restore them so
+    # the one-row-per-input-document contract holds.
+    return df.select(F.col(id_col)).join(per_doc, [id_col], "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(out_col, F.lit("")).alias(out_col),
     )
 
 

@@ -147,3 +147,35 @@ def test_signature_space_matches_inline_minhash(spark):
     est12 = sum(a == b for a, b in zip(sigs[1], sigs[2])) / k
     est13 = sum(a == b for a, b in zip(sigs[1], sigs[3])) / k
     assert est12 >= 0.5 > est13
+
+
+def test_incremental_ingest_intra_batch_duplicates(spark, index_path):
+    """ADVICE r8: co-arriving duplicates are the common production
+    case. N identical docs in one batch must yield ONE accept (the
+    smallest id) with the rest marked exact against it; intra-batch
+    NEAR dups resolve the same way; and the append path must add
+    exactly one index row for the cluster."""
+    from energydatalake_spark.pipelines.incremental import incremental_ingest
+
+    novel = "an entirely novel document mentioning z order clustering"
+    near = "an entirely novel document mentioning z order sorting"
+    batch = spark.createDataFrame(
+        [(201, novel), (202, novel), (203, novel), (204, near)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.verdict, r.matched_doc_id)
+        for r in incremental_ingest(batch, index_path, append=True).collect()
+    }
+    assert got[201] == ("accept", None)
+    assert got[202] == ("exact", 201)
+    assert got[203] == ("exact", 201)
+    assert got[204] == ("near_dup", 201)
+    # Exactly one index row appended for the whole cluster.
+    import os
+
+    exact_tbl = spark.read.parquet(os.path.join(index_path, "exact"))
+    new_ids = {
+        r.doc_id for r in exact_tbl.filter(F.col("doc_id") >= 200).collect()
+    }
+    assert new_ids == {201}

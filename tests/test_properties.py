@@ -833,7 +833,7 @@ def _py_substring_dedup(texts, k, max_df):
     """Independent model of text.dedup.substring_dedup: tokenize on
     whitespace, mark every k-token window whose gram appears in more
     than max_df documents, remove covered tokens, reassemble in order.
-    Documents with zero tokens vanish (no rows to group)."""
+    Documents with zero tokens keep their row as (0, 0, '')."""
     import re as _re
     from collections import defaultdict
 
@@ -848,8 +848,6 @@ def _py_substring_dedup(texts, k, max_df):
     dup = {g for g, s in docs_of.items() if len(s) > max_df}
     out = {}
     for d, toks in tk.items():
-        if not toks:
-            continue
         cov = [False] * len(toks)
         for p in range(len(toks) - k + 1):
             if " ".join(toks[p : p + k]) in dup:
@@ -922,8 +920,9 @@ def _py_incremental_ingest(corpus, batch, n=3, bands=16, rows=2, threshold=0.5):
     banded signature collision between batch and corpus docs, verified
     by the SIGNATURE-estimated Jaccard (matching-component fraction —
     the index path deliberately has no shingle sets). Exact beats
-    near; min matching corpus id wins; docs too short for a signature
-    can only match exactly."""
+    near; the min matching id wins across BOTH the corpus and the
+    smaller-id batch docs (intra-batch tier, ADVICE r8); docs too
+    short for a signature can only match exactly."""
     import hashlib
     from collections import defaultdict
 
@@ -958,19 +957,33 @@ def _py_incremental_ingest(corpus, batch, n=3, bands=16, rows=2, threshold=0.5):
     corpus_bands = {
         i: bands_of(s) for i, s in corpus_sigs.items() if s is not None
     }
+    batch_sigs = {i: sig_of(t) for i, t in batch.items()}
+    batch_bands = {
+        i: bands_of(s) for i, s in batch_sigs.items() if s is not None
+    }
     out = {}
     for bid, t in batch.items():
         h = hashlib.md5(t.encode()).hexdigest()
-        if h in corpus_md5:
-            out[bid] = ("exact", min(corpus_md5[h]))
+        # Intra-batch tier (ADVICE r8): smaller-id batch docs count as
+        # already-seen alongside the corpus index.
+        exact = list(corpus_md5.get(h, [])) + [
+            b2
+            for b2, t2 in batch.items()
+            if b2 < bid and hashlib.md5(t2.encode()).hexdigest() == h
+        ]
+        if exact:
+            out[bid] = ("exact", min(exact))
             continue
         near = []
-        s = sig_of(t)
+        s = batch_sigs[bid]
         if s is not None:
-            my_bands = bands_of(s)
-            for cid, cb in corpus_bands.items():
+            my_bands = batch_bands[bid]
+            older = list(corpus_bands.items()) + [
+                (b2, bb) for b2, bb in batch_bands.items() if b2 < bid
+            ]
+            for cid, cb in older:
                 if my_bands & cb:
-                    cs = corpus_sigs[cid]
+                    cs = corpus_sigs.get(cid, batch_sigs.get(cid))
                     est = sum(x == y for x, y in zip(s, cs)) / k
                     if est >= threshold:
                         near.append(cid)
