@@ -638,7 +638,7 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans_cent_ctes() -> str:
+def _sql_kmeans_cent_ctes(n_iter: int = KMEANS_ITER) -> str:
     """The k-means training trajectory as chained CTEs, ending in
     ``cent`` (cell_id, cv, cnm) — the SINGLE source every oracle that
     consumes the trained codebook composes from (IVF search, trained
@@ -666,7 +666,7 @@ cent_0 AS (
   FROM m_train ORDER BY vec_id LIMIT {IVF_CELLS}
 )"""
     ]
-    for i in range(KMEANS_ITER):
+    for i in range(n_iter):
         parts.append(
             f"""assign_{i} AS (
   SELECT vec_id, cell_id, v FROM (
@@ -690,7 +690,7 @@ cent_{i + 1} AS (
   ) GROUP BY cell_id
 )"""
         )
-    final = f"cent_{KMEANS_ITER}"
+    final = f"cent_{n_iter}"
     parts.append(
         f"""cent AS (
   SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cnm FROM {final}
@@ -2932,56 +2932,103 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic deduplication verdict: embedding-cosine
-    near-dup pairs from the sub-quadratic sign-LSH tier (identical
-    parameters to `dedup_embedding_lsh`) closed into connected
-    components, every vector labeled with its component's min id and
-    the minimum member kept — the embedding-space twin of
-    `dedup_clusters` (which closes MinHash TEXT pairs). Together they
-    are the full keep-one dedup decision for both modalities.
+#: SemDeDup codebook: ONE Lloyd refinement of the deterministic
+#: first-N seed. Measured r9 at sf0.1 (keeps out of 2000 vectors —
+#: fewer keeps = more duplicates found): 0 iters 1815 keeps / 0.76 s
+#: warm, 1 iter 1788 / ~2.0 s, 2 iters 1779 / ~3.6 s, 3 iters 1781 /
+#: ~4.6 s — the recall knee is the FIRST iteration; each further
+#: iteration costs ~1.2 s of fixed per-job overhead for ≤9 keeps.
+SEM_KMEANS_ITER = 1
 
-    Scale shape inherits from its parts: banded multi-table LSH (no
-    all-pairs), then component closure iterating the DUPLICATE GRAPH
-    (pairs-sized, not corpus-sized) with localCheckpoint lineage
-    truncation per round."""
-    from energydatalake_spark.operators.graph import connected_components
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication verdict (Abbas et al., 2023),
+    the paper's actual shape: a k-means codebook (SEM_KMEANS_ITER
+    Lloyd refinement on the deterministic KMEANS_SAMPLE_MOD
+    hash-sample — same trajectory machinery as
+    `similarity_ivf_kmeans`), every vector assigned to its nearest
+    cell map-side, and near-dup components (cosine ≥ ND_THRESHOLD)
+    closed and collapsed WITHIN each cell — no global closure;
+    cross-cell duplicates are missed by design, which is the
+    approximation that makes the op linear-ish. The embedding-space
+    twin of `dedup_clusters` (which closes MinHash TEXT pairs
+    globally); every vector is labeled with its within-cell
+    component's min id and the minimum member kept.
+
+    Scale shape (r8 verdict #2 — replaces the global-CC form whose
+    closure cost scaled α=0.90 at the sf1 probe): ONE exchange — the
+    codebook is plan literals, assignment a map-side argmax fold, the
+    only shuffle the groupBy(cell), and each cell resolves components
+    with an Arrow-batched union-find (no CC rounds, no lineage
+    growth). n_cells must scale with the corpus to bound the
+    within-cell O(|cell|²) scoring; oversize cells raise loudly
+    (similarity/neardup.py embedding_semantic_dedup)."""
+    from energydatalake_spark.similarity.neardup import embedding_semantic_dedup
+    from energydatalake_spark.similarity.search import kmeans_centroids
 
     emb = read_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_lsh(
+    cents = kmeans_centroids(
+        emb,
+        n_cells=IVF_CELLS,
+        n_iter=SEM_KMEANS_ITER,
+        round_digits=9,
+        train_sample_mod=KMEANS_SAMPLE_MOD,
+    )
+    cent_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "vec_id int, embedding array<double>"
+    )
+    return embedding_semantic_dedup(
         emb,
         threshold=ND_THRESHOLD,
-        n_planes=ND_LSH_PLANES,
-        dim=LSH_DIM,
-        n_tables=ND_LSH_TABLES,
-    )
-    cc = connected_components(
-        pairs.select("id_a", "id_b"), nodes=emb, node_col="vec_id"
-    )
-    return cc.select(
-        F.col("v").alias("vec_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("label") == F.col("v")).alias("keep"),
+        n_cells=IVF_CELLS,
+        centroids=cent_df,
     )
 
 
 def _sql_semantic_dedup() -> str:
+    """Replays the FULL construction: the shared k-means trajectory
+    CTEs at SEM_KMEANS_ITER, the argmax cell assignment (same
+    desc-cos/asc-cell tie-break as the Spark fold), within-cell
+    near-dup edges, recursive closure (edges are cell-local, so the
+    global recursion yields exactly the cell-local components), and
+    zero-norm singletons."""
     return f"""
-WITH RECURSIVE pairs AS ({SQL_DEDUP_EMBEDDING_LSH}),
+WITH RECURSIVE {_sql_kmeans_cent_ctes(n_iter=SEM_KMEANS_ITER)},
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT m.vec_id, cent.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY m.vec_id
+             ORDER BY list_dot_product(m.v, cent.cv) / (m.nm * cent.cnm) DESC,
+                      cent.cell_id
+           ) AS rn
+    FROM m, cent WHERE m.nm > 0
+  ) WHERE rn = 1
+),
+e AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a
+  JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  JOIN m ma ON ma.vec_id = a.vec_id
+  JOIN m mb ON mb.vec_id = b.vec_id
+  WHERE list_dot_product(ma.v, mb.v) / (ma.nm * mb.nm) >= {ND_THRESHOLD}
+),
 edges AS (
-  SELECT id_a AS v, id_b AS u FROM pairs
+  SELECT id_a AS v, id_b AS u FROM e
   UNION
-  SELECT id_b AS v, id_a AS u FROM pairs
+  SELECT id_b AS v, id_a AS u FROM e
 ),
 reach AS (
-  SELECT vec_id AS v, vec_id AS r FROM embeddings
+  SELECT vec_id AS v, vec_id AS r FROM m WHERE nm > 0
   UNION
-  SELECT e.v, reach.r FROM edges e JOIN reach ON reach.v = e.u
+  SELECT e2.v, reach.r FROM edges e2 JOIN reach ON reach.v = e2.u
 )
 SELECT v AS vec_id,
        MIN(r) AS cluster_id,
        (MIN(r) = v) AS keep
 FROM reach GROUP BY v
+UNION ALL
+SELECT vec_id, vec_id AS cluster_id, TRUE AS keep FROM m WHERE nm = 0
 """
 
 

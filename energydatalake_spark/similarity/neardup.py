@@ -236,3 +236,110 @@ def embedding_near_dup_lsh(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    centroids: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell_rows: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style cell-local keep-one dedup (Abbas et al., 2023):
+    every vector is coarse-quantized to its nearest codebook cell
+    (pass ``kmeans_centroids`` output for the paper's k-means cells;
+    default = the first ``n_cells`` vectors by id, the same stand-in
+    ``ivf_topk`` uses), then near-duplicate components are closed and
+    collapsed WITHIN each cell — the paper's key structure: no global
+    closure, cross-cell duplicates are missed by design (that is the
+    approximation that makes the op linear-ish).
+
+    Returns one row per input vector: ``(vec_id, cluster_id, keep)``
+    where ``cluster_id`` is the minimum member id of the vector's
+    within-cell near-dup component and ``keep`` marks that minimum.
+    Zero-norm vectors have no direction, so they are their own
+    singleton clusters (``keep = true``) — mirrored in the SQL twin.
+
+    Scale shape — exactly ONE exchange: the codebook rides into the
+    plan as literals so assignment is a map-side argmax fold on the
+    scan (vectors are never joined back), the only shuffle is the
+    groupBy(cell), and each cell resolves its own components with an
+    Arrow-batched union-find (no CC iterations, no lineage growth).
+    Within-cell scoring is O(|cell|²) BLAS — the paper's semantics —
+    so ``n_cells`` MUST scale with the corpus to bound cell size
+    (SemDeDup uses tens of thousands of clusters at web scale; the
+    similarity matrix is computed in row blocks so memory stays
+    ~block×|cell|, and any cell over ``max_cell_rows`` raises loudly
+    with instructions to raise ``n_cells`` rather than silently going
+    quadratic).
+    """
+    from energydatalake_spark.similarity.search import (
+        _argmax_cell,
+        _collect_codebook,
+        with_norm,
+    )
+
+    base = with_norm(
+        df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        ),
+        "vec",
+        "nm",
+    )
+    codebook = _collect_codebook(df, centroids, n_cells, vec_col, id_col,
+                                 "embedding_semantic_dedup")
+    cells = base.filter(F.col("nm") > 0).select(
+        "id",
+        "vec",
+        _argmax_cell(codebook, F.col("vec"), F.col("nm")).alias("cell_id"),
+    )
+
+    out_schema = "vec_id long, cluster_id long, keep boolean"
+
+    def dedup_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cell_rows:
+            raise ValueError(
+                f"embedding_semantic_dedup: cell {key[0]} holds {n} vectors "
+                f"> max_cell_rows={max_cell_rows}; within-cell scoring is "
+                f"O(|cell|^2) by SemDeDup semantics — increase n_cells so "
+                f"cells stay bounded (or raise max_cell_rows deliberately)."
+            )
+        ids, mn = _normalized_matrix(pdf["id"].values, pdf["vec"])
+        order = np.argsort(ids)
+        ids, mn = ids[order], mn[order]
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        # Row-blocked similarity: memory ~ block×n, compute the full
+        # O(n^2) the semantics require.
+        block = 2048
+        for s in range(0, n, block):
+            sims = mn[s : s + block] @ mn.T
+            li, ri = np.nonzero(sims >= threshold)
+            for a, b in zip(li + s, ri):
+                if a >= b:
+                    continue
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+        cl = ids[roots]
+        return pd.DataFrame(
+            {"vec_id": ids, "cluster_id": cl, "keep": ids == cl}
+        )
+
+    deduped = cells.groupBy("cell_id").applyInPandas(dedup_cell, out_schema)
+    singletons = base.filter(F.col("nm") == 0).select(
+        F.col("id").alias("vec_id"),
+        F.col("id").alias("cluster_id"),
+        F.lit(True).alias("keep"),
+    )
+    return deduped.unionByName(singletons)

@@ -202,3 +202,61 @@ def test_quantize_embeddings_grid_and_fidelity(spark):
         na = math.sqrt(sum(a * a for a in orig))
         nb = math.sqrt(sum(b * b for b in got))
         assert d / (na * nb) > 0.999
+
+
+def test_embedding_semantic_dedup_cell_local(spark):
+    """SemDeDup cell-local semantics (r9): within-cell components
+    collapse to their min id; a true near-dup pair SPLIT ACROSS CELLS
+    is missed by design (both kept) — the paper's approximation;
+    zero-norm vectors are their own singleton clusters."""
+    from energydatalake_spark.similarity.neardup import embedding_semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),     # cell 0
+        (11, [0.999, 0.04, 0.0, 0.0]),  # cell 0, near-dup of 10
+        (12, [0.7, 0.0, 0.7, 0.0]),     # cell 0; cos ≈ .7 to 10/11 — no dup ≥ .95
+        (20, [0.0, 1.0, 0.0, 0.0]),     # cell 1
+        (21, [0.72, 0.69, 0.0, 0.0]),   # cell 0 ...
+        (22, [0.69, 0.72, 0.0, 0.0]),   # ... cell 1: cos(21,22) ≈ .9996 but split
+        (30, [0.0, 0.0, 0.0, 0.0]),     # zero-norm singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in embedding_semantic_dedup(
+            df, threshold=0.95, n_cells=2, centroids=cents
+        ).collect()
+    }
+    assert len(out) == len(rows)
+    assert out[10] == (10, True)
+    assert out[11] == (10, False)          # collapsed within cell 0
+    assert out[12] == (12, True)
+    assert out[20] == (20, True)
+    assert out[21] == (21, True) and out[22] == (22, True)  # cross-cell miss
+    assert out[30] == (30, True)           # zero-norm singleton
+
+
+def test_embedding_semantic_dedup_cell_size_guard(spark):
+    """A cell larger than max_cell_rows must fail loudly (within-cell
+    scoring is O(|cell|²)) with guidance to raise n_cells, never
+    silently go quadratic."""
+    import pytest
+
+    from energydatalake_spark.similarity.neardup import embedding_semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i) / 10.0]) for i in range(5)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = embedding_semantic_dedup(
+        df, threshold=0.99, n_cells=1, centroids=cents, max_cell_rows=2
+    )
+    with pytest.raises(Exception, match="increase n_cells"):
+        out.collect()
