@@ -33,7 +33,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "doc_id",
     max_iter: int = 30,
-    small_graph_edges: int = 200_000,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable through
     ``edges`` (undirected). Returns ``(v, label)``. ``nodes`` widens
@@ -52,6 +52,14 @@ def connected_components(
     100 TB path and the semantics are identical; the property suite
     cross-checks the loop against union-find. Singleton attachment
     stays distributed in both paths (``nodes`` is corpus-sized).
+
+    ``small_graph_edges`` defaults to the Spark conf
+    ``spark.graft.cc.smallGraphEdges`` (else 200_000) so a deployment
+    whose pair graphs run large or skewed can force the distributed
+    tier fleet-wide (set it to 0) without touching call sites; an
+    explicit argument wins over the conf. The boundary is inclusive:
+    exactly ``small_graph_edges`` undirected edges still takes the
+    driver tier (pinned by test_cc_small_graph_boundary).
 
     Determinism: min-label propagation's fixpoint is unique (the
     component-wise min), independent of partitioning and join order;
@@ -72,6 +80,10 @@ def connected_components(
     # banding) and must not run under the narrowed loop conf below.
     n_sym = sym.count()
     spark = edges.sparkSession
+    if small_graph_edges is None:
+        small_graph_edges = int(
+            spark.conf.get("spark.graft.cc.smallGraphEdges", "200000")
+        )
 
     def _attach_singles(labels: DataFrame) -> DataFrame:
         if nodes is None:

@@ -302,3 +302,40 @@ def test_validate_rows_and_split(spark):
     assert {r.id for r in good.collect()} == {1, 4}
     assert "failed_rules" not in good.columns
     assert {r.id for r in bad.collect()} == {2, 3}
+
+
+def test_cc_small_graph_boundary(spark):
+    """VERDICT r8 #9: pin tier selection exactly AT the
+    small_graph_edges boundary. Observable via max_iter=0: the driver
+    union-find tier ignores the iteration budget, while the
+    distributed loop raises not-converged before its first round — so
+    success/failure under max_iter=0 reveals which tier ran. Also
+    pins the spark.graft.cc.smallGraphEdges conf override (set to 0 =
+    always distributed) and that an explicit argument wins."""
+    import pytest
+
+    from energydatalake_spark.operators.graph import connected_components
+
+    k = 5  # disjoint undirected pairs -> n_sym = 2k symmetrized rows
+    edges = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(k)], "id_a bigint, id_b bigint"
+    )
+    # Exactly AT the boundary (inclusive): driver tier, max_iter unused.
+    at = connected_components(edges, max_iter=0, small_graph_edges=k)
+    assert {(r.v, r.label) for r in at.collect()} == {
+        (2 * i + j, 2 * i) for i in range(k) for j in (0, 1)
+    }
+    # One under the boundary: distributed loop, raises at max_iter=0.
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(edges, max_iter=0, small_graph_edges=k - 1)
+    # Conf override drives the default when no argument is given.
+    conf_key = "spark.graft.cc.smallGraphEdges"
+    spark.conf.set(conf_key, "0")
+    try:
+        with pytest.raises(RuntimeError, match="not converged"):
+            connected_components(edges, max_iter=0)
+        # Explicit argument wins over the conf.
+        arg_wins = connected_components(edges, max_iter=0, small_graph_edges=k)
+        assert arg_wins.count() == 2 * k
+    finally:
+        spark.conf.unset(conf_key)

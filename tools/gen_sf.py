@@ -1,0 +1,104 @@
+"""Full-table sf1 generator for the whole-registry scale bench
+(VERDICT r8 #3 — promote the 9-query heavy probe to all 99 queries).
+
+The driver ships parquet only up to sf0.1; this tool synthesizes a
+10× directory with every table the registry reads:
+
+- ``region`` / ``nation``: copied verbatim (fixed dimensions — TPC-H
+  does not scale them either).
+- ``customer supplier part orders lineitem events``: 10 disjoint
+  replicas of the sf0.1 rows with CONSISTENT key offsets — each key
+  family (custkey, suppkey, partkey, orderkey, event_id, user_id)
+  shifts by ``replica × (max_key + 1)`` in every table it appears in,
+  so referential structure (orders→customer, lineitem→orders/part/
+  supplier) is preserved exactly and every aggregate/join grows
+  linearly. Non-key columns (dates, prices, flags) are untouched:
+  group-by keys keep their domains, groups get 10× the rows.
+- ``documents`` / ``embeddings``: NOT replicated — replication would
+  plant a 10× exact-duplicate rate and blow up every dedup query
+  superlinearly for a reason that has nothing to do with the plans.
+  Instead the scale_probe generators grow the corpus 10× with the
+  sf0.1 distribution shape (same dup rates, span pool ∝ n).
+
+Writes to the given output dir (default /tmp/sfgen/sf1). Usage:
+
+    python tools/gen_sf.py [out_dir] [multiplier]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scale_probe import gen_documents, gen_embeddings  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+
+#: table -> {column: key_family}; every member of a family shifts by
+#: the same per-replica offset so joins keep matching.
+KEYED = {
+    "customer": {"c_custkey": "cust"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "ord", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "ord", "l_partkey": "part", "l_suppkey": "supp"},
+    "events": {"event_id": "evt", "user_id": "user"},
+}
+COPY = ["region", "nation"]
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfgen/sf1"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    os.makedirs(out, exist_ok=True)
+
+    for t in COPY:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+        print(f"{t}: copied")
+
+    # Family offsets from the data, shared across tables.
+    offsets: dict[str, int] = {}
+    tables = {t: pq.read_table(f"{SRC}/{t}.parquet") for t in KEYED}
+    for t, cols in KEYED.items():
+        for col, fam in cols.items():
+            m = pc.max(tables[t][col]).as_py() + 1
+            offsets[fam] = max(offsets.get(fam, 0), m)
+
+    for t, cols in KEYED.items():
+        src = tables[t]
+        replicas = []
+        for i in range(mult):
+            if i == 0:
+                replicas.append(src)
+                continue
+            rep = src
+            for col, fam in cols.items():
+                idx = rep.schema.get_field_index(col)
+                typ = rep.schema.field(idx).type
+                shifted = pc.cast(
+                    pc.add(pc.cast(rep[col], pa.int64()), i * offsets[fam]), typ
+                )
+                rep = rep.set_column(idx, rep.schema.field(idx), shifted)
+            replicas.append(rep)
+        big = pa.concat_tables(replicas)
+        pq.write_table(big, f"{out}/{t}.parquet")
+        print(f"{t}: {src.num_rows} -> {big.num_rows}")
+
+    n_docs, n_vecs = 5_000 * mult, 2_000 * mult
+    rng = np.random.default_rng(4242)
+    gen_documents(f"{out}/documents.parquet", n_docs, rng)
+    gen_embeddings(f"{out}/embeddings.parquet", n_vecs, rng)
+    print(f"documents: {n_docs}, embeddings: {n_vecs}")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
