@@ -2285,6 +2285,110 @@ LEFT JOIN near nr USING (doc_id)
 """
 
 
+def q_corpus_increment_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch admission with the INTRA-BATCH tier (r9, ADVICE r8): the
+    `corpus_increment` verdict extended so co-arriving duplicates —
+    the common production case — are caught inside the batch itself.
+    A batch doc's "already seen" set is the corpus PLUS every
+    smaller-id batch doc, through both tiers: exact (md5 equality)
+    and near (MinHash LSH pairs, same parameters as `minhash_pairs`).
+    Greedy min-id rule, so each duplicate cluster arriving together
+    admits exactly one representative. This is the oracle-checked
+    twin of ``pipelines.incremental.incremental_ingest``'s
+    intra-batch semantics (which probes a persisted index instead of
+    recomputing — same verdict contract).
+
+    Scale shape: the exact tier is ONE hash equi-join of the batch
+    against all docs with the eligibility predicate (corpus, or batch
+    with smaller id) applied post-join — no second self-join; the
+    near tier is one pass over the banded-LSH pair frame (id_a <
+    id_b, so a batch-batch pair charges its larger id). Never
+    all-pairs anywhere."""
+    docs = read_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % INCR_MOD == 0
+    new_h = docs.filter(is_new).select("doc_id", F.md5("text").alias("h"))
+    all_h = docs.select(F.col("doc_id").alias("old_id"), F.md5("text").alias("h"))
+    old_is_corpus = F.col("old_id") % INCR_MOD != 0
+    exact = (
+        new_h.join(all_h, "h")
+        .filter(
+            (F.col("old_id") != F.col("doc_id"))
+            & (old_is_corpus | (F.col("old_id") < F.col("doc_id")))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("exact_id"))
+    )
+    pairs = minhash_pairs(
+        docs, n=MH_N, bands=MH_BANDS, rows=MH_ROWS, threshold=MH_THRESHOLD
+    )
+    a_new = F.col("id_a") % INCR_MOD == 0
+    b_new = F.col("id_b") % INCR_MOD == 0
+    # One pass: both-new pairs charge the larger id (id_b — pairs are
+    # emitted id_a < id_b); cross pairs charge the new side.
+    near = (
+        pairs.filter(a_new | b_new)
+        .select(
+            F.when(a_new & b_new, F.col("id_b"))
+            .when(a_new, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id"),
+            F.when(a_new & b_new, F.col("id_a"))
+            .when(a_new, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("old_id"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("near_id"))
+    )
+    batch = docs.filter(is_new).select("doc_id")
+    return (
+        batch.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+            .when(F.col("near_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("accept"))
+            .alias("verdict"),
+            F.coalesce("exact_id", "near_id").alias("matched_doc_id"),
+        )
+    )
+
+
+def _sql_corpus_increment_batch() -> str:
+    return f"""
+WITH pairs AS ({SQL_MINHASH_PAIRS}),
+newdocs AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % {INCR_MOD} = 0
+),
+alldocs AS (SELECT doc_id AS old_id, md5(text) AS h FROM documents),
+exact AS (
+  SELECT n.doc_id, MIN(o.old_id) AS exact_id
+  FROM newdocs n JOIN alldocs o USING (h)
+  WHERE o.old_id <> n.doc_id
+    AND (o.old_id % {INCR_MOD} <> 0 OR o.old_id < n.doc_id)
+  GROUP BY n.doc_id
+),
+near AS (
+  SELECT CASE WHEN id_a % {INCR_MOD} = 0 AND id_b % {INCR_MOD} = 0 THEN id_b
+              WHEN id_a % {INCR_MOD} = 0 THEN id_a ELSE id_b END AS doc_id,
+         MIN(CASE WHEN id_a % {INCR_MOD} = 0 AND id_b % {INCR_MOD} = 0 THEN id_a
+              WHEN id_a % {INCR_MOD} = 0 THEN id_b ELSE id_a END) AS near_id
+  FROM pairs
+  WHERE id_a % {INCR_MOD} = 0 OR id_b % {INCR_MOD} = 0
+  GROUP BY 1
+)
+SELECT n.doc_id,
+       CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+            WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+            ELSE 'accept' END AS verdict,
+       COALESCE(e.exact_id, nr.near_id) AS matched_doc_id
+FROM (SELECT doc_id FROM documents WHERE doc_id % {INCR_MOD} = 0) n
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN near nr USING (doc_id)
+"""
+
+
 BOILER_N, BOILER_DF = 3, 2  # 3-gram shingles; in >BOILER_DF docs = boilerplate
 
 
@@ -3333,6 +3437,8 @@ LLM_QUERIES: list[tuple[str, object, str | None, str]] = [
      "ext:quality-funnel composition"),
     ("corpus_increment", q_corpus_increment, _sql_corpus_increment(),
      "ext:incremental-ingest-dedup"),
+    ("corpus_increment_batch", q_corpus_increment_batch,
+     _sql_corpus_increment_batch(), "ext:incremental-ingest intra-batch"),
     ("boilerplate_filter", q_boilerplate_filter, SQL_BOILERPLATE_FILTER,
      "ext:boilerplate-phrase-filter"),
     ("line_dedup", q_line_dedup, SQL_LINE_DEDUP, "ext:line-frequency-dedup"),

@@ -2145,6 +2145,11 @@ _DRIVER_WINDOW_PARKED = [
     # 8 r8-new queries), so their evidence is the newest in the
     # registry. They stay covered by pytest and by
     # tools/oracle_check.py (MIRROR_r{N}.json). Rotate back in r10+.
+    #
+    # corpus_increment_batch is r9-NEW: the 49 r7-evidence rotations
+    # fill the window exactly, so it starts parked (MIRROR_r09 +
+    # driver_sim evidence this round) and takes a driver slot in r10.
+    "corpus_increment_batch",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",

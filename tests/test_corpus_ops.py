@@ -305,3 +305,33 @@ def test_probe_weights_match_formula_strings():
             for e in (_PROBE_DET0, _PROBE_DET1, _PROBE_DET2)
         )
         assert _probe_weights(env) == want  # bit-exact, not approx
+
+
+def test_corpus_increment_batch_intra_tier(spark, tmp_path):
+    """r9 (ADVICE r8): the intra-batch tier. Co-arriving duplicates —
+    absent from the corpus — must resolve against the SMALLEST batch
+    id through both tiers, so each cluster admits exactly one
+    representative; corpus matches still win when their id is
+    smaller. Plain corpus_increment (corpus-only contract) accepts
+    all three co-arrivals — the documented contract difference."""
+    from energydatalake_spark.plans.llm_ops import q_corpus_increment_batch
+
+    novel = "entirely novel duplicated content arriving together in one batch"
+    rows = [
+        # corpus (doc_id % 5 != 0) — nothing matches the batch cluster
+        (1, "the corpus holds only this unrelated text about parquet", "en", "web", 55),
+        # batch (doc_id % 5 == 0): three co-arriving copies + one near
+        (5, novel, "en", "web", len(novel)),
+        (10, novel, "en", "web", len(novel)),
+        (15, novel, "en", "web", len(novel)),
+        (20, novel.replace("one batch", "a batch"), "en", "web", 60),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in q_corpus_increment_batch(spark, sf).collect()}
+    assert out[5].verdict == "accept" and out[5].matched_doc_id is None
+    assert out[10].verdict == "exact" and out[10].matched_doc_id == 5
+    assert out[15].verdict == "exact" and out[15].matched_doc_id == 5
+    assert out[20].verdict == "near_dup" and out[20].matched_doc_id == 5
+    # corpus-only contract: all four sail through
+    base = {r.doc_id: r for r in q_corpus_increment(spark, sf).collect()}
+    assert all(base[d].verdict == "accept" for d in (5, 10, 15, 20))
