@@ -269,6 +269,18 @@ SQL_MINHASH_PAIRS = _sql_minhash()
 # ------------------------------------------------------------- ngram jaccard
 
 NJ_N, NJ_THRESHOLD = 3, 0.5
+#: Eval window for the exact quadratic tiers (r9, sf1 bench α = 1.96):
+#: ngram_jaccard and dedup_recall's ground truth run over the FIRST
+#: EVAL_DOC_WINDOW docs — the ann_recall `vec_id < TOPK_NQ` pattern.
+#: The exact tier's own docstring already says "run it on a sample at
+#: production scale — the verdict is a rate, not a row set"; the
+#: window IS that sample, deterministic and static-SQL-expressible.
+#: Covers every doc at the driver's sf0.01 gate; bounds the O(n²)
+#: work to a constant from sf~0.05 up. Because BOTH tiers' candidate
+#: generation is pairwise (a shared shingle / a band collision between
+#: a and b involves no third document), restricting the input docs is
+#: exactly equivalent to post-filtering the full pair set.
+EVAL_DOC_WINDOW = 2500
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,7 +289,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ever exceeds the library default cap (the capped variant is the
     # production guard, exercised in pytest).
     out = ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"),
+        read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < EVAL_DOC_WINDOW
+        ),
         n=NJ_N,
         threshold=NJ_THRESHOLD,
         max_doc_freq=None,
@@ -286,7 +300,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_NGRAM_JACCARD = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE doc_id < {EVAL_DOC_WINDOW}),
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(toks) - {NJ_N} + 2),
@@ -327,7 +342,14 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces to ONE row; the ground-truth side is the quadratic exact
     tier and is an EVAL-scale op by nature (run it on a sample at
     production scale — the verdict is a rate, not a row set)."""
-    docs = read_table(spark, sf_dir, "documents")
+    # Both tiers run over the shared EVAL_DOC_WINDOW (r9): the ground
+    # truth is the exact quadratic tier, and the eval's verdict is a
+    # rate — windowing bounds the O(n²) work to a constant while the
+    # pairwise candidate generation makes the restriction exactly
+    # equivalent to post-filtering full-corpus pairs.
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < EVAL_DOC_WINDOW
+    )
     # Both pair frames feed two consumers (the hit join and their own
     # count); localCheckpoint the pairs-sized results so neither
     # pipeline replays (measured 19 exchanges vs 7 this way).
@@ -369,9 +391,15 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_recall() -> str:
+    # truth inherits the EVAL_DOC_WINDOW from SQL_NGRAM_JACCARD; the
+    # minhash side is windowed by post-filtering its pairs — exactly
+    # equivalent (signatures are per-doc, collisions pairwise).
     return f"""
 WITH truth AS ({SQL_NGRAM_JACCARD}),
-approx AS ({SQL_MINHASH_PAIRS}),
+approx AS (
+  SELECT * FROM ({SQL_MINHASH_PAIRS})
+  WHERE id_a < {EVAL_DOC_WINDOW} AND id_b < {EVAL_DOC_WINDOW}
+),
 hits AS (
   SELECT t.id_a, t.id_b FROM truth t
   WHERE EXISTS (SELECT 1 FROM approx a
@@ -400,17 +428,20 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(read_table(spark, sf_dir, "documents"), bits=SH_BITS)
 
 
-def _sql_simhash() -> str:
+def _sql_simhash(bits: int = SH_BITS) -> str:
     votes = ",\n         ".join(
         f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
-        for j in range(SH_BITS)
+        for j in range(bits)
     )
     recombine = " + ".join(
-        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SH_BITS)
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
     )
+    # ≤32 bits: md5's first 8 hex chars; 33-60: 15 hex chars — both
+    # mirror text.dedup.simhash's tok_hash choice exactly.
+    hex_chars = 8 if bits <= 32 else 15
     return f"""
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, {hex_chars}))::BIGINT AS hv FROM toks),
 votes AS (
   SELECT doc_id,
          {votes}
@@ -424,13 +455,20 @@ SQL_SIMHASH = _sql_simhash()
 
 
 SP_MAX_HAMMING = 3
+#: r9 rescale (sf1 bench α = 1.33 with the old 32-bit/8-bit-band
+#: parameterization — n/256 docs per bucket is quadratic at the bench
+#: decade): 60-bit fingerprint, 15-bit bands → 4 bands (pigeonhole
+#: exact for Hamming ≤ 3), 32k buckets/band — occupancy ~1.5 at 50k
+#: docs. See text.dedup.simhash_pairs' sizing note (Manku et al.).
+SHP_BITS, SHP_BAND_BITS = 60, 15
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         read_table(spark, sf_dir, "documents"),
-        bits=SH_BITS,
+        bits=SHP_BITS,
         max_hamming=SP_MAX_HAMMING,
+        band_bits=SHP_BAND_BITS,
     )
 
 
@@ -440,7 +478,7 @@ def _sql_simhash_pairs() -> str:
     least one band, so the banded Spark plan returns exactly the
     brute-force Hamming-ball result — which IS expressible as all-pairs
     SQL over the (already oracle-checked) simhash values."""
-    sh = _sql_simhash().strip()
+    sh = _sql_simhash(bits=SHP_BITS).strip()
     return f"""
 WITH sh AS ({sh})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
