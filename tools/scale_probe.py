@@ -39,6 +39,11 @@ HEAVY = [
     "dedup_clusters",
     "semantic_dedup",
     "similarity_ivf_kmeans",
+    # r9 additions: the three queries the first full sf1 bench caught
+    # super-linear (since rescaled — keep them watched).
+    "ngram_jaccard",
+    "dedup_recall",
+    "simhash_pairs",
 ]
 
 VOCAB = [
