@@ -1033,3 +1033,102 @@ def test_incremental_ingest_matches_python_model(spark, texts, data):
             for r in incremental_ingest(bdf, d + "/idx", append=False).collect()
         }
     assert got == _py_incremental_ingest(corpus, batch)
+
+
+def _py_semantic_dedup(rows, cents, threshold):
+    """Independent model of similarity.neardup.embedding_semantic_dedup:
+    nearest-centroid assignment by cosine with the strict-> first-max /
+    ascending-cell tie-break (scalar float path mirrors the JVM fold's
+    op order exactly), per-cell union-find over pairwise cosine >=
+    threshold, cluster = min member id, zero-norm vectors = their own
+    singletons."""
+    import math
+
+    import numpy as np
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    out = {}
+    cells = {}
+    cents = sorted(cents)
+    for vid, v in rows:
+        nm = math.sqrt(dot(v, v))
+        if nm == 0.0:
+            out[vid] = (vid, True)
+            continue
+        best_c, best_cell = -math.inf, -1
+        for cid, cv in cents:
+            cnm = math.sqrt(dot(cv, cv))
+            c = dot(v, cv) / (nm * cnm)
+            if c > best_c:
+                best_c, best_cell = c, cid
+        cells.setdefault(best_cell, []).append((vid, v))
+    for members in cells.values():
+        members.sort()
+        ids = [m[0] for m in members]
+        m = np.asarray([np.asarray(v, dtype=np.float64) for _, v in members])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        mn = m / norms[:, None]
+        sim = mn @ mn.T
+        parent = list(range(len(ids)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sim[i, j] >= threshold:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        for i in range(len(ids)):
+            out[ids[i]] = (ids[find(i)], find(i) == i)
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-3, 3), min_size=3, max_size=3),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 2),
+    st.data(),
+)
+@_prop_settings
+def test_embedding_semantic_dedup_matches_python_model(spark, vecs, n_cells, data):
+    """Small integer 3-dim vectors make exact cosine ties (orthogonal /
+    parallel / zero vectors) common, exercising the argmax tie-break
+    and the zero-norm singleton path; threshold 0.37 keeps float
+    comparisons away from representable coincidences. The model shares
+    nothing with the Spark plan but the op-order conventions."""
+    from energydatalake_spark.similarity.neardup import embedding_semantic_dedup
+
+    rows = list(enumerate(vecs))
+    cents = [
+        (i, [float(x) for x in data.draw(
+            st.lists(st.integers(-3, 3), min_size=3, max_size=3)
+            .filter(lambda v: any(v))
+        )])
+        for i in range(n_cells)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<double>",
+    )
+    cdf = spark.createDataFrame(cents, "vec_id int, embedding array<double>")
+    got = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in embedding_semantic_dedup(
+            df, threshold=0.37, n_cells=n_cells, centroids=cdf
+        ).collect()
+    }
+    assert got == _py_semantic_dedup(rows, cents, 0.37)
