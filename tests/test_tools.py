@@ -1,0 +1,84 @@
+"""Tests for the scale-bench tooling: the full-table sf-multiplier
+generator (tools/gen_sf.py) — the whole-registry sf1 measurement rests
+on this generator preserving referential structure and growing every
+table linearly, so those properties are pinned here."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+MULT = 2
+
+
+@pytest.fixture(scope="module")
+def gen_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("gensf") / f"x{MULT}")
+    subprocess.run(
+        [sys.executable, "tools/gen_sf.py", out, str(MULT)],
+        check=True,
+        cwd="/root/repo",
+        capture_output=True,
+    )
+    return out
+
+
+def test_gen_sf_row_counts_scale_linearly(gen_dir):
+    src = "/root/testdata/sf0.1"
+    for t in ("customer", "supplier", "part", "orders", "lineitem", "events"):
+        n0 = pq.read_metadata(f"{src}/{t}.parquet").num_rows
+        n1 = pq.read_metadata(f"{gen_dir}/{t}.parquet").num_rows
+        assert n1 == MULT * n0, t
+    for t in ("region", "nation"):  # fixed dims, copied
+        assert (
+            pq.read_metadata(f"{gen_dir}/{t}.parquet").num_rows
+            == pq.read_metadata(f"{src}/{t}.parquet").num_rows
+        ), t
+
+
+def test_gen_sf_keys_disjoint_and_joins_preserved(gen_dir):
+    """Each replica's keys are disjoint (no accidental collisions that
+    would inflate join fan-out), and referential structure holds: every
+    lineitem still matches exactly one order, and the per-order line
+    count multiset is preserved replica by replica."""
+    src = "/root/testdata/sf0.1"
+    o0 = pq.read_table(f"{src}/orders.parquet", columns=["o_orderkey"])
+    o1 = pq.read_table(f"{gen_dir}/orders.parquet", columns=["o_orderkey"])
+    k0 = set(o0["o_orderkey"].to_pylist())
+    k1 = o1["o_orderkey"].to_pylist()
+    assert len(k1) == len(set(k1))  # replicas disjoint
+    l0 = pq.read_table(f"{src}/lineitem.parquet", columns=["l_orderkey"])
+    l1 = pq.read_table(f"{gen_dir}/lineitem.parquet", columns=["l_orderkey"])
+    assert set(l1["l_orderkey"].to_pylist()) <= set(k1)  # FK closure
+    # per-order line-count multiset scales by exactly MULT
+    import collections
+
+    c0 = collections.Counter(
+        collections.Counter(l0["l_orderkey"].to_pylist()).values()
+    )
+    c1 = collections.Counter(
+        collections.Counter(l1["l_orderkey"].to_pylist()).values()
+    )
+    assert c1 == {sz: MULT * n for sz, n in c0.items()}
+
+
+def test_gen_sf_non_key_columns_untouched(gen_dir):
+    """Group-by domains must not grow: the replicas share every
+    non-key column value-for-value with the source."""
+    src = "/root/testdata/sf0.1"
+    t0 = pq.read_table(f"{src}/orders.parquet")
+    t1 = pq.read_table(f"{gen_dir}/orders.parquet")
+    n = t0.num_rows
+    for col in ("o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"):
+        assert t1[col].slice(0, n).to_pylist() == t0[col].to_pylist(), col
+        assert t1[col].slice(n, n).to_pylist() == t0[col].to_pylist(), col
+    # key columns shift by exactly max+1 in the second replica
+    off = pc.max(t0["o_orderkey"]).as_py() + 1
+    assert (
+        t1["o_orderkey"].slice(n, 5).to_pylist()
+        == [k + off for k in t0["o_orderkey"].slice(0, 5).to_pylist()]
+    )
