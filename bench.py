@@ -229,10 +229,13 @@ def main() -> None:
     # round-over-round comparison never degrades. stdout stays ONE line.
     #
     # Round labeling (ADVICE r8): $SPARK_GRAFT_ROUND wins when set;
-    # otherwise the round in flight is max(newest driver BENCH + 1,
-    # newest BENCHFULL) — the BENCHFULL term keeps repeat in-round runs
-    # on the same label even if the driver writes BENCH_r{N} between
-    # them, instead of unconditionally bumping to N+1.
+    # otherwise: a BENCHFULL strictly NEWER than the newest driver
+    # BENCH means an in-round run already chose this round's label —
+    # reuse it; else the round in flight is newest BENCH + 1. The one
+    # remaining ambiguity is a manual rerun AFTER the driver's
+    # round-end BENCH_r{N} lands but before round N+1 starts (the
+    # file state is indistinguishable from a round-(N+1) start) — that
+    # case mislabels by one and is exactly what the env var is for.
     env_round = os.environ.get("SPARK_GRAFT_ROUND")
     bench_rounds = [
         int(m.group(1))
@@ -244,13 +247,23 @@ def main() -> None:
         for f in glob.glob(os.path.join(repo_dir, "BENCHFULL_r*.json"))
         if (m := re.search(r"BENCHFULL_r(\d+)\.json$", f))
     ]
+    this_round = None
     if env_round is not None:
-        this_round = int(env_round)
-    else:
-        this_round = max(
-            (max(bench_rounds) + 1) if bench_rounds else 1,
-            max(full_rounds) if full_rounds else 1,
-        )
+        try:
+            this_round = int(env_round)
+            if this_round < 1:
+                raise ValueError(env_round)
+        except ValueError:
+            print(
+                f"# SPARK_GRAFT_ROUND={env_round!r} invalid; deriving from "
+                f"artifacts",
+                file=sys.stderr,
+            )
+            this_round = None
+    if this_round is None:
+        bench_max = max(bench_rounds) if bench_rounds else 0
+        full_max = max(full_rounds) if full_rounds else 0
+        this_round = full_max if full_max > bench_max else bench_max + 1
     full_path = os.path.join(repo_dir, f"BENCHFULL_r{this_round:02d}.json")
     try:
         with open(full_path, "w") as fh:

@@ -2086,8 +2086,10 @@ _DRIVER_WINDOW_FIRST = [
     # rows (line_dedup, semantic_dedup, ann/ivf recall, streaming
     # quality, embedding near-dup) — come back into the window; their
     # newest driver rows are r7-old, the oldest evidence in the
-    # registry. With the flagship that fills 49 of 50 slots; any new
-    # r9 query lands in the one-slot "middle" block.
+    # registry. With the flagship this list fills ALL 50 slots, so
+    # the "middle" block (unlisted queries) falls OUTSIDE the window
+    # this round — any r9-new query starts parked (see
+    # corpus_increment_batch below) and takes a driver slot in r10.
     "line_dedup",
     "lm_buckets",
     "source_cap",

@@ -319,14 +319,17 @@ def embedding_semantic_dedup(
             return x
 
         # Row-blocked similarity: memory ~ block×n, compute the full
-        # O(n^2) the semantics require.
+        # O(n^2) the semantics require. The upper-triangle mask is
+        # applied vectorized BEFORE the interpreted union loop — the
+        # raw nonzero yields each pair twice plus the diagonal, and
+        # dup-dense cells are exactly where the loop cost concentrates.
         block = 2048
         for s in range(0, n, block):
             sims = mn[s : s + block] @ mn.T
             li, ri = np.nonzero(sims >= threshold)
-            for a, b in zip(li + s, ri):
-                if a >= b:
-                    continue
+            li = li + s
+            upper = li < ri
+            for a, b in zip(li[upper], ri[upper]):
                 ra, rb = find(a), find(b)
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)

@@ -260,3 +260,27 @@ def test_embedding_semantic_dedup_cell_size_guard(spark):
     )
     with pytest.raises(Exception, match="increase n_cells"):
         out.collect()
+
+
+def test_embedding_semantic_dedup_nan_norm_survives(spark):
+    """A vector with a NaN component has a NaN norm; Spark's NaN
+    ordering (NaN > 0 is true) routes it through the cells branch,
+    where NaN cosines match nothing — so it must surface as its own
+    singleton cluster, never silently vanish. DuckDB's total order
+    agrees (NaN > 0 true), keeping the SQL twin on the same branch."""
+    from energydatalake_spark.similarity.neardup import embedding_semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [float("nan"), 1.0]), (3, [0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in embedding_semantic_dedup(
+            df, threshold=0.5, n_cells=1, centroids=cents
+        ).collect()
+    }
+    assert out == {1: (1, True), 2: (2, True), 3: (3, True)}

@@ -82,3 +82,22 @@ def test_gen_sf_non_key_columns_untouched(gen_dir):
         t1["o_orderkey"].slice(n, 5).to_pylist()
         == [k + off for k in t0["o_orderkey"].slice(0, 5).to_pylist()]
     )
+
+
+def test_gen_sf_events_user_fk(gen_dir):
+    """events.user_id is an FK into customer.c_custkey (the
+    streaming_enrich join): every replica's events must reference its
+    OWN replica's customers, i.e. user_id and c_custkey shift by the
+    same family offset."""
+    src = "/root/testdata/sf0.1"
+    c0 = pq.read_table(f"{src}/customer.parquet", columns=["c_custkey"])
+    e0 = pq.read_table(f"{src}/events.parquet", columns=["user_id"])
+    c1 = pq.read_table(f"{gen_dir}/customer.parquet", columns=["c_custkey"])
+    e1 = pq.read_table(f"{gen_dir}/events.parquet", columns=["user_id"])
+    assert set(e1["user_id"].to_pylist()) <= set(c1["c_custkey"].to_pylist())
+    off = pc.max(c0["c_custkey"]).as_py() + 1
+    n = e0.num_rows
+    assert (
+        e1["user_id"].slice(n, 5).to_pylist()
+        == [u + off for u in e0["user_id"].slice(0, 5).to_pylist()]
+    )

@@ -50,7 +50,12 @@ KEYED = {
     "part": {"p_partkey": "part"},
     "orders": {"o_orderkey": "ord", "o_custkey": "cust"},
     "lineitem": {"l_orderkey": "ord", "l_partkey": "part", "l_suppkey": "supp"},
-    "events": {"event_id": "evt", "user_id": "user"},
+    # user_id is an FK into customer.c_custkey (streaming_enrich joins
+    # e.user_id = c.c_custkey), so it MUST shift with the cust family —
+    # a private family would pair replica-i events with replica-0
+    # customers and break the referential invariant (caught by r9
+    # self-review; pinned in test_gen_sf_events_user_fk).
+    "events": {"event_id": "evt", "user_id": "cust"},
 }
 COPY = ["region", "nation"]
 
