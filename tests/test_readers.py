@@ -549,3 +549,37 @@ def test_table_stats_footer_only(spark, tmp_path):
     os.makedirs(str(tmp_path / "empty"))
     with pytest.raises(ValueError, match="no parquet files"):
         table_stats(str(tmp_path / "empty"))
+
+
+def test_read_table_int96_timestamps(spark, tmp_path):
+    """Legacy INT96 parquet timestamps (old Spark/Hive writers; the
+    one mainstream encoding the driver has NOT yet shipped) must
+    normalize through read_table like the NANOS and naive-us shapes
+    the schema-canary already covers."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from energydatalake_spark.io.readers import read_table
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [
+                    pd.Timestamp("2024-01-01 10:00"),
+                    pd.Timestamp("2024-01-01 11:30"),
+                ],
+                pa.timestamp("ns"),
+            ),
+        }
+    )
+    pq.write_table(
+        tbl,
+        str(tmp_path / "events.parquet"),
+        use_deprecated_int96_timestamps=True,
+    )
+    df = read_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = {r.event_id: r.ts for r in df.collect()}
+    assert got[1].hour == 10 and got[2].minute == 30
