@@ -30,6 +30,14 @@ file ingestion (README.md:143-148); it has no dedup index. This is the
 LLM-corpus extension of the same "don't reprocess what you already
 ingested" contract.
 
+Concurrency contract: SINGLE WRITER per index, the same contract the
+path-based warehouse documents (io/writers.py) — two concurrent
+increments could each miss the other's in-flight appends and both
+admit the same document. Serialize ingests (the production loop is a
+sequential micro-batch consumer); a multi-writer deployment needs a
+transactional table format underneath (the Delta MERGE path, blocked
+offline — see SURVEY ledger).
+
 Scale shape: every increment shuffles batch-sized frames only; the
 index side of the bucket probe is an equi-join on (band, band_hash)
 that AQE plans as broadcast when the batch's bucket set is small; the
