@@ -260,11 +260,22 @@ def main() -> None:
                 file=sys.stderr,
             )
             this_round = None
+    derivation = "env"
     if this_round is None:
         bench_max = max(bench_rounds) if bench_rounds else 0
         full_max = max(full_rounds) if full_rounds else 0
-        this_round = full_max if full_max > bench_max else bench_max + 1
+        if full_max > bench_max:
+            this_round, derivation = full_max, "reuse newest BENCHFULL"
+        else:
+            this_round, derivation = bench_max + 1, "newest BENCH + 1"
     full_path = os.path.join(repo_dir, f"BENCHFULL_r{this_round:02d}.json")
+    # Make an unintended overwrite visible (a stale BENCHFULL newer than
+    # the newest BENCH silently wins the inference otherwise).
+    print(
+        f"# BENCHFULL round {this_round:02d} ({derivation})"
+        + (" — overwriting existing file" if os.path.exists(full_path) else ""),
+        file=sys.stderr,
+    )
     try:
         with open(full_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)

@@ -280,7 +280,20 @@ NJ_N, NJ_THRESHOLD = 3, 0.5
 #: generation is pairwise (a shared shingle / a band collision between
 #: a and b involves no third document), restricting the input docs is
 #: exactly equivalent to post-filtering the full pair set.
+#:
+#: The window is MIN(doc_id)-relative (r10): an absolute
+#: ``doc_id < 2500`` would silently select zero docs on a corpus
+#: whose ids don't start near 0. Spark expresses the bound as a lazy
+#: scalar subquery (``DataFrame.scalar()``), DuckDB as
+#: ``(SELECT MIN(doc_id) ...)`` — no driver-side job either way.
 EVAL_DOC_WINDOW = 2500
+
+
+def _eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First EVAL_DOC_WINDOW docs by id, robust to non-zero-based ids."""
+    docs = read_table(spark, sf_dir, "documents")
+    lo = docs.agg(F.min("doc_id")).scalar()
+    return docs.filter(F.col("doc_id") < lo + F.lit(EVAL_DOC_WINDOW))
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,9 +302,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ever exceeds the library default cap (the capped variant is the
     # production guard, exercised in pytest).
     out = ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents").filter(
-            F.col("doc_id") < EVAL_DOC_WINDOW
-        ),
+        _eval_docs(spark, sf_dir),
         n=NJ_N,
         threshold=NJ_THRESHOLD,
         max_doc_freq=None,
@@ -301,7 +312,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_JACCARD = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-           WHERE doc_id < {EVAL_DOC_WINDOW}),
+           WHERE doc_id < (SELECT MIN(doc_id) FROM documents) + {EVAL_DOC_WINDOW}),
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(toks) - {NJ_N} + 2),
@@ -347,9 +358,7 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rate — windowing bounds the O(n²) work to a constant while the
     # pairwise candidate generation makes the restriction exactly
     # equivalent to post-filtering full-corpus pairs.
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < EVAL_DOC_WINDOW
-    )
+    docs = _eval_docs(spark, sf_dir)
     # Both pair frames feed two consumers (the hit join and their own
     # count); localCheckpoint the pairs-sized results so neither
     # pipeline replays (measured 19 exchanges vs 7 this way).
@@ -398,7 +407,8 @@ def _sql_dedup_recall() -> str:
 WITH truth AS ({SQL_NGRAM_JACCARD}),
 approx AS (
   SELECT * FROM ({SQL_MINHASH_PAIRS})
-  WHERE id_a < {EVAL_DOC_WINDOW} AND id_b < {EVAL_DOC_WINDOW}
+  WHERE id_a < (SELECT MIN(doc_id) FROM documents) + {EVAL_DOC_WINDOW}
+    AND id_b < (SELECT MIN(doc_id) FROM documents) + {EVAL_DOC_WINDOW}
 ),
 hits AS (
   SELECT t.id_a, t.id_b FROM truth t
@@ -493,6 +503,12 @@ SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
 
 # ------------------------------------------------------------- similarity
 
+# NOTE: the ANN eval fixtures pick "the first TOPK_NQ vectors" with an
+# absolute `vec_id < TOPK_NQ` predicate — this assumes embeddings ids
+# are dense from 0 (true for the shipped test data and both
+# generators, pinned in tests). Unlike EVAL_DOC_WINDOW this is a query
+# FIXTURE (which vectors play the role of queries), not a sampling
+# window, so the absolute form stays.
 TOPK_K, TOPK_NQ = 10, 5
 
 

@@ -2080,16 +2080,77 @@ _register(
 DRIVER_WINDOW = 50
 
 _DRIVER_WINDOW_FIRST = [
-    # r9 rotation (VERDICT r8 #1): the 48 queries parked through r8 —
-    # the §2 core set (asof/band/outer joins, the A4-A7 aggregates,
-    # casts/clean/setops, window functions) plus the r7-era extension
-    # rows (line_dedup, semantic_dedup, ann/ivf recall, streaming
-    # quality, embedding near-dup) — come back into the window; their
-    # newest driver rows are r7-old, the oldest evidence in the
-    # registry. With the flagship this list fills ALL 50 slots, so
-    # the "middle" block (unlisted queries) falls OUTSIDE the window
-    # this round — any r9-new query starts parked (see
-    # corpus_increment_batch below) and takes a driver slot in r10.
+    # r10 rotation (VERDICT r9 #1): the 49 queries whose newest driver
+    # evidence is r8-or-never come back into the window —
+    # corpus_increment_batch FIRST (r9-new; the only query that has
+    # never had a driver CORRECTNESS row), then the r8-rotated
+    # extension set (multimodal, minhash/simhash families, similarity
+    # tiers, corpus prep/sampling, streaming, CC clusters) and the
+    # r8-new queries (substring_dedup .. decile_stats). One query from
+    # this class stays parked for the slot arithmetic (50 candidates,
+    # 49 slots after the flagship): boilerplate_filter, which the r9
+    # judge independently re-verified against the oracle — the
+    # freshest non-driver evidence in the set. It leads the r11
+    # rotation.
+    "corpus_increment_batch",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_embed",
+    "minhash_pairs",
+    "ngram_jaccard",
+    "simhash",
+    "simhash_pairs",
+    "similarity_topk",
+    "streaming_dedup",
+    "similarity_lsh",
+    "similarity_ivf",
+    "similarity_ivf_kmeans",
+    "corpus_prep",
+    "train_split",
+    "stratified_sample",
+    "doc_chunks",
+    "text_normalize",
+    "pack_chunks",
+    "corpus_prep_full",
+    "streaming_hourly",
+    "sessionize",
+    "streaming_enrich",
+    "streaming_asof",
+    "doc_repetition",
+    "contamination",
+    "corpus_mix",
+    "dedup_clusters",
+    "vocab_topk",
+    "shuffle_shards",
+    "tfidf_topk",
+    "lm_score",
+    "embedding_clusters",
+    "doc_outliers",
+    "source_profile",
+    "corpus_increment",
+    "json_extract",
+    "snapshot_diff",
+    "corpus_funnel",
+    "embedding_clusters_kmeans",
+    "substring_dedup",
+    "hashed_tfidf",
+    "vocab_coverage",
+    "dedup_recall",
+    "quantized_recall",
+    "cohort_retention",
+    "join_skew_profile",
+    "decile_stats",
+]
+
+_DRIVER_WINDOW_PARKED = [
+    # Parked in r10: every one of these earned a fresh driver-green
+    # row in CORRECTNESS_r09 (the 49 r9-rotated queries), plus
+    # boilerplate_filter (r8 driver row + r9 judge spot-check; the
+    # slot-arithmetic holdout — FIRST in the r11 rotation). They stay
+    # covered by pytest and by tools/oracle_check.py
+    # (MIRROR_r{N}.json). Rotate back in r11+.
+    "boilerplate_filter",
     "line_dedup",
     "lm_buckets",
     "source_cap",
@@ -2139,68 +2200,6 @@ _DRIVER_WINDOW_FIRST = [
     "revenue_by_nation",
     "dedup_embedding",
     "dedup_embedding_lsh",
-]
-
-_DRIVER_WINDOW_PARKED = [
-    # Parked in r9: every one of these earned a fresh driver-green row
-    # in CORRECTNESS_r08 (the 41 r8-rotated extension queries plus the
-    # 8 r8-new queries), so their evidence is the newest in the
-    # registry. They stay covered by pytest and by
-    # tools/oracle_check.py (MIRROR_r{N}.json). Rotate back in r10+.
-    #
-    # corpus_increment_batch is r9-NEW: the 49 r7-evidence rotations
-    # fill the window exactly, so it starts parked (MIRROR_r09 +
-    # driver_sim evidence this round) and takes a driver slot in r10.
-    "corpus_increment_batch",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_embed",
-    "minhash_pairs",
-    "ngram_jaccard",
-    "simhash",
-    "simhash_pairs",
-    "similarity_topk",
-    "streaming_dedup",
-    "similarity_lsh",
-    "similarity_ivf",
-    "similarity_ivf_kmeans",
-    "corpus_prep",
-    "train_split",
-    "stratified_sample",
-    "doc_chunks",
-    "text_normalize",
-    "pack_chunks",
-    "corpus_prep_full",
-    "streaming_hourly",
-    "sessionize",
-    "streaming_enrich",
-    "streaming_asof",
-    "doc_repetition",
-    "contamination",
-    "corpus_mix",
-    "dedup_clusters",
-    "vocab_topk",
-    "shuffle_shards",
-    "tfidf_topk",
-    "lm_score",
-    "embedding_clusters",
-    "doc_outliers",
-    "source_profile",
-    "corpus_increment",
-    "boilerplate_filter",
-    "json_extract",
-    "snapshot_diff",
-    "corpus_funnel",
-    "embedding_clusters_kmeans",
-    "substring_dedup",
-    "hashed_tfidf",
-    "vocab_coverage",
-    "dedup_recall",
-    "quantized_recall",
-    "cohort_retention",
-    "join_skew_profile",
-    "decile_stats",
 ]
 
 

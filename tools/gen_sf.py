@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.scale_probe import gen_documents, gen_embeddings  # noqa: E402
 
-SRC = "/root/testdata/sf0.1"
+SRC = os.environ.get("SPARK_GRAFT_GEN_SRC", "/root/testdata/sf0.1")
 
 #: table -> {column: key_family}; every member of a family shifts by
 #: the same per-replica offset so joins keep matching.
@@ -88,6 +88,17 @@ def main() -> None:
             for col, fam in cols.items():
                 idx = rep.schema.get_field_index(col)
                 typ = rep.schema.field(idx).type
+                # Shifted keys must still fit the source dtype; fail with
+                # a message naming the multiplier/key-width interaction
+                # instead of pyarrow's bare overflow error.
+                top = (mult - 1) * offsets[fam] + offsets[fam] - 1
+                lim = {pa.int32(): 2**31 - 1, pa.int64(): 2**63 - 1}.get(typ)
+                if lim is not None and top > lim:
+                    raise OverflowError(
+                        f"{t}.{col} ({typ}) cannot hold replica keys up to "
+                        f"{top} at multiplier {mult}; lower the multiplier "
+                        f"or widen the key column"
+                    )
                 shifted = pc.cast(
                     pc.add(pc.cast(rep[col], pa.int64()), i * offsets[fam]), typ
                 )

@@ -1,8 +1,7 @@
-"""One-command verification runner — executes the full verify recipe
-from .claude/skills/verify/SKILL.md in order and stops at the first
-failure:
+"""One-command verification runner — runs every repo gate in order and
+stops at the first failure:
 
-  1. full oracle gate at sf0.01 (the driver's t2 mirror)
+  1. full oracle gate at sf0.01 (DuckDB value-hash check, all queries)
   2. full oracle gate at sf0.1
   3. bare-session driver simulation (tools/driver_sim.py)
   4. full pytest suite
@@ -11,19 +10,25 @@ failure:
 
 Usage: python tools/verify_all.py [--quick]
 --quick runs only steps 1 and 3 (the cheap pre-commit gate).
+
+Test-data roots for steps 1-2 default to /root/testdata/sf* and can be
+overridden with $SPARK_GRAFT_SF001_DIR / $SPARK_GRAFT_SF01_DIR.
 """
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
 
-REPO = "/root/repo"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF001 = os.environ.get("SPARK_GRAFT_SF001_DIR", "/root/testdata/sf0.01")
+SF01 = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
 
 STEPS = [
-    ("oracle sf0.01", [sys.executable, "tools/oracle_check.py", "/root/testdata/sf0.01"]),
-    ("oracle sf0.1", [sys.executable, "tools/oracle_check.py", "/root/testdata/sf0.1"]),
+    ("oracle sf0.01", [sys.executable, "tools/oracle_check.py", SF001]),
+    ("oracle sf0.1", [sys.executable, "tools/oracle_check.py", SF01]),
     ("driver_sim", [sys.executable, "tools/driver_sim.py"]),
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
     ("plan_audit", [sys.executable, "tools/plan_audit.py"]),
