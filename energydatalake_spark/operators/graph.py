@@ -25,6 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Non-identity labels up to this count are attached as a plan-literal
+#: map (one codegen'd lookup per node row, zero extra stages); larger
+#: label sets fall back to a broadcast join. Bounded so the literal
+#: map never bloats plan analysis.
+_MAP_LITERAL_MAX = 2048
+
 
 def connected_components(
     edges: DataFrame,
@@ -34,6 +40,7 @@ def connected_components(
     node_col: str = "doc_id",
     max_iter: int = 30,
     small_graph_edges: int | None = None,
+    nodes_cover_edges: bool = False,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable through
     ``edges`` (undirected). Returns ``(v, label)``. ``nodes`` widens
@@ -41,64 +48,92 @@ def connected_components(
     themselves). Raises if ``max_iter`` rounds don't converge —
     a truncated labeling silently merges or splits clusters.
 
-    Size-adaptive: the symmetrized edge frame is materialized (and
-    therefore counted) before the loop either way, so when the
-    duplicate graph is small — ≤ ``small_graph_edges`` undirected
-    edges, a few MB — the component closure runs as driver union-find
-    on the already-materialized edges instead of paying several Spark
-    rounds of fixed job overhead for a toy graph (measured r7: the
-    467-edge sf0.1 embedding graph cost ~7 s in loop overhead, <1 ms
-    in union-find). The distributed propagation loop below is the
-    100 TB path and the semantics are identical; the property suite
-    cross-checks the loop against union-find. Singleton attachment
-    stays distributed in both paths (``nodes`` is corpus-sized).
+    Size-adaptive: the directed edge frame is persisted and counted
+    before anything else (the count doubles as the materialization of
+    the caller's — possibly expensive — pair-generation plan, so it
+    is paid exactly once). When the duplicate graph is small — at
+    most ``small_graph_edges`` input edge rows, a few MB — the
+    component closure runs as driver union-find on the cached rows
+    instead of paying several Spark rounds of fixed job overhead for
+    a toy graph (measured r7: the 467-edge sf0.1 embedding graph cost
+    ~7 s in loop overhead, <1 ms in union-find). The distributed
+    propagation loop below is the 100 TB path and the semantics are
+    identical; the property suite cross-checks the loop against
+    union-find.
 
     ``small_graph_edges`` defaults to the Spark conf
     ``spark.graft.cc.smallGraphEdges`` (else 200_000) so a deployment
     whose pair graphs run large or skewed can force the distributed
     tier fleet-wide (set it to 0) without touching call sites; an
-    explicit argument wins over the conf. The boundary is inclusive:
-    exactly ``small_graph_edges`` undirected edges still takes the
-    driver tier (pinned by test_cc_small_graph_boundary).
+    explicit argument wins over the conf. The gate counts INPUT edge
+    rows (duplicates and orientation included — for the typical
+    ``id_a < id_b`` pair list that is exactly the undirected edge
+    count), and the boundary is inclusive: exactly
+    ``small_graph_edges`` rows still takes the driver tier (pinned by
+    test_cc_small_graph_boundary).
+
+    ``nodes_cover_edges=True`` is the caller's promise that every
+    edge endpoint appears in ``nodes`` and that ``nodes`` rows are
+    unique on ``node_col`` (true when nodes is a primary-keyed corpus
+    table and edges were mined from it). Under that contract the
+    singleton attachment collapses to ONE pass over ``nodes`` — a
+    plan-literal map lookup (small graphs) or a broadcast/shuffle
+    left join with ``coalesce`` — instead of distinct + anti-join +
+    union, and never shuffles the corpus. Endpoints missing from
+    ``nodes`` would be silently dropped under the fast path, hence
+    the conservative default False.
 
     Determinism: min-label propagation's fixpoint is unique (the
     component-wise min), independent of partitioning and join order;
     union-find with min-root labeling computes the same fixpoint.
     """
-    sym = edges.select(
-        F.col(a).cast("bigint").alias("v"), F.col(b).cast("bigint").alias("u")
-    )
-    sym = sym.union(
-        sym.select(F.col("u").alias("v"), F.col("v").alias("u"))
-    ).distinct().persist()
-    # Iterate ONLY over edge-endpoint nodes: an isolated node's label
-    # never changes, and at corpus scale the duplicate graph is a tiny
-    # fraction of the vertex set — singletons join back self-labeled
-    # after convergence instead of riding every round's join.
-    # Materialize the symmetrized edge cache at the CALLER's shuffle
-    # width — edge generation is corpus-sized work (e.g. MinHash
-    # banding) and must not run under the narrowed loop conf below.
-    n_sym = sym.count()
     spark = edges.sparkSession
     if small_graph_edges is None:
         small_graph_edges = int(
             spark.conf.get("spark.graft.cc.smallGraphEdges", "200000")
         )
 
-    def _attach_singles(labels: DataFrame) -> DataFrame:
+    # Materialize the directed pair plan ONCE at the caller's shuffle
+    # width — edge generation is corpus-sized work (e.g. MinHash
+    # banding) and must not run under the narrowed loop conf below,
+    # nor twice under the symmetrizing union.
+    directed = edges.select(
+        F.col(a).cast("bigint").alias("v"), F.col(b).cast("bigint").alias("u")
+    ).persist()
+    n_edges = directed.count()
+
+    def _node_frame() -> DataFrame:
+        assert nodes is not None
+        return nodes.select(F.col(node_col).cast("bigint").alias("v"))
+
+    def _attach_df(labels: DataFrame) -> DataFrame:
+        """Generic singleton attachment: output vertex set is
+        nodes ∪ edge endpoints, deduplicated."""
         if nodes is None:
             return labels
+        if nodes_cover_edges:
+            # One scan of nodes, no distinct/anti/union; labels side
+            # is duplicate-graph-sized (broadcast or AQE's choice).
+            return (
+                _node_frame()
+                .join(
+                    labels.withColumnRenamed("label", "_cc_label"), "v", "left"
+                )
+                .select(
+                    "v", F.coalesce("_cc_label", F.col("v")).alias("label")
+                )
+            )
         singles = (
-            nodes.select(F.col(node_col).cast("bigint").alias("v"))
+            _node_frame()
             .distinct()
             .join(labels, "v", "left_anti")
             .select("v", F.col("v").alias("label"))
         )
         return labels.union(singles)
 
-    if n_sym <= 2 * small_graph_edges:  # sym holds both directions
-        pairs = sym.collect()
-        sym.unpersist()
+    if n_edges <= small_graph_edges:
+        pairs = directed.collect()
+        directed.unpersist()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -117,10 +152,47 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         verts = {x for row in pairs for x in (row.v, row.u)}
-        labels = spark.createDataFrame(
-            [(v, find(v)) for v in sorted(verts)], "v bigint, label bigint"
+        resolved = [(v, find(v)) for v in sorted(verts)]
+        if nodes is not None and nodes_cover_edges:
+            # Identity labels are redundant under coalesce(map[v], v),
+            # so the lookup structure holds only non-canonical
+            # members — for dedup graphs a small fraction of an
+            # already-small vertex set.
+            remap = [(v, lab) for v, lab in resolved if lab != v]
+            if len(remap) <= _MAP_LITERAL_MAX:
+                # Plan-literal map: the whole attachment is one
+                # codegen'd projection over nodes — zero extra stages,
+                # zero shuffles, nothing broadcast.
+                out = _node_frame()
+                if not remap:
+                    return out.select("v", F.col("v").alias("label"))
+                m = F.create_map(
+                    *[F.lit(x) for kv in remap for x in kv]
+                )
+                return out.select(
+                    "v",
+                    F.coalesce(m.getItem(F.col("v")), F.col("v")).alias(
+                        "label"
+                    ),
+                )
+            labels = spark.createDataFrame(remap, "v bigint, label bigint")
+            return _attach_df(F.broadcast(labels))
+        return _attach_df(
+            spark.createDataFrame(resolved, "v bigint, label bigint")
         )
-        return _attach_singles(labels)
+
+    # Distributed tier. Symmetrize off the cached directed frame (two
+    # cache reads, no recompute of the pair plan) and materialize so
+    # the loop below iterates over a leaf.
+    sym = (
+        directed.union(
+            directed.select(F.col("u").alias("v"), F.col("v").alias("u"))
+        )
+        .distinct()
+        .persist()
+    )
+    sym.count()
+    directed.unpersist()
 
     # Fused first round: with labels initialized to each node's own id,
     # round 1's neighbor-min is just min(v, min(u)) — one aggregate over
@@ -190,7 +262,7 @@ def connected_components(
             labels = new_labels
             if new_sum == prev_sum:
                 sym.unpersist()
-                return _attach_singles(labels)
+                return _attach_df(labels)
             prev_sum = new_sum
     except Exception:
         sym.unpersist()
