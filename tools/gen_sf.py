@@ -23,6 +23,19 @@ The driver ships parquet only up to sf0.1; this tool synthesizes a
 Writes to the given output dir (default /tmp/sfgen/sf1). Usage:
 
     python tools/gen_sf.py [out_dir] [multiplier]
+    python tools/gen_sf.py [out_dir] --skew
+
+``--skew`` emits a SAME-SIZE fourth distribution (VERDICT r9 #6):
+every table copied verbatim except the fact-side FK columns
+``lineitem.l_suppkey``, ``orders.o_custkey`` and ``events.user_id``,
+which are redrawn from a 30% point-mass on one hot key + 70%
+Zipf(s=1.2) mixture over the EXISTING dimension keys (deterministic
+seed) — referential integrity holds, but one key owns ~a third of
+the fact table and the tail follows a power law. gen_sf's replica
+mode is uniform by construction, so this is the distribution that
+actually exercises salting / AQE skew handling; the oracle gate is
+distribution-independent (DuckDB reads the same parquet), which is
+exactly the property the skew run verifies.
 """
 
 from __future__ import annotations
@@ -60,8 +73,61 @@ KEYED = {
 COPY = ["region", "nation"]
 
 
+#: fact table -> (fk column, dimension table, dimension key) for the
+#: --skew redraw. events.user_id is an FK into customer (see KEYED).
+SKEW_FKS = {
+    "lineitem": ("l_suppkey", "supplier", "s_suppkey"),
+    "orders": ("o_custkey", "customer", "c_custkey"),
+    "events": ("user_id", "customer", "c_custkey"),
+}
+SKEW_HOT_SHARE = 0.30
+SKEW_ZIPF_S = 1.2
+
+
+def _skew_main(out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(20260814)
+    all_tables = COPY + list(KEYED)
+    for t in all_tables:
+        if t not in SKEW_FKS:
+            shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+            print(f"{t}: copied")
+    for t in ("documents", "embeddings"):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+        print(f"{t}: copied")
+    for t, (fk, dim, dim_key) in SKEW_FKS.items():
+        tab = pq.read_table(f"{SRC}/{t}.parquet")
+        keys = np.sort(
+            pc.unique(pq.read_table(f"{SRC}/{dim}.parquet")[dim_key])
+            .to_numpy(zero_copy_only=False)
+        )
+        n = tab.num_rows
+        # 30% point-mass on the smallest key + Zipf(s) ranks over all
+        # keys: one hot zone plus a power-law tail.
+        ranks = np.arange(1, len(keys) + 1, dtype=np.float64)
+        pmf = ranks ** -SKEW_ZIPF_S
+        pmf /= pmf.sum()
+        draw = np.where(
+            rng.random(n) < SKEW_HOT_SHARE,
+            keys[0],
+            rng.choice(keys, size=n, p=pmf),
+        )
+        idx = tab.schema.get_field_index(fk)
+        typ = tab.schema.field(idx).type
+        tab = tab.set_column(
+            idx, tab.schema.field(idx), pc.cast(pa.array(draw), typ)
+        )
+        pq.write_table(tab, f"{out}/{t}.parquet")
+        hot = (draw == keys[0]).mean()
+        print(f"{t}: {fk} redrawn over {len(keys)} keys, hot share {hot:.2%}")
+    print(f"wrote {out}")
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfgen/sf1"
+    if "--skew" in sys.argv[2:]:
+        _skew_main(out)
+        return
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     os.makedirs(out, exist_ok=True)
 
