@@ -13,6 +13,15 @@ regardless of how closely the distribution matches the driver's.
 
 Writes nothing under /root/testdata (read-only); probe data lives in a
 temp dir. Usage:  python tools/scale_probe.py [query ...]
+
+``--x100`` (VERDICT r9 #5) adds a THIRD decade: x1/x10/x100
+(= 500k docs / 200k vectors ≈ sf10) from the same generators, keeps
+the data under /tmp/sfgen/probe100 for reuse across runs, reports the
+per-decade exponents α₁ (x1→x10) and α₂ (x10→x100), and writes the
+full map to BENCHHEAVY_sf10.json at the repo root. One decade
+amortizes fixed job overhead and flatters exponents; the second
+decade is the evidence that actually supports a 100 TB claim.
+Usage:  python tools/scale_probe.py --x100 [query ...]
 """
 
 from __future__ import annotations
@@ -114,38 +123,88 @@ def gen_embeddings(path: str, n_vecs: int, rng: np.random.Generator) -> None:
     pq.write_table(tbl, path)
 
 
+#: x100 additions: the two remaining heavy similarity/CC queries worth
+#: a second decade (the windowed eval ops ngram_jaccard/dedup_recall
+#: stay in the x10 list but are ~constant by construction).
+HEAVY_X100_EXTRA = ["dedup_embedding_lsh", "embedding_clusters_kmeans"]
+
+SIZES = {1: (5_000, 2_000), 10: (50_000, 20_000), 100: (500_000, 200_000)}
+
+
+def _gen_dir(base: str, mult: int) -> str:
+    d = os.path.join(base, f"x{mult}")
+    docs = os.path.join(d, "documents.parquet")
+    if os.path.exists(docs):  # reuse across --x100 runs (x100 gen ~min)
+        return d
+    os.makedirs(d, exist_ok=True)
+    n_docs, n_vecs = SIZES[mult]
+    rng = np.random.default_rng(4242)  # same seed: x10 ⊃-shaped like x1
+    gen_documents(docs, n_docs, rng)
+    gen_embeddings(os.path.join(d, "embeddings.parquet"), n_vecs, rng)
+    return d
+
+
+def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...]):
+    from energydatalake_spark.plans.registry import QUERIES
+    from energydatalake_spark.session import get_spark
+    from energydatalake_spark.text.dedup import release_shingle_cache
+
+    spark = get_spark("scale_probe")
+    hdr = " ".join(f"{'t_x%d' % m:>9s}" for m in mults)
+    print(f"{'query':28s} {hdr} {'alpha':>18s}")
+    out = {}
+    for name in queries:
+        t = {}
+        for mult in mults:
+            QUERIES[name].build(spark, dirs[mult]).collect()  # warm
+            release_shingle_cache()
+            t0 = time.perf_counter()
+            QUERIES[name].build(spark, dirs[mult]).collect()
+            t[mult] = time.perf_counter() - t0
+            release_shingle_cache()
+        alphas = [
+            math.log(t[b] / t[a]) / math.log(b / a)
+            for a, b in zip(mults, mults[1:])
+        ]
+        cells = " ".join(f"{t[m]:9.2f}" for m in mults)
+        astr = " ".join(f"{a:6.2f}" for a in alphas)
+        print(f"{name:28s} {cells} {astr}")
+        out[name] = {
+            **{f"t_x{m}": round(t[m], 4) for m in mults},
+            **{
+                f"alpha_{i+1}": round(a, 3)
+                for i, a in enumerate(alphas)
+            },
+        }
+    return out
+
+
 def main() -> None:
-    queries = sys.argv[1:] or HEAVY
+    args = [a for a in sys.argv[1:] if a != "--x100"]
+    x100 = "--x100" in sys.argv[1:]
+    if x100:
+        queries = args or (HEAVY + HEAVY_X100_EXTRA)
+        base = "/tmp/sfgen/probe100"
+        dirs = {m: _gen_dir(base, m) for m in (1, 10, 100)}
+        results = _run(queries, dirs, (1, 10, 100))
+        import json
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(repo, "BENCHHEAVY_sf10.json")
+        with open(path, "w") as fh:
+            json.dump(
+                {"sizes": {f"x{m}": SIZES[m] for m in (1, 10, 100)},
+                 "queries": results},
+                fh, indent=1, sort_keys=True,
+            )
+            fh.write("\n")
+        print(f"wrote {path}")
+        return
+    queries = args or HEAVY
     base = tempfile.mkdtemp(prefix="scale_probe_")
     try:
-        dirs = {}
-        for mult, n_docs, n_vecs in ((1, 5_000, 2_000), (10, 50_000, 20_000)):
-            d = os.path.join(base, f"x{mult}")
-            os.makedirs(d)
-            rng = np.random.default_rng(4242)  # same seed: x10 ⊃-shaped like x1
-            gen_documents(os.path.join(d, "documents.parquet"), n_docs, rng)
-            gen_embeddings(os.path.join(d, "embeddings.parquet"), n_vecs, rng)
-            dirs[mult] = d
-
-        from energydatalake_spark.plans.registry import QUERIES
-        from energydatalake_spark.session import get_spark
-        from energydatalake_spark.text.dedup import release_shingle_cache
-
-        spark = get_spark("scale_probe")
-        print(f"{'query':28s} {'t_x1':>8s} {'t_x10':>8s} {'alpha':>6s}")
-        for name in queries:
-            t = {}
-            for mult in (1, 10):
-                QUERIES[name].build(spark, dirs[mult]).collect()  # warm
-                release_shingle_cache()
-                t0 = time.perf_counter()
-                QUERIES[name].build(spark, dirs[mult]).collect()
-                t[mult] = time.perf_counter() - t0
-                release_shingle_cache()
-            alpha = math.log(t[10] / t[1]) / math.log(10)
-            print(
-                f"{name:28s} {t[1]:8.2f} {t[10]:8.2f} {alpha:6.2f}"
-            )
+        dirs = {m: _gen_dir(base, m) for m in (1, 10)}
+        _run(queries, dirs, (1, 10))
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
