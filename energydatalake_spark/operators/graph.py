@@ -169,11 +169,14 @@ def connected_components(
                 m = F.create_map(
                     *[F.lit(x) for kv in remap for x in kv]
                 )
+                # try_element_at (not getItem(Column): deprecated since
+                # 3.0, FutureWarning in 4.1) — NULL on missing key in
+                # both ANSI modes, which coalesce turns into identity.
                 return out.select(
                     "v",
-                    F.coalesce(m.getItem(F.col("v")), F.col("v")).alias(
-                        "label"
-                    ),
+                    F.coalesce(
+                        F.try_element_at(m, F.col("v")), F.col("v")
+                    ).alias("label"),
                 )
             labels = spark.createDataFrame(remap, "v bigint, label bigint")
             return _attach_df(F.broadcast(labels))

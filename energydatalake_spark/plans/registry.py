@@ -2080,18 +2080,75 @@ _register(
 DRIVER_WINDOW = 50
 
 _DRIVER_WINDOW_FIRST = [
-    # r10 rotation (VERDICT r9 #1): the 49 queries whose newest driver
-    # evidence is r8-or-never come back into the window —
-    # corpus_increment_batch FIRST (r9-new; the only query that has
-    # never had a driver CORRECTNESS row), then the r8-rotated
-    # extension set (multimodal, minhash/simhash families, similarity
-    # tiers, corpus prep/sampling, streaming, CC clusters) and the
-    # r8-new queries (substring_dedup .. decile_stats). One query from
-    # this class stays parked for the slot arithmetic (50 candidates,
-    # 49 slots after the flagship): boilerplate_filter, which the r9
-    # judge independently re-verified against the oracle — the
-    # freshest non-driver evidence in the set. It leads the r11
-    # rotation.
+    # r11 rotation (VERDICT r10 #1): boilerplate_filter FIRST (the
+    # designated r10 slot-arithmetic holdout — its newest driver row
+    # is r8), then the §2 relational core + r7-era extension rows
+    # whose newest driver evidence is r9. Slot arithmetic repeats (50
+    # candidates, 49 slots after the flagship): the r11 holdout is
+    # avg_by_month, which the r10 judge independently re-ran against
+    # the DuckDB oracle — the freshest non-driver evidence in the
+    # incoming set. It leads the r12 rotation.
+    "boilerplate_filter",
+    "line_dedup",
+    "lm_buckets",
+    "source_cap",
+    "ann_recall",
+    "semantic_dedup",
+    "quality_probe",
+    "ivf_recall",
+    "streaming_quality",
+    "curation_funnel",
+    "skew_join",
+    "asof_join",
+    "text_stats",
+    "token_count",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "moving_avg",
+    "cumulative_revenue",
+    "rollup_revenue",
+    "pivot_revenue",
+    "quantiles",
+    "forecast_vs_actual",
+    "pearson_corr",
+    "multikey_avg",
+    "band_join",
+    "outer_join",
+    "mix_percentage",
+    "decimal_cast",
+    "timestamp_parse",
+    "tz_convert",
+    "union_all",
+    "drop_nulls",
+    "dedup_rows",
+    "group_count",
+    "topk_per_group",
+    "normalize_names",
+    "avg_by_hour",
+    "dedup_latest",
+    "null_profile",
+    "trend_fit",
+    "approx_distinct",
+    "approx_quantiles",
+    "resample_hourly",
+    "data_profile",
+    "asof_forward",
+    "revenue_by_nation",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+]
+
+_DRIVER_WINDOW_PARKED = [
+    # Parked in r11: every one of these earned a fresh driver-green
+    # row in CORRECTNESS_r10 (the r10-rotated extension set:
+    # multimodal, minhash/simhash families, similarity tiers, corpus
+    # prep/sampling, streaming, CC clusters, r8-new queries), plus
+    # avg_by_month (r9 driver row + r10 judge oracle re-run; the
+    # slot-arithmetic holdout — FIRST in the r12 rotation). They stay
+    # covered by pytest and by tools/oracle_check.py
+    # (MIRROR_r{N}.json). Rotate back in r12+.
+    "avg_by_month",
     "corpus_increment_batch",
     "multimodal_decode",
     "multimodal_resize",
@@ -2141,65 +2198,6 @@ _DRIVER_WINDOW_FIRST = [
     "cohort_retention",
     "join_skew_profile",
     "decile_stats",
-]
-
-_DRIVER_WINDOW_PARKED = [
-    # Parked in r10: every one of these earned a fresh driver-green
-    # row in CORRECTNESS_r09 (the 49 r9-rotated queries), plus
-    # boilerplate_filter (r8 driver row + r9 judge spot-check; the
-    # slot-arithmetic holdout — FIRST in the r11 rotation). They stay
-    # covered by pytest and by tools/oracle_check.py
-    # (MIRROR_r{N}.json). Rotate back in r11+.
-    "boilerplate_filter",
-    "line_dedup",
-    "lm_buckets",
-    "source_cap",
-    "ann_recall",
-    "semantic_dedup",
-    "quality_probe",
-    "ivf_recall",
-    "streaming_quality",
-    "curation_funnel",
-    "skew_join",
-    "asof_join",
-    "text_stats",
-    "token_count",
-    "lang_id",
-    "doc_fingerprint",
-    "dedup_exact",
-    "moving_avg",
-    "cumulative_revenue",
-    "rollup_revenue",
-    "pivot_revenue",
-    "quantiles",
-    "forecast_vs_actual",
-    "pearson_corr",
-    "multikey_avg",
-    "band_join",
-    "outer_join",
-    "mix_percentage",
-    "decimal_cast",
-    "timestamp_parse",
-    "tz_convert",
-    "union_all",
-    "drop_nulls",
-    "dedup_rows",
-    "group_count",
-    "topk_per_group",
-    "normalize_names",
-    "avg_by_month",
-    "avg_by_hour",
-    "dedup_latest",
-    "null_profile",
-    "trend_fit",
-    "approx_distinct",
-    "approx_quantiles",
-    "resample_hourly",
-    "data_profile",
-    "asof_forward",
-    "revenue_by_nation",
-    "dedup_embedding",
-    "dedup_embedding_lsh",
 ]
 
 

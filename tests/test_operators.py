@@ -339,3 +339,61 @@ def test_cc_small_graph_boundary(spark):
         assert arg_wins.count() == 2 * k
     finally:
         spark.conf.unset(conf_key)
+
+
+def test_cc_nodes_cover_edges_all_branches(spark, monkeypatch):
+    """nodes_cover_edges=True has four attachment paths (VERDICT r10
+    #3a): driver-tier empty-remap identity, driver-tier plan-literal
+    map (remap <= _MAP_LITERAL_MAX), driver-tier broadcast-join
+    fallback (remap > _MAP_LITERAL_MAX, forced here by shrinking the
+    constant), and the distributed-tier coalesce left join. Each must
+    equal the generic distinct+anti-join+union path on the same
+    graph."""
+    from energydatalake_spark.operators import graph
+    from energydatalake_spark.operators.graph import connected_components
+
+    # 40 disjoint pairs -> 40 non-identity labels in the remap; plus a
+    # chain and singletons so every shape is present.
+    pair_edges = [(2 * i, 2 * i + 1) for i in range(40)]
+    chain = [(100, 101), (101, 102), (102, 103)]
+    edges = spark.createDataFrame(
+        pair_edges + chain, "id_a bigint, id_b bigint"
+    )
+    vertex_ids = sorted(
+        {x for e in pair_edges + chain for x in e} | {900, 901}
+    )
+    nodes = spark.createDataFrame([(v,) for v in vertex_ids], "doc_id bigint")
+
+    def run(**kw):
+        return {
+            r.v: r.label
+            for r in connected_components(edges, nodes=nodes, **kw).collect()
+        }
+
+    expect = run()  # generic path (nodes_cover_edges=False)
+    assert expect[101] == 100 and expect[900] == 900  # sanity
+
+    # Driver tier, plan-literal map branch (remap=43 <= 2048).
+    assert run(nodes_cover_edges=True) == expect
+
+    # Driver tier, broadcast-join fallback: force remap > max.
+    monkeypatch.setattr(graph, "_MAP_LITERAL_MAX", 3)
+    assert run(nodes_cover_edges=True) == expect
+    monkeypatch.undo()
+
+    # Distributed tier, coalesce left-join branch.
+    assert run(nodes_cover_edges=True, small_graph_edges=0) == expect
+
+    # Driver tier, empty-remap identity branch: self-loops only, every
+    # resolved label is the node itself.
+    loops = spark.createDataFrame([(5, 5), (7, 7)], "id_a bigint, id_b bigint")
+    small_nodes = spark.createDataFrame(
+        [(v,) for v in (5, 6, 7)], "doc_id bigint"
+    )
+    got = {
+        r.v: r.label
+        for r in connected_components(
+            loops, nodes=small_nodes, nodes_cover_edges=True
+        ).collect()
+    }
+    assert got == {5: 5, 6: 6, 7: 7}

@@ -101,3 +101,120 @@ def test_gen_sf_events_user_fk(gen_dir):
         e1["user_id"].slice(n, 5).to_pylist()
         == [u + off for u in e0["user_id"].slice(0, 5).to_pylist()]
     )
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("gensf") / "skew")
+    # Flag BEFORE the out_dir: pins the r10 ADVICE fix (--skew was only
+    # recognized in argv[2:], so a flag-first call silently became a
+    # replica run into a directory named after the flag).
+    subprocess.run(
+        [sys.executable, "tools/gen_sf.py", "--skew", out],
+        check=True,
+        cwd="/root/repo",
+        capture_output=True,
+    )
+    return out
+
+
+def test_gen_sf_rejects_flag_like_out_dir():
+    r = subprocess.run(
+        [sys.executable, "tools/gen_sf.py", "--bogus"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode != 0
+    assert "looks like a flag" in r.stderr
+
+
+def test_gen_sf_skew_hot_key_and_zipf_tail(skew_dir):
+    """The redrawn FK columns carry the promised distribution: ~30%
+    point-mass on the smallest dimension key plus a Zipf tail (the
+    top-10 keys own a majority of the fact rows), row counts
+    unchanged."""
+    from tools.gen_sf import SKEW_FKS, SKEW_HOT_SHARE
+
+    src = "/root/testdata/sf0.1"
+    for t, (fk, dim, dim_key) in SKEW_FKS.items():
+        col = pq.read_table(f"{skew_dir}/{t}.parquet", columns=[fk])[fk]
+        keys = sorted(
+            set(pq.read_table(f"{src}/{dim}.parquet", columns=[dim_key])[
+                dim_key
+            ].to_pylist())
+        )
+        vals = col.to_pylist()
+        n_src = pq.read_metadata(f"{src}/{t}.parquet").num_rows
+        assert len(vals) == n_src, t
+        import collections
+
+        freq = collections.Counter(vals)
+        hot = freq[keys[0]] / len(vals)
+        # hot share = 0.30 point-mass + the Zipf rank-1 mass; must at
+        # least clear the point-mass and stay far above uniform.
+        assert hot >= SKEW_HOT_SHARE - 0.02, (t, hot)
+        assert hot > 5 / len(keys), (t, hot)
+        top10 = sum(c for _, c in freq.most_common(10)) / len(vals)
+        assert top10 > 0.5, (t, top10)
+
+
+def test_gen_sf_skew_fk_closure_and_other_columns_untouched(skew_dir):
+    """Referential integrity holds after the redraw (every FK value is
+    an existing dimension key) and nothing else moved: non-FK columns
+    of redrawn tables are value-identical to the source, and tables
+    outside SKEW_FKS are copied verbatim."""
+    from tools.gen_sf import SKEW_FKS
+
+    src = "/root/testdata/sf0.1"
+    for t, (fk, dim, dim_key) in SKEW_FKS.items():
+        t1 = pq.read_table(f"{skew_dir}/{t}.parquet")
+        t0 = pq.read_table(f"{src}/{t}.parquet")
+        dimkeys = set(
+            pq.read_table(f"{src}/{dim}.parquet", columns=[dim_key])[
+                dim_key
+            ].to_pylist()
+        )
+        assert set(t1[fk].to_pylist()) <= dimkeys, t
+        for col in t0.column_names:
+            if col != fk:
+                assert t1[col].equals(t0[col]) or (
+                    t1[col].to_pylist() == t0[col].to_pylist()
+                ), (t, col)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings"):
+        t1 = pq.read_table(f"{skew_dir}/{t}.parquet")
+        t0 = pq.read_table(f"{src}/{t}.parquet")
+        assert t1.equals(t0), t
+
+
+def test_scale_probe_manifest_gates_reuse(tmp_path):
+    """_gen_dir only reuses an existing probe dir when its manifest
+    matches the current generator identity (sizes + seed + source
+    hash); a stale or missing manifest forces regeneration (r10
+    ADVICE: stale /tmp data silently fed BENCHHEAVY exponents)."""
+    import json
+    import os
+
+    from tools.scale_probe import _gen_dir, _gen_manifest
+
+    base = str(tmp_path)
+    d = _gen_dir(base, 1)
+    mpath = os.path.join(d, "manifest.json")
+    assert json.load(open(mpath)) == _gen_manifest(1)
+    stamp = os.path.getmtime(os.path.join(d, "documents.parquet"))
+
+    # Matching manifest -> reused, parquet untouched.
+    assert _gen_dir(base, 1) == d
+    assert os.path.getmtime(os.path.join(d, "documents.parquet")) == stamp
+
+    # Tampered manifest (e.g. generator changed since) -> regenerated.
+    bad = dict(_gen_manifest(1), generator_md5="stale")
+    json.dump(bad, open(mpath, "w"))
+    _gen_dir(base, 1)
+    assert json.load(open(mpath)) == _gen_manifest(1)
+
+    # Parquet present but no manifest at all -> regenerated with one.
+    os.remove(mpath)
+    _gen_dir(base, 1)
+    assert os.path.exists(mpath)

@@ -1,6 +1,7 @@
-"""Verify step 2 (.claude/skills/verify/SKILL.md): driver simulation —
-a BARE SparkSession (only UTC tz, none of session.py's tuning), the
-__spark_entry__ contract, sf0.001 oracle comparison. Catches hidden
+"""Driver simulation: runs the __spark_entry__ contract the way the
+round driver does — a BARE SparkSession (only UTC tz, none of
+session.py's tuning), entry() smoke check, then every queries() entry
+against its oracle_sql() on sf0.001 via DuckDB. Catches hidden
 dependencies on our tuned session confs that the driver's own plain
 session would not set.
 

@@ -124,11 +124,21 @@ def _skew_main(out: str) -> None:
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfgen/sf1"
-    if "--skew" in sys.argv[2:]:
+    # Recognize --skew anywhere in argv (r10 bug: only argv[2:] was
+    # scanned, so `gen_sf.py --skew` silently wrote to ./--skew), and
+    # refuse an out_dir that looks like a flag.
+    skew = "--skew" in sys.argv[1:]
+    pos = [a for a in sys.argv[1:] if a != "--skew"]
+    if pos and pos[0].startswith("-"):
+        raise SystemExit(
+            f"gen_sf: out_dir {pos[0]!r} looks like a flag; "
+            "usage: gen_sf.py [out_dir] [multiplier | --skew]"
+        )
+    out = pos[0] if pos else ("/tmp/sfgen/skew" if skew else "/tmp/sfgen/sf1")
+    if skew:
         _skew_main(out)
         return
-    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    mult = int(pos[1]) if len(pos) > 1 else 10
     os.makedirs(out, exist_ok=True)
 
     for t in COPY:

@@ -131,16 +131,51 @@ HEAVY_X100_EXTRA = ["dedup_embedding_lsh", "embedding_clusters_kmeans"]
 SIZES = {1: (5_000, 2_000), 10: (50_000, 20_000), 100: (500_000, 200_000)}
 
 
+_GEN_SEED = 4242
+
+
+def _gen_manifest(mult: int) -> dict:
+    """Identity of the data _gen_dir would produce right now: sizes,
+    seed, and a hash of the generator source. Persisted next to the
+    parquet so reuse across --x100 runs only happens when the data an
+    existing dir holds is the data this code would regenerate —
+    otherwise a generator/SIZES change silently feeds stale rows into
+    the committed BENCHHEAVY exponents (ADVICE r10)."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(gen_documents) + inspect.getsource(gen_embeddings)
+    return {
+        "sizes": list(SIZES[mult]),
+        "seed": _GEN_SEED,
+        "generator_md5": hashlib.md5(src.encode()).hexdigest(),
+    }
+
+
 def _gen_dir(base: str, mult: int) -> str:
+    import json
+
     d = os.path.join(base, f"x{mult}")
     docs = os.path.join(d, "documents.parquet")
+    mpath = os.path.join(d, "manifest.json")
+    want = _gen_manifest(mult)
     if os.path.exists(docs):  # reuse across --x100 runs (x100 gen ~min)
-        return d
+        have = None
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                have = json.load(fh)
+        if have == want:
+            print(f"x{mult}: reusing {d} (manifest match, sizes {want['sizes']})")
+            return d
+        print(f"x{mult}: manifest mismatch at {d} — regenerating")
+        shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     n_docs, n_vecs = SIZES[mult]
-    rng = np.random.default_rng(4242)  # same seed: x10 ⊃-shaped like x1
+    rng = np.random.default_rng(_GEN_SEED)  # same seed: x10 ⊃-shaped like x1
     gen_documents(docs, n_docs, rng)
     gen_embeddings(os.path.join(d, "embeddings.parquet"), n_vecs, rng)
+    with open(mpath, "w") as fh:
+        json.dump(want, fh)
     return d
 
 
