@@ -179,7 +179,8 @@ def _gen_dir(base: str, mult: int) -> str:
     return d
 
 
-def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...]):
+def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
+         flush=None):
     from energydatalake_spark.plans.registry import QUERIES
     from energydatalake_spark.session import get_spark
     from energydatalake_spark.text.dedup import release_shingle_cache
@@ -211,6 +212,8 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...]):
                 for i, a in enumerate(alphas)
             },
         }
+        if flush is not None:  # persist per-query: a dead JVM mid-run
+            flush(out)         # must not lose the finished queries (r10)
     return out
 
 
@@ -218,21 +221,33 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--x100"]
     x100 = "--x100" in sys.argv[1:]
     if x100:
+        # x100 is ~sf10 in one local JVM: 32 executor threads sharing
+        # the driver heap OOM at the default 8g (first attempted run
+        # died in minhash_pairs' shuffle at stage ~625). A real cluster
+        # gives each executor its own heap; locally we emulate that by
+        # sizing the shared JVM. Env still wins if the caller sets it.
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
         queries = args or (HEAVY + HEAVY_X100_EXTRA)
         base = "/tmp/sfgen/probe100"
         dirs = {m: _gen_dir(base, m) for m in (1, 10, 100)}
-        results = _run(queries, dirs, (1, 10, 100))
         import json
 
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         path = os.path.join(repo, "BENCHHEAVY_sf10.json")
-        with open(path, "w") as fh:
-            json.dump(
-                {"sizes": {f"x{m}": SIZES[m] for m in (1, 10, 100)},
-                 "queries": results},
-                fh, indent=1, sort_keys=True,
-            )
-            fh.write("\n")
+
+        def flush(results: dict) -> None:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {"sizes": {f"x{m}": SIZES[m] for m in (1, 10, 100)},
+                     "planned": len(queries),
+                     "queries": results},
+                    fh, indent=1, sort_keys=True,
+                )
+                fh.write("\n")
+            os.replace(tmp, path)
+
+        _run(queries, dirs, (1, 10, 100), flush=flush)
         print(f"wrote {path}")
         return
     queries = args or HEAVY
