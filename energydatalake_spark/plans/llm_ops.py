@@ -936,12 +936,33 @@ WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= {ND_THRESHOLD}
 # pairs >1 signature bit apart, the documented trade).
 ND_LSH_PLANES = 8
 
+# Above this corpus size the query sizes n_planes itself (the operator's
+# documented law: expected candidates/vector ≈ tables·(1+p)·n/2^p, so p
+# must track log2(n) to keep the rerank linear). Every oracle-checked
+# scale sits at or below this bound — embeddings is 200 rows at sf0.01,
+# 2,000 at sf0.1 — so the static DuckDB mirror (hyperplane literals at
+# ND_LSH_PLANES) stays value-hash-exact everywhere the driver compares;
+# beyond it the op is bench/scale tier only. Without the sizing, 200k
+# vectors at p=8 emit ≈ n²·tables·(1+p)/2^8 ≈ 5e9 collision rows
+# (~140 GB of shuffle — measured as a disk-full at the r11 x100 probe).
+ND_LSH_ORACLE_MAX_N = 4096
+
+
+def _nd_lsh_planes(n: int) -> int:
+    import math
+
+    if n <= ND_LSH_ORACLE_MAX_N:
+        return ND_LSH_PLANES
+    return max(ND_LSH_PLANES, int(math.ceil(math.log2(n))) - 2)
+
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    # Metadata-only count (parquet row counts), driver-side, model-sized.
     out = embedding_near_dup_lsh(
-        read_table(spark, sf_dir, "embeddings"),
+        emb,
         threshold=ND_THRESHOLD,
-        n_planes=ND_LSH_PLANES,
+        n_planes=_nd_lsh_planes(emb.count()),
         dim=LSH_DIM,
         n_tables=ND_LSH_TABLES,
     )

@@ -284,3 +284,30 @@ def test_embedding_semantic_dedup_nan_norm_survives(spark):
         ).collect()
     }
     assert out == {1: (1, True), 2: (2, True), 3: (3, True)}
+
+
+def test_nd_lsh_planes_sizing():
+    """q_dedup_embedding_lsh sizes n_planes with the corpus: the static
+    DuckDB mirror is exact because EVERY oracle-checked scale (<= 4096
+    vectors; 200 at sf0.01, 2000 at sf0.1) resolves to ND_LSH_PLANES,
+    and above the bound p tracks log2(n)-2 so expected candidates per
+    vector (~tables*(1+p)*n/2^p) stay flat instead of growing linearly
+    with n (at 200k vectors the unsized p=8 emits ~5e9 collision rows —
+    the r11 x100 probe's disk-full)."""
+    from energydatalake_spark.plans.llm_ops import (
+        ND_LSH_ORACLE_MAX_N,
+        ND_LSH_PLANES,
+        _nd_lsh_planes,
+    )
+
+    # Oracle scales: pinned to the static-mirror constant.
+    for n in (1, 200, 2000, ND_LSH_ORACLE_MAX_N):
+        assert _nd_lsh_planes(n) == ND_LSH_PLANES
+    # Scale tier: log-sized, monotone, and never below the constant.
+    assert _nd_lsh_planes(20_000) == 13
+    assert _nd_lsh_planes(200_000) == 16
+    assert _nd_lsh_planes(ND_LSH_ORACLE_MAX_N + 1) >= ND_LSH_PLANES
+    # Candidate load factor n/2^p stays bounded as n grows 10x.
+    for n in (10**5, 10**6, 10**7):
+        p = _nd_lsh_planes(n)
+        assert n / 2**p <= 8.0

@@ -236,12 +236,22 @@ def main() -> None:
         path = os.path.join(repo, "BENCHHEAVY_sf10.json")
 
         def flush(results: dict) -> None:
+            # Merge with any prior run so a restricted rerun (e.g. one
+            # query that died last time) extends the artifact instead
+            # of clobbering the 11-query map.
+            merged = {}
+            if os.path.exists(path):
+                try:
+                    with open(path) as fh:
+                        merged = json.load(fh).get("queries", {})
+                except Exception:
+                    merged = {}
+            merged.update(results)
             tmp = path + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(
                     {"sizes": {f"x{m}": SIZES[m] for m in (1, 10, 100)},
-                     "planned": len(queries),
-                     "queries": results},
+                     "queries": merged},
                     fh, indent=1, sort_keys=True,
                 )
                 fh.write("\n")
