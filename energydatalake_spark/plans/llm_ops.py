@@ -956,13 +956,25 @@ def _nd_lsh_planes(n: int) -> int:
     return max(ND_LSH_PLANES, int(math.ceil(math.log2(n))) - 2)
 
 
+def _parquet_rows(sf_dir: str, name: str) -> int:
+    """Row count straight from parquet footers (pyarrow dataset
+    metadata) — no Spark job, keeps the query builder lazy (r11
+    review: DataFrame.count() here launched a scan before every
+    build, including the driver's timed window runs)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    return pads.dataset(
+        os.path.join(sf_dir, f"{name}.parquet"), format="parquet"
+    ).count_rows()
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    # Metadata-only count (parquet row counts), driver-side, model-sized.
     out = embedding_near_dup_lsh(
-        emb,
+        read_table(spark, sf_dir, "embeddings"),
         threshold=ND_THRESHOLD,
-        n_planes=_nd_lsh_planes(emb.count()),
+        n_planes=_nd_lsh_planes(_parquet_rows(sf_dir, "embeddings")),
         dim=LSH_DIM,
         n_tables=ND_LSH_TABLES,
     )

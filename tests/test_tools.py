@@ -126,7 +126,20 @@ def test_gen_sf_rejects_flag_like_out_dir():
         text=True,
     )
     assert r.returncode != 0
-    assert "looks like a flag" in r.stderr
+    assert "unrecognized flag" in r.stderr
+    # r11 review: flag-likes and junk must be rejected ANYWHERE in
+    # argv, and --skew takes no multiplier (a silently-dropped one
+    # wrote a same-size dir the caller believed was scaled).
+    for extra in (["/tmp/x", "--Skew"], ["/tmp/x", "nope"],
+                  ["--skew", "/tmp/x", "5"], ["/tmp/x", "5", "6"]):
+        r = subprocess.run(
+            [sys.executable, "tools/gen_sf.py", *extra],
+            cwd="/root/repo",
+            capture_output=True,
+            text=True,
+        )
+        assert r.returncode != 0, extra
+        assert "usage:" in r.stderr, (extra, r.stderr)
 
 
 def test_gen_sf_skew_hot_key_and_zipf_tail(skew_dir):

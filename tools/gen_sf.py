@@ -51,7 +51,7 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.scale_probe import gen_documents, gen_embeddings  # noqa: E402
+from tools.scale_probe import _GEN_SEED, gen_documents, gen_embeddings  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_GEN_SRC", "/root/testdata/sf0.1")
 
@@ -129,16 +129,30 @@ def main() -> None:
     # refuse an out_dir that looks like a flag.
     skew = "--skew" in sys.argv[1:]
     pos = [a for a in sys.argv[1:] if a != "--skew"]
-    if pos and pos[0].startswith("-"):
-        raise SystemExit(
-            f"gen_sf: out_dir {pos[0]!r} looks like a flag; "
-            "usage: gen_sf.py [out_dir] [multiplier | --skew]"
-        )
+    usage = "usage: gen_sf.py [out_dir] [multiplier | --skew]"
+    # Validate EVERY positional, not just pos[0] (r11 review): a
+    # flag-like token anywhere, a non-integer multiplier, or an extra
+    # argument must error loudly instead of tracebacking or being
+    # silently dropped (--skew takes no multiplier; a dropped one would
+    # write a same-size dir the caller believes is scaled).
+    for a in pos:
+        if a.startswith("-"):
+            raise SystemExit(f"gen_sf: unrecognized flag {a!r}; {usage}")
+    if len(pos) > 2 or (skew and len(pos) > 1):
+        raise SystemExit(f"gen_sf: too many arguments {pos!r}; {usage}")
     out = pos[0] if pos else ("/tmp/sfgen/skew" if skew else "/tmp/sfgen/sf1")
     if skew:
         _skew_main(out)
         return
-    mult = int(pos[1]) if len(pos) > 1 else 10
+    if len(pos) > 1:
+        try:
+            mult = int(pos[1])
+        except ValueError:
+            raise SystemExit(
+                f"gen_sf: multiplier {pos[1]!r} is not an integer; {usage}"
+            ) from None
+    else:
+        mult = 10
     os.makedirs(out, exist_ok=True)
 
     for t in COPY:
@@ -185,7 +199,7 @@ def main() -> None:
         print(f"{t}: {src.num_rows} -> {big.num_rows}")
 
     n_docs, n_vecs = 5_000 * mult, 2_000 * mult
-    rng = np.random.default_rng(4242)
+    rng = np.random.default_rng(_GEN_SEED)
     gen_documents(f"{out}/documents.parquet", n_docs, rng)
     gen_embeddings(f"{out}/embeddings.parquet", n_vecs, rng)
     print(f"documents: {n_docs}, embeddings: {n_vecs}")

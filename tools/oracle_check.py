@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 from decimal import Decimal
@@ -122,10 +123,45 @@ def main() -> int:
 
     from energydatalake_spark.text.dedup import release_shingle_cache
 
+    # dedup_embedding_lsh sizes its hyperplane count with the corpus
+    # above ND_LSH_ORACLE_MAX_N vectors, while its DuckDB mirror is
+    # frozen at the static ND_LSH_PLANES — beyond the bound the static
+    # mirror is the WRONG oracle, not the query wrong (r11 review: a
+    # gen_sf x10 dir holds 20k embeddings and would spuriously FAIL).
+    # Surface the scale-tier case as an explicit rows-only verdict.
+    from energydatalake_spark.plans.llm_ops import ND_LSH_ORACLE_MAX_N
+
+    n_emb = (
+        con.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+        if os.path.exists(os.path.join(sf_dir, "embeddings.parquet"))
+        else 0
+    )
+    lsh_beyond_mirror = n_emb > ND_LSH_ORACLE_MAX_N
+
     failures = 0
     verdicts: dict[str, dict] = {}
     for name, q in QUERIES.items():
         if only and name not in only:
+            continue
+        if name == "dedup_embedding_lsh" and lsh_beyond_mirror:
+            try:
+                n_rows = q.build(spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001
+                print(f"FAIL  {name}: spark error: {exc}")
+                failures += 1
+                verdicts[name] = {
+                    "status": "FAIL",
+                    "detail": f"spark error: {exc}"[:500],
+                }
+                continue
+            print(
+                f"ok*   {name}: rows-only ({n_rows} rows) — {n_emb} "
+                f"embeddings exceed the static-mirror bound "
+                f"{ND_LSH_ORACLE_MAX_N}; corpus-sized planes diverge "
+                f"from the frozen-plane oracle BY DESIGN"
+            )
+            verdicts[name] = {"status": "rows_only", "rows": n_rows,
+                              "detail": "beyond static-mirror bound"}
             continue
         t0 = time.time()
         try:

@@ -144,7 +144,14 @@ def _gen_manifest(mult: int) -> dict:
     import hashlib
     import inspect
 
-    src = inspect.getsource(gen_documents) + inspect.getsource(gen_embeddings)
+    # Hash the module-level inputs the generators close over (VOCAB —
+    # r11 review: editing it changes every document but not the
+    # function source) alongside the function bodies.
+    src = (
+        inspect.getsource(gen_documents)
+        + inspect.getsource(gen_embeddings)
+        + repr(VOCAB)
+    )
     return {
         "sizes": list(SIZES[mult]),
         "seed": _GEN_SEED,
@@ -235,22 +242,43 @@ def main() -> None:
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         path = os.path.join(repo, "BENCHHEAVY_sf10.json")
 
+        gen_id = _gen_manifest(100)["generator_md5"]
+
         def flush(results: dict) -> None:
             # Merge with any prior run so a restricted rerun (e.g. one
             # query that died last time) extends the artifact instead
-            # of clobbering the 11-query map.
-            merged = {}
+            # of clobbering the 11-query map — but only keep prior
+            # entries stamped with the SAME generator identity and
+            # still in the current query family (r11 review: without
+            # the stamp, a generator/SIZES change would silently mix
+            # two corpora in one committed exponent table).
+            merged, extras = {}, {}
             if os.path.exists(path):
                 try:
                     with open(path) as fh:
-                        merged = json.load(fh).get("queries", {})
+                        prior = json.load(fh)
+                    merged = prior.get("queries", {})
+                    extras = {
+                        k: v
+                        for k, v in prior.items()
+                        if k not in ("sizes", "queries")
+                    }
                 except Exception:
                     merged = {}
-            merged.update(results)
+            known = set(HEAVY) | set(HEAVY_X100_EXTRA)
+            merged = {
+                k: v
+                for k, v in merged.items()
+                if v.get("gen") == gen_id and k in known
+            }
+            merged.update(
+                {k: {**v, "gen": gen_id} for k, v in results.items()}
+            )
             tmp = path + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(
-                    {"sizes": {f"x{m}": SIZES[m] for m in (1, 10, 100)},
+                    {**extras,
+                     "sizes": {f"x{m}": SIZES[m] for m in (1, 10, 100)},
                      "queries": merged},
                     fh, indent=1, sort_keys=True,
                 )
