@@ -205,10 +205,23 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash() -> str:
-    from energydatalake_spark.text.dedup import PERM_MASK, _perm_constants
+    from energydatalake_spark.text.dedup import (
+        PERM_MASK,
+        _perm_constants,
+        min_sig_agree,
+    )
 
     k = MH_BANDS * MH_ROWS
     perm_a, perm_b = _perm_constants(k)
+    # Signature-agreement prefilter: same derived cutoff as the Spark
+    # side (min_sig_agree docstring has the recall bound). The Spark
+    # plan applies it map-side before its pair-dedup; a deterministic
+    # per-pair predicate commutes with DISTINCT, so the mirror applies
+    # it after — identical pair sets either way.
+    agree_min = min_sig_agree(MH_BANDS, MH_ROWS, MH_THRESHOLD)
+    agree_sum = " + ".join(
+        f"(CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
     mins = ",\n         ".join(
         f"MIN(({perm_a[i]} * h0 + {perm_b[i]}) & {PERM_MASK}) AS m{i}"
         for i in range(k)
@@ -247,10 +260,17 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ),
+candf AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN mh x ON x.doc_id = c.id_a
+  JOIN mh y ON y.doc_id = c.id_b
+  WHERE {agree_sum} >= {agree_min}
+),
 sizes AS (SELECT doc_id, len(s) AS ns FROM sh),
 inter AS (
   SELECT c.id_a, c.id_b, COUNT(*) AS ni
-  FROM cand c
+  FROM candf c
   JOIN ex e1 ON e1.doc_id = c.id_a
   JOIN ex e2 ON e2.doc_id = c.id_b AND e2.shingle = e1.shingle
   GROUP BY c.id_a, c.id_b

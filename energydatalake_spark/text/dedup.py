@@ -94,6 +94,29 @@ def release_shingle_cache(blocking: bool = False) -> int:
     return n
 
 
+def min_sig_agree(bands: int, rows: int, threshold: float) -> int:
+    """Signature-agreement prefilter cutoff between LSH candidate
+    generation and the exact-Jaccard verify: a candidate pair must
+    agree on at least ``floor(k·threshold/2)`` of its k minhash
+    components before the engine pays the shingle-level intersection
+    join. E[agree] = k·j, so the cutoff sits at HALF the threshold's
+    expectation — at k=32, t=0.5 a true borderline pair (j exactly
+     0.5) is dropped with probability P(Bin(32,.5) < 8) ≈ 1e-3 and
+    stronger pairs exponentially less, while a random saturated-vocab
+    pair (j ~ 1e-3) passes with probability ≈ 0. One formula feeds
+    BOTH engines (the DuckDB mirror derives the same constant), so
+    the filter is deterministic and cross-engine exact.
+
+    Why it exists: exact-verify cost is (candidates × shingles-per-
+    doc) join rows. Candidates are band-collision mass — on a corpus
+    whose shingle universe saturates (r11 x100 probe: 17.8M
+    candidates, 1,018 true pairs) the verify join is ~1.8e9 rows of
+    which 99.99% fail. The agreement test reads only the signatures
+    already riding the band rows (k ints), map-side, before the
+    pair-dedup shuffle."""
+    return int(bands * rows * threshold / 2)
+
+
 def minhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -107,7 +130,8 @@ def minhash_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥
     threshold, jaccard computed exactly on distinct shingle sets for
-    LSH candidates only.
+    LSH candidates that pass the ``min_sig_agree`` signature
+    prefilter (see its docstring for the recall bound).
     """
     from energydatalake_spark.text.stats import _hex15_to_long
 
@@ -166,13 +190,20 @@ def minhash_pairs(
         )
         for b in range(bands)
     ]
+    # The full k-component signature rides each band row alongside
+    # n_shingles (k ints — linear payload through the one bucket
+    # exchange) so the agreement prefilter below runs MAP-SIDE on the
+    # exploded pair, before the pair-dedup shuffle ever sees a false
+    # candidate.
     buckets = sig.select(
         F.col(id_col),
         F.col("n_shingles"),
+        F.array(*[F.col(f"m{i}") for i in range(k)]).alias("ms"),
         F.explode(F.array(*band_structs)).alias("bh"),
     ).select(
         F.col(id_col),
         F.col("n_shingles"),
+        F.col("ms"),
         F.col("bh.band").alias("band"),
         F.col("bh.band_hash").alias("band_hash"),
     )
@@ -190,22 +221,41 @@ def minhash_pairs(
         buckets.groupBy("band", "band_hash")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), "n_shingles"))
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), "n_shingles", "ms")
+                )
             ).alias("ids")
         )
         .filter(F.size("ids") > 1)
     )
     # Ordered pairs exploded map-side, each carrying BOTH set sizes —
     # the Jaccard denominator needs nothing beyond the intersection
-    # count after this point.
+    # count after this point. The signature-agreement prefilter
+    # (min_sig_agree) also runs HERE, on the two signatures the pair
+    # already carries: candidates whose estimated Jaccard is far
+    # below threshold never reach the pair-dedup shuffle or the
+    # shingle-intersection join. Filter-then-distinct equals
+    # distinct-then-filter for a per-pair-deterministic predicate, so
+    # the DuckDB mirror may apply it after its DISTINCT.
+    agree_min = F.lit(min_sig_agree(bands, rows, threshold))
     left = grouped.select(F.explode("ids").alias("ia"), F.col("ids"))
     cand = (
         left.select(
             F.col("ia.id").alias("id_a"),
             F.col("ia.n_shingles").alias("n_a"),
+            F.col("ia.ms").alias("ms_a"),
             F.explode(
                 F.filter("ids", lambda x: x["id"] > F.col("ia.id"))
             ).alias("ib"),
+        )
+        .filter(
+            F.size(
+                F.filter(
+                    F.zip_with("ms_a", F.col("ib.ms"), lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
+            >= agree_min
         )
         .select(
             "id_a",

@@ -545,7 +545,13 @@ def _py_minhash_pairs(texts, n=3, bands=16, rows=2, threshold=0.5):
             for y in range(x + 1, len(ids)):
                 cands.add((ids[x], ids[y]))
     out = {}
+    # Signature-agreement prefilter (r11): same floor(k*t/2) cutoff as
+    # the engine, computed here from this model's own signatures.
+    agree_min = int(k * threshold / 2)
     for ia, ib in cands:
+        agree = sum(x == y for x, y in zip(sigs[ia], sigs[ib]))
+        if agree < agree_min:
+            continue
         A, B = sh_sets[ia], sh_sets[ib]
         j = len(A & B) / (len(A) + len(B) - len(A & B))
         if j >= threshold:

@@ -188,3 +188,40 @@ def test_repetition_stats_known_values(spark):
     assert abs(r3.dup_ngram_frac - 4 / 6) < 1e-12
     r4 = rows[4]
     assert r4.n_words == 2 and r4.dup_ngram_frac == 0.0
+
+
+def test_min_sig_agree_cutoff_and_prefilter(spark):
+    """min_sig_agree = floor(k*t/2) (half the threshold expectation:
+    at k=32,t=0.5 a borderline true pair survives with P ~ 0.999 while
+    a saturated-vocab random pair with 2 agreeing slots is dropped),
+    and minhash_pairs drops a band-colliding pair whose signature
+    agreement sits below the cutoff while keeping a genuine near-dup."""
+    from energydatalake_spark.text.dedup import min_sig_agree, minhash_pairs
+
+    assert min_sig_agree(16, 2, 0.5) == 8
+    assert min_sig_agree(16, 3, 0.5) == 12
+    assert min_sig_agree(8, 2, 0.25) == 2
+    assert min_sig_agree(16, 2, 0.0) == 0  # degenerate: filter off
+
+    # Two near-identical docs (one token changed) must survive the
+    # prefilter end-to-end; with threshold=0 and the derived cutoff 0
+    # the result must be a superset of the threshold=0.5 result (the
+    # prefilter only ever removes low-estimate candidates).
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy cat again"),
+            (3, "completely different words in this sentence here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    strict = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in strict
+    loose = {
+        (r.id_a, r.id_b)
+        for r in minhash_pairs(docs, threshold=0.0).collect()
+    }
+    assert set(strict) <= loose
