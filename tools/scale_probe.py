@@ -22,6 +22,12 @@ full map to BENCHHEAVY_sf10.json at the repo root. One decade
 amortizes fixed job overhead and flatters exponents; the second
 decade is the evidence that actually supports a 100 TB claim.
 Usage:  python tools/scale_probe.py --x100 [query ...]
+
+``--fresh`` (with --x100) runs ONE subprocess per query so no query's
+measurement inherits another's heap/GC state — the r11 sweep measured
+hashed_tfidf at 182 s (α₂ 1.41) inside a shared session vs 47 s
+(α₂ 0.79) clean. Prefer it for any number the ledger will cite.
+Usage:  python tools/scale_probe.py --x100 --fresh [query ...]
 """
 
 from __future__ import annotations
@@ -225,8 +231,24 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--x100"]
+    args = [a for a in sys.argv[1:] if a not in ("--x100", "--fresh")]
     x100 = "--x100" in sys.argv[1:]
+    fresh = "--fresh" in sys.argv[1:]
+    if fresh and x100:
+        # One subprocess (one JVM) per query: the r11 sweep showed a
+        # shared 64g session contaminates later x100 measurements with
+        # heap/GC pressure (hashed_tfidf 182 s shared vs 47 s clean).
+        # Children merge into BENCHHEAVY_sf10.json one by one, so the
+        # artifact is as crash-safe as the shared-session path.
+        import subprocess
+
+        for q in args or (HEAVY + HEAVY_X100_EXTRA):
+            rc = subprocess.call(
+                [sys.executable, os.path.abspath(__file__), "--x100", q]
+            )
+            if rc != 0:
+                print(f"--fresh: {q} exited {rc}; continuing", file=sys.stderr)
+        return
     if x100:
         # x100 is ~sf10 in one local JVM: 32 executor threads sharing
         # the driver heap OOM at the default 8g (first attempted run
