@@ -2080,14 +2080,76 @@ _register(
 DRIVER_WINDOW = 50
 
 _DRIVER_WINDOW_FIRST = [
-    # r11 rotation (VERDICT r10 #1): boilerplate_filter FIRST (the
-    # designated r10 slot-arithmetic holdout — its newest driver row
-    # is r8), then the §2 relational core + r7-era extension rows
-    # whose newest driver evidence is r9. Slot arithmetic repeats (50
-    # candidates, 49 slots after the flagship): the r11 holdout is
-    # avg_by_month, which the r10 judge independently re-ran against
-    # the DuckDB oracle — the freshest non-driver evidence in the
-    # incoming set. It leads the r12 rotation.
+    # r12 rotation (VERDICT r11 #2): avg_by_month FIRST (the r11
+    # slot-arithmetic holdout — r9 driver row + two consecutive judge
+    # oracle re-runs), then the 48 queries whose newest driver
+    # evidence is r10 (multimodal, minhash/simhash families,
+    # similarity tiers, corpus prep/sampling, streaming, CC clusters,
+    # r8-new). Slot arithmetic repeats (50 candidates, 49 slots after
+    # the flagship): the r12 holdout is ngram_jaccard, which the r11
+    # judge independently re-ran against the DuckDB oracle — the
+    # freshest non-driver evidence in the incoming set. It leads the
+    # r13 rotation.
+    "avg_by_month",
+    "corpus_increment_batch",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_embed",
+    "minhash_pairs",
+    "simhash",
+    "simhash_pairs",
+    "similarity_topk",
+    "streaming_dedup",
+    "similarity_lsh",
+    "similarity_ivf",
+    "similarity_ivf_kmeans",
+    "corpus_prep",
+    "train_split",
+    "stratified_sample",
+    "doc_chunks",
+    "text_normalize",
+    "pack_chunks",
+    "corpus_prep_full",
+    "streaming_hourly",
+    "sessionize",
+    "streaming_enrich",
+    "streaming_asof",
+    "doc_repetition",
+    "contamination",
+    "corpus_mix",
+    "dedup_clusters",
+    "vocab_topk",
+    "shuffle_shards",
+    "tfidf_topk",
+    "lm_score",
+    "embedding_clusters",
+    "doc_outliers",
+    "source_profile",
+    "corpus_increment",
+    "json_extract",
+    "snapshot_diff",
+    "corpus_funnel",
+    "embedding_clusters_kmeans",
+    "substring_dedup",
+    "hashed_tfidf",
+    "vocab_coverage",
+    "dedup_recall",
+    "quantized_recall",
+    "cohort_retention",
+    "join_skew_profile",
+    "decile_stats",
+]
+
+_DRIVER_WINDOW_PARKED = [
+    # Parked in r12: every one of these earned a fresh driver-green
+    # row in CORRECTNESS_r11 (the r11-rotated set: §2 relational
+    # core, text-analysis r7-era rows, embedding dedup tiers), plus
+    # ngram_jaccard (r10 driver row + r11 judge oracle re-run; the
+    # slot-arithmetic holdout — FIRST in the r13 rotation). They stay
+    # covered by pytest and by tools/oracle_check.py
+    # (MIRROR_r{N}.json). Rotate back in r13+.
+    "ngram_jaccard",
     "boilerplate_filter",
     "line_dedup",
     "lm_buckets",
@@ -2137,67 +2199,6 @@ _DRIVER_WINDOW_FIRST = [
     "revenue_by_nation",
     "dedup_embedding",
     "dedup_embedding_lsh",
-]
-
-_DRIVER_WINDOW_PARKED = [
-    # Parked in r11: every one of these earned a fresh driver-green
-    # row in CORRECTNESS_r10 (the r10-rotated extension set:
-    # multimodal, minhash/simhash families, similarity tiers, corpus
-    # prep/sampling, streaming, CC clusters, r8-new queries), plus
-    # avg_by_month (r9 driver row + r10 judge oracle re-run; the
-    # slot-arithmetic holdout — FIRST in the r12 rotation). They stay
-    # covered by pytest and by tools/oracle_check.py
-    # (MIRROR_r{N}.json). Rotate back in r12+.
-    "avg_by_month",
-    "corpus_increment_batch",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_embed",
-    "minhash_pairs",
-    "ngram_jaccard",
-    "simhash",
-    "simhash_pairs",
-    "similarity_topk",
-    "streaming_dedup",
-    "similarity_lsh",
-    "similarity_ivf",
-    "similarity_ivf_kmeans",
-    "corpus_prep",
-    "train_split",
-    "stratified_sample",
-    "doc_chunks",
-    "text_normalize",
-    "pack_chunks",
-    "corpus_prep_full",
-    "streaming_hourly",
-    "sessionize",
-    "streaming_enrich",
-    "streaming_asof",
-    "doc_repetition",
-    "contamination",
-    "corpus_mix",
-    "dedup_clusters",
-    "vocab_topk",
-    "shuffle_shards",
-    "tfidf_topk",
-    "lm_score",
-    "embedding_clusters",
-    "doc_outliers",
-    "source_profile",
-    "corpus_increment",
-    "json_extract",
-    "snapshot_diff",
-    "corpus_funnel",
-    "embedding_clusters_kmeans",
-    "substring_dedup",
-    "hashed_tfidf",
-    "vocab_coverage",
-    "dedup_recall",
-    "quantized_recall",
-    "cohort_retention",
-    "join_skew_profile",
-    "decile_stats",
 ]
 
 
