@@ -3158,6 +3158,42 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: iteration costs ~1.2 s of fixed per-job overhead for ≤9 keeps.
 SEM_KMEANS_ITER = 1
 
+#: semantic_dedup self-sizes its codebook above this corpus size (the
+#: same oracle-bound gating as dedup_embedding_lsh / ND_LSH_ORACLE_MAX_N:
+#: every driver-checked scale — 500 embeddings at sf0.01, 2,000 at
+#: sf0.1 — sits at or below the bound, so the recursive k-means-
+#: trajectory SQL mirror stays value-hash-exact everywhere the driver
+#: compares; beyond it the op is bench/scale tier only, rows-only
+#: checked). Without the sizing, 16 fixed cells make within-cell
+#: scoring O((n/16)²) — the engine's last structural α₂ > 1 at the
+#: r11 x100 probe (1.11, 106 s at 200k vectors).
+SEM_ORACLE_MAX_N = ND_LSH_ORACLE_MAX_N
+
+#: Target mean cell occupancy for the self-sized tier. Within-cell
+#: scoring then costs n·SEM_TARGET_CELL_ROWS cosine evaluations —
+#: linear in the corpus — while the codebook stays model-sized
+#: (n/256 cells × dim doubles; 200k vectors → 782 cells ≈ 400 KB).
+SEM_TARGET_CELL_ROWS = 256
+
+
+def _sem_cells(n: int) -> int:
+    import math
+
+    if n <= SEM_ORACLE_MAX_N:
+        return IVF_CELLS
+    return max(IVF_CELLS, math.ceil(n / SEM_TARGET_CELL_ROWS))
+
+
+#: Queries whose static DuckDB mirror is only the right oracle up to a
+#: bound on the embeddings count (the query self-sizes its model above
+#: it). tools/oracle_check.py downgrades these to a rows-only verdict
+#: beyond the bound — the mirror is the wrong oracle there, not the
+#: query wrong.
+ORACLE_STATIC_BOUNDS = {
+    "dedup_embedding_lsh": ND_LSH_ORACLE_MAX_N,
+    "semantic_dedup": SEM_ORACLE_MAX_N,
+}
+
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication verdict (Abbas et al., 2023),
@@ -3180,25 +3216,54 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an Arrow-batched union-find (no CC rounds, no lineage
     growth). n_cells must scale with the corpus to bound the
     within-cell O(|cell|²) scoring; oversize cells raise loudly
-    (similarity/neardup.py embedding_semantic_dedup)."""
+    (similarity/neardup.py embedding_semantic_dedup).
+
+    Two tiers on n_cells (VERDICT r11 #1, the dedup_embedding_lsh
+    gating pattern): at ≤SEM_ORACLE_MAX_N vectors the codebook is the
+    static IVF_CELLS trained by the distributed decimal-exact Lloyd —
+    the recursive SQL mirror replays that trajectory value-hash-exact.
+    Above the bound n_cells tracks the corpus (⌈n/SEM_TARGET_CELL_ROWS⌉,
+    bounding cell occupancy so scoring stays linear), training moves
+    to the bounded-sample NumPy Lloyd (search.kmeans_centroids_np —
+    sample sized a few × n_cells via the same deterministic hash
+    predicate), and cell assignment switches to the Arrow-batched BLAS
+    argmax inside the operator."""
     from energydatalake_spark.similarity.neardup import embedding_semantic_dedup
-    from energydatalake_spark.similarity.search import kmeans_centroids
+    from energydatalake_spark.similarity.search import (
+        kmeans_centroids,
+        kmeans_centroids_np,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(
-        emb,
-        n_cells=IVF_CELLS,
-        n_iter=SEM_KMEANS_ITER,
-        round_digits=9,
-        train_sample_mod=KMEANS_SAMPLE_MOD,
-    )
+    n = _parquet_rows(sf_dir, "embeddings")
+    n_cells = _sem_cells(n)
+    if n_cells == IVF_CELLS:
+        cents = kmeans_centroids(
+            emb,
+            n_cells=IVF_CELLS,
+            n_iter=SEM_KMEANS_ITER,
+            round_digits=9,
+            train_sample_mod=KMEANS_SAMPLE_MOD,
+        )
+    else:
+        # Sample target: 8 vectors per cell keeps init + means stable
+        # while the driver-side training collect stays model-scale
+        # (n/mod ≈ 8·n_cells = n/32 at the default occupancy).
+        mod = max(KMEANS_SAMPLE_MOD, n // max(8 * n_cells, 4096))
+        cents = kmeans_centroids_np(
+            emb,
+            n_cells=n_cells,
+            n_iter=SEM_KMEANS_ITER,
+            round_digits=9,
+            train_sample_mod=mod,
+        )
     cent_df = spark.createDataFrame(
         [(cid, vec) for cid, vec in cents], "vec_id int, embedding array<double>"
     )
     return embedding_semantic_dedup(
         emb,
         threshold=ND_THRESHOLD,
-        n_cells=IVF_CELLS,
+        n_cells=n_cells,
         centroids=cent_df,
     )
 

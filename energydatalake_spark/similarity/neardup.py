@@ -246,6 +246,7 @@ def embedding_semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cell_rows: int = 100_000,
+    fold_max_cells: int = 64,
 ) -> DataFrame:
     """SemDeDup-style cell-local keep-one dedup (Abbas et al., 2023):
     every vector is coarse-quantized to its nearest codebook cell
@@ -262,9 +263,8 @@ def embedding_semantic_dedup(
     Zero-norm vectors have no direction, so they are their own
     singleton clusters (``keep = true``) — mirrored in the SQL twin.
 
-    Scale shape — exactly ONE exchange: the codebook rides into the
-    plan as literals so assignment is a map-side argmax fold on the
-    scan (vectors are never joined back), the only shuffle is the
+    Scale shape — exactly ONE exchange: the codebook is model-sized
+    (vectors are never joined back), the only shuffle is the
     groupBy(cell), and each cell resolves its own components with an
     Arrow-batched union-find (no CC iterations, no lineage growth).
     Within-cell scoring is O(|cell|²) BLAS — the paper's semantics —
@@ -274,10 +274,25 @@ def embedding_semantic_dedup(
     ~block×|cell|, and any cell over ``max_cell_rows`` raises loudly
     with instructions to raise ``n_cells`` rather than silently going
     quadratic).
+
+    Assignment picks its implementation by codebook size: at
+    ≤``fold_max_cells`` cells it is the map-side Catalyst argmax fold
+    over the plan-literal codebook — pure JVM, value-hash-exact
+    against the recursive SQL mirror. Catalyst evaluates
+    higher-order-function lambdas per array element (no codegen), so
+    a corpus-sized codebook would cost O(rows·n_cells·dim)
+    interpreter steps; beyond the bound assignment runs as an
+    Arrow-batched BLAS argmax in ``mapInPandas`` (codebook in the
+    task closure — n_cells×dim float64, model-sized). Same first-max
+    tie-break, but BLAS summation order differs from the sequential
+    fold, so the big-codebook tier is deliberately OUTSIDE the static
+    oracle bound (rows-only checked, like dedup_embedding_lsh's
+    corpus-sized planes).
     """
     from energydatalake_spark.similarity.search import (
         _argmax_cell,
-        _collect_codebook,
+        _codebook_literal,
+        _collect_codebook_rows,
         with_norm,
     )
 
@@ -288,13 +303,45 @@ def embedding_semantic_dedup(
         "vec",
         "nm",
     )
-    codebook = _collect_codebook(df, centroids, n_cells, vec_col, id_col,
-                                 "embedding_semantic_dedup")
-    cells = base.filter(F.col("nm") > 0).select(
-        "id",
-        "vec",
-        _argmax_cell(codebook, F.col("vec"), F.col("nm")).alias("cell_id"),
-    )
+    cents = _collect_codebook_rows(df, centroids, n_cells, vec_col, id_col,
+                                   "embedding_semantic_dedup")
+    nz = base.filter(F.col("nm") > 0)
+    if len(cents) <= fold_max_cells:
+        cells = nz.select(
+            "id",
+            "vec",
+            _argmax_cell(
+                _codebook_literal(cents), F.col("vec"), F.col("nm")
+            ).alias("cell_id"),
+        )
+    else:
+        cb_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+        cb = np.array([cv for _, cv in cents], dtype=np.float64)
+        cb_norms = np.linalg.norm(cb, axis=1)
+        cb_norms[cb_norms == 0.0] = 1.0
+        cbn_t = (cb / cb_norms[:, None]).T
+
+        def assign_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                m = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+                )
+                norms = np.linalg.norm(m, axis=1)
+                norms[norms == 0.0] = 1.0  # nz already excludes, belt+braces
+                cell = cb_ids[np.argmax((m / norms[:, None]) @ cbn_t, axis=1)]
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].values,
+                        "vec": pdf["vec"].values,
+                        "cell_id": cell.astype(np.int32),
+                    }
+                )
+
+        cells = nz.select("id", "vec").mapInPandas(
+            assign_batches, "id long, vec array<double>, cell_id int"
+        )
 
     out_schema = "vec_id long, cluster_id long, keep boolean"
 

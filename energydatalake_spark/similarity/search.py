@@ -217,19 +217,19 @@ def ivf_topk(
     )
 
 
-def _collect_codebook(
+def _collect_codebook_rows(
     corpus: DataFrame,
     centroids: DataFrame | None,
     n_cells: int,
     vec_col: str,
     id_col: str,
     caller: str,
-) -> Column:
+) -> list[tuple[int, list[float]]]:
     """Shared codebook construction for IVF search and cell
     assignment: default centroids = first ``n_cells`` corpus vectors
-    by id (deterministic for ANY id space), model-sized collect, and
-    the plan-literal codebook column. One home so the centroid
-    convention can never desynchronize between the two consumers."""
+    by id (deterministic for ANY id space), model-sized collect,
+    sorted ascending cell_id. One home so the centroid convention can
+    never desynchronize between consumers."""
     if centroids is None:
         centroids = corpus.orderBy(F.col(id_col)).limit(n_cells)
     cent_rows = centroids.select(
@@ -238,8 +238,22 @@ def _collect_codebook(
     ).collect()
     if not cent_rows:
         raise ValueError(f"{caller}: empty centroid set")
-    cents = sorted((r.cell_id, list(r.cv)) for r in cent_rows)
-    return _codebook_literal(cents)
+    return sorted((r.cell_id, list(r.cv)) for r in cent_rows)
+
+
+def _collect_codebook(
+    corpus: DataFrame,
+    centroids: DataFrame | None,
+    n_cells: int,
+    vec_col: str,
+    id_col: str,
+    caller: str,
+) -> Column:
+    """:func:`_collect_codebook_rows` as the plan-literal codebook
+    column (the form the Catalyst argmax fold consumes)."""
+    return _codebook_literal(
+        _collect_codebook_rows(corpus, centroids, n_cells, vec_col, id_col, caller)
+    )
 
 
 def assign_cells(
@@ -425,6 +439,87 @@ def _lloyd_iterations(
             key=lambda t: t[0],
         )
     return cents
+
+
+def kmeans_centroids_np(
+    corpus: DataFrame,
+    n_cells: int,
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 9,
+    train_sample_mod: int | None = None,
+    train_max_rows: int = 131_072,
+) -> list[tuple[int, list[float]]]:
+    """Bounded-sample NumPy Lloyd — the large-codebook twin of
+    :func:`kmeans_centroids`. The distributed trainer's assignment is
+    a Catalyst higher-order-function fold, evaluated per array element
+    (not codegen'd): at n_cells in the hundreds that is
+    O(rows × n_cells × dim) interpreter steps — slower than the
+    quadratic it exists to fix. A codebook is a summary statistic, so
+    above the oracle tier we train it on the deterministic
+    ``train_sample_predicate`` hash-sample collected to the driver and
+    run Lloyd in BLAS. This is a GATED bounded collect (the
+    ≤``train_max_rows`` refusal below, same discipline as the
+    union-find small-graph tier in operators/graph.py): callers size
+    ``train_sample_mod`` so the expected sample is a few × n_cells,
+    and at 100 TB the sample stays model-scale while the corpus never
+    moves. Beyond ~10⁷-cell codebooks (SemDeDup at web scale trains
+    50k-100k cells over ~1M samples — still fine here) the next tier
+    is an externally trained codebook passed straight into the
+    ``centroids`` parameter of the consuming operator.
+
+    Deterministic: integer-arithmetic sample, init = ``n_cells``
+    lowest-id sampled vectors (cell_id = vector id, as the distributed
+    trainer), first-max argmax ties (ascending cell_id), sequential
+    ``np.add.at`` accumulation, means snapped to the same
+    1e-``round_digits`` grid, empty cells die. NOT bit-identical to
+    the decimal-sum distributed trajectory — use only beyond the
+    static-mirror oracle bound.
+    """
+    import numpy as np
+
+    p = float(10**round_digits)
+    v = corpus.select(F.col(id_col).cast("long").alias("id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    if train_sample_mod is not None and train_sample_mod > 1:
+        v = v.filter(train_sample_predicate(F.col("id"), train_sample_mod))
+    rows = v.collect()
+    if len(rows) > train_max_rows:
+        raise ValueError(
+            f"kmeans_centroids_np: sample of {len(rows)} rows exceeds "
+            f"train_max_rows={train_max_rows}; raise train_sample_mod so "
+            f"the driver-side training collect stays model-sized."
+        )
+    if len(rows) < n_cells:
+        raise ValueError(
+            f"k-means training sample has only {len(rows)} vectors for "
+            f"n_cells={n_cells}; lower train_sample_mod "
+            f"({train_sample_mod}) or n_cells"
+        )
+    rows.sort(key=lambda r: r.id)
+    ids = np.array([r.id for r in rows], dtype=np.int64)
+    mat = np.array([list(r.v) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    mn = mat / norms[:, None]
+    cent_ids = ids[:n_cells].astype(np.int64)
+    cents = mat[:n_cells].copy()
+    for _ in range(n_iter):
+        cn = np.linalg.norm(cents, axis=1)
+        cn[cn == 0.0] = 1.0
+        assign = np.argmax(mn @ (cents / cn[:, None]).T, axis=1)
+        k = len(cents)
+        sums = np.zeros((k, mat.shape[1]))
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=k)
+        live = counts > 0
+        means = sums[live] / counts[live, None]
+        cents = np.floor(means * p + 0.5) / p
+        cent_ids = cent_ids[live]
+        order = np.argsort(cent_ids)
+        cent_ids, cents = cent_ids[order], cents[order]
+    return [(int(c), [float(x) for x in vec]) for c, vec in zip(cent_ids, cents)]
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

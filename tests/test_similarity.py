@@ -311,3 +311,97 @@ def test_nd_lsh_planes_sizing():
     for n in (10**5, 10**6, 10**7):
         p = _nd_lsh_planes(n)
         assert n / 2**p <= 8.0
+
+
+def test_sem_cells_sizing():
+    """q_semantic_dedup sizes its codebook with the corpus (VERDICT
+    r11 #1): every oracle-checked scale (500 embeddings at sf0.01,
+    2000 at sf0.1, ≤ SEM_ORACLE_MAX_N) resolves to the static
+    IVF_CELLS — so the recursive k-means-trajectory SQL mirror stays
+    value-hash-exact — and above the bound n_cells tracks
+    ⌈n/SEM_TARGET_CELL_ROWS⌉ so mean cell occupancy (and with it the
+    within-cell O(|cell|²) scoring per vector) stays flat instead of
+    growing linearly with n."""
+    import math
+
+    from energydatalake_spark.plans.llm_ops import (
+        IVF_CELLS,
+        SEM_ORACLE_MAX_N,
+        SEM_TARGET_CELL_ROWS,
+        _sem_cells,
+    )
+
+    for n in (1, 500, 2000, SEM_ORACLE_MAX_N):
+        assert _sem_cells(n) == IVF_CELLS
+    assert _sem_cells(SEM_ORACLE_MAX_N + 1) == math.ceil(
+        (SEM_ORACLE_MAX_N + 1) / SEM_TARGET_CELL_ROWS
+    )
+    assert _sem_cells(20_000) == 79
+    assert _sem_cells(200_000) == 782
+    # Mean cell occupancy bounded as n grows 10x and 100x.
+    for n in (10**5, 10**6, 10**7):
+        assert n / _sem_cells(n) <= SEM_TARGET_CELL_ROWS + 1
+
+
+def test_kmeans_centroids_np_deterministic_and_bounded(spark):
+    """Bounded-sample NumPy Lloyd (the big-codebook trainer): (a)
+    deterministic across partitionings, (b) model shape preserved
+    (≤ n_cells live cells, full dim, ascending cell ids), (c) the
+    driver-side collect is GATED — an over-budget sample refuses
+    loudly instead of silently materializing the corpus, and a
+    too-small sample refuses like the distributed trainer."""
+    import pytest
+
+    from energydatalake_spark.similarity.search import kmeans_centroids_np
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    a = kmeans_centroids_np(emb, n_cells=8, n_iter=2)
+    b = kmeans_centroids_np(emb.repartition(7), n_cells=8, n_iter=2)
+    assert a == b
+    assert 1 <= len(a) <= 8 and all(len(vec) == 64 for _, vec in a)
+    assert [cid for cid, _ in a] == sorted(cid for cid, _ in a)
+
+    with pytest.raises(ValueError, match="train_max_rows"):
+        kmeans_centroids_np(emb, n_cells=8, n_iter=1, train_max_rows=10)
+    with pytest.raises(ValueError, match="lower train_sample_mod"):
+        kmeans_centroids_np(emb, n_cells=500, n_iter=1, train_sample_mod=4)
+
+
+def test_embedding_semantic_dedup_blas_assignment_matches_fold(spark):
+    """The big-codebook BLAS assignment tier must produce the same
+    verdict as the Catalyst fold tier on well-separated data (ties
+    aside, the two argmaxes agree): 100 vectors, 70 centroids — above
+    the default fold_max_cells=64 — forced through each path via the
+    knob."""
+    import numpy as np
+
+    from energydatalake_spark.similarity.neardup import embedding_semantic_dedup
+
+    rng = np.random.default_rng(7)
+    cents_v = rng.normal(size=(70, 16))
+    cents_v /= np.linalg.norm(cents_v, axis=1, keepdims=True)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cents_v[i]]) for i in range(70)],
+        "vec_id int, embedding array<double>",
+    )
+    rows = []
+    for i in range(100):
+        c = cents_v[i % 70]
+        v = c + 0.05 * rng.normal(size=16)  # tight around its centroid
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [0.0] * 16))  # zero-norm singleton path
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    kw = dict(threshold=0.9, n_cells=70, centroids=cents)
+    blas = {
+        (r.vec_id, r.cluster_id, r.keep)
+        for r in embedding_semantic_dedup(df, fold_max_cells=64, **kw).collect()
+    }
+    fold = {
+        (r.vec_id, r.cluster_id, r.keep)
+        for r in embedding_semantic_dedup(df, fold_max_cells=1000, **kw).collect()
+    }
+    assert blas == fold
+    assert len(blas) == len(rows)
+    # the planted same-centroid groups actually collapse somewhere
+    assert any(not keep for _, _, keep in blas)

@@ -123,27 +123,28 @@ def main() -> int:
 
     from energydatalake_spark.text.dedup import release_shingle_cache
 
-    # dedup_embedding_lsh sizes its hyperplane count with the corpus
-    # above ND_LSH_ORACLE_MAX_N vectors, while its DuckDB mirror is
-    # frozen at the static ND_LSH_PLANES — beyond the bound the static
-    # mirror is the WRONG oracle, not the query wrong (r11 review: a
-    # gen_sf x10 dir holds 20k embeddings and would spuriously FAIL).
-    # Surface the scale-tier case as an explicit rows-only verdict.
-    from energydatalake_spark.plans.llm_ops import ND_LSH_ORACLE_MAX_N
+    # Some queries size their model with the corpus above a bound on
+    # the embeddings count (dedup_embedding_lsh's hyperplanes,
+    # semantic_dedup's codebook) while their DuckDB mirror is frozen at
+    # the static parameters — beyond the bound the static mirror is the
+    # WRONG oracle, not the query wrong (r11 review: a gen_sf x10 dir
+    # holds 20k embeddings and would spuriously FAIL). Surface the
+    # scale-tier case as an explicit rows-only verdict.
+    from energydatalake_spark.plans.llm_ops import ORACLE_STATIC_BOUNDS
 
     n_emb = (
         con.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
         if os.path.exists(os.path.join(sf_dir, "embeddings.parquet"))
         else 0
     )
-    lsh_beyond_mirror = n_emb > ND_LSH_ORACLE_MAX_N
 
     failures = 0
     verdicts: dict[str, dict] = {}
     for name, q in QUERIES.items():
         if only and name not in only:
             continue
-        if name == "dedup_embedding_lsh" and lsh_beyond_mirror:
+        bound = ORACLE_STATIC_BOUNDS.get(name)
+        if bound is not None and n_emb > bound:
             try:
                 n_rows = q.build(spark, sf_dir).count()
             except Exception as exc:  # noqa: BLE001
@@ -157,8 +158,8 @@ def main() -> int:
             print(
                 f"ok*   {name}: rows-only ({n_rows} rows) — {n_emb} "
                 f"embeddings exceed the static-mirror bound "
-                f"{ND_LSH_ORACLE_MAX_N}; corpus-sized planes diverge "
-                f"from the frozen-plane oracle BY DESIGN"
+                f"{bound}; the corpus-sized model diverges "
+                f"from the frozen-parameter oracle BY DESIGN"
             )
             verdicts[name] = {"status": "rows_only", "rows": n_rows,
                               "detail": "beyond static-mirror bound"}
