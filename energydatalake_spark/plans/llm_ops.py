@@ -192,6 +192,23 @@ GROUP BY md5(text)
 
 MH_N, MH_BANDS, MH_ROWS, MH_THRESHOLD = 3, 16, 2, 0.5
 
+#: minhash_pairs / dedup_clusters arm the band-geometry circuit
+#: breaker (text/dedup.py _auto_band_rows) above this documents count —
+#: the same oracle-bound gating as ND_LSH_ORACLE_MAX_N / SEM_ORACLE_
+#: MAX_N, keyed on documents: every driver-checked scale (500 docs at
+#: sf0.01, 5,000 at sf0.1) keeps the static (bands=16, rows=2)
+#: geometry, so the DuckDB mirror that replays it stays value-hash-
+#: exact; beyond the bound a saturated shingle universe may escalate
+#: rows and the mirror is the wrong oracle BY DESIGN (rows-only
+#: checked via ORACLE_STATIC_BOUNDS).
+MH_ORACLE_MAX_DOCS = 25_000
+MH_AUTO_ROWS_MAX = 4
+
+
+def _mh_auto_rows_max(sf_dir: str) -> int | None:
+    n = _parquet_rows(sf_dir, "documents")
+    return MH_AUTO_ROWS_MAX if n > MH_ORACLE_MAX_DOCS else None
+
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = minhash_pairs(
@@ -200,6 +217,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=MH_BANDS,
         rows=MH_ROWS,
         threshold=MH_THRESHOLD,
+        auto_rows_max=_mh_auto_rows_max(sf_dir),
     )
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 6).alias("jaccard"))
 
@@ -1962,7 +1980,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     pairs = minhash_pairs(
-        docs, n=MH_N, bands=MH_BANDS, rows=MH_ROWS, threshold=MH_THRESHOLD
+        docs,
+        n=MH_N,
+        bands=MH_BANDS,
+        rows=MH_ROWS,
+        threshold=MH_THRESHOLD,
+        auto_rows_max=_mh_auto_rows_max(sf_dir),
     )
     # nodes_cover_edges: documents.doc_id is the primary key and every
     # pair endpoint is a doc_id — the singleton attachment is one scan
@@ -3185,13 +3208,15 @@ def _sem_cells(n: int) -> int:
 
 
 #: Queries whose static DuckDB mirror is only the right oracle up to a
-#: bound on the embeddings count (the query self-sizes its model above
-#: it). tools/oracle_check.py downgrades these to a rows-only verdict
-#: beyond the bound — the mirror is the wrong oracle there, not the
-#: query wrong.
+#: bound on a table's row count (the query self-sizes its model or
+#: geometry above it). tools/oracle_check.py downgrades these to a
+#: rows-only verdict beyond the bound — the mirror is the wrong oracle
+#: there, not the query wrong. Values: (table, max_rows).
 ORACLE_STATIC_BOUNDS = {
-    "dedup_embedding_lsh": ND_LSH_ORACLE_MAX_N,
-    "semantic_dedup": SEM_ORACLE_MAX_N,
+    "dedup_embedding_lsh": ("embeddings", ND_LSH_ORACLE_MAX_N),
+    "semantic_dedup": ("embeddings", SEM_ORACLE_MAX_N),
+    "minhash_pairs": ("documents", MH_ORACLE_MAX_DOCS),
+    "dedup_clusters": ("documents", MH_ORACLE_MAX_DOCS),
 }
 
 

@@ -45,6 +45,35 @@ def _perm_constants(k: int, seed: int = 7) -> tuple[list[int], list[int]]:
 PERM_MASK = (1 << 32) - 1
 
 
+def _pinned_doc_partitions(df: DataFrame, target_bytes: int = 4 * 1024 * 1024) -> int:
+    """Partition count for a doc-keyed window exchange, derived from
+    the SOURCE size instead of drawn from AQE's coalescing lottery:
+    max(session shuffle width, source bytes / target_bytes). The r11
+    x100 probe measured substring_dedup's wall time swinging 24.7 →
+    97.2 s across identical runs purely on whether the coalesced sort
+    partitions spilled; an explicit numPartitions repartition is
+    exempt from AQE coalescing, so the regime is chosen, not drawn.
+    ``target_bytes`` is per-partition SOURCE (compressed parquet)
+    bytes — token rows explode ~5-10× in the sort buffer, so 4 MB of
+    source keeps a window sort partition ~tens of MB, far from
+    spill. Size comes from the optimizer's plan statistics (file-size
+    sum, any filesystem); falls back to the session shuffle width if
+    the plan has no stats (e.g. a local relation)."""
+    import math
+
+    spark = df.sparkSession
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:
+        return base
+    if size <= 0 or size > (1 << 50):  # default/unknown stats sentinel
+        return base
+    return max(base, math.ceil(size / target_bytes))
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -117,6 +146,113 @@ def min_sig_agree(bands: int, rows: int, threshold: float) -> int:
     return int(bands * rows * threshold / 2)
 
 
+def _minhash_sig_cols(k: int) -> list[Column]:
+    """The k multiply-shift MinHash min-aggregates over the persisted
+    ``h0`` column — shared by the main signature pass and the
+    band-geometry probe so a given k always means the same
+    permutations (``_perm_constants`` is deterministic in k; probing
+    geometry r measures exactly the signatures the main pipeline
+    would build at that r)."""
+    perm_a, perm_b = _perm_constants(k)
+    return [
+        F.min(
+            (F.lit(perm_a[i]) * F.col("h0") + F.lit(perm_b[i])).bitwiseAND(
+                F.lit(PERM_MASK)
+            )
+        ).alias(f"m{i}")
+        for i in range(k)
+    ]
+
+
+def _band_hash_structs(bands: int, rows: int) -> list[Column]:
+    """One (band, band_hash) struct per band over signature columns
+    m0..m{bands*rows-1} — the LSH bucket keys, shared by the main
+    pipeline and the geometry probe."""
+    return [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{i}").cast("string")
+                        for i in range(b * rows, (b + 1) * rows)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+
+
+#: Mean shingle document-frequency above which the exact band-mass
+#: probe runs. Heaps-law corpora sit at ~1-3 (most shingles appear in
+#: few documents); a saturated shingle universe (boilerplate-heavy
+#: shard, tiny vocabulary) sends it to the hundreds — the r11 x100
+#: probe corpus measures ~870. The pre-signal is ONE aggregate over
+#: the already-persisted 16-byte shingle rows, so healthy corpora pay
+#: ~nothing for the circuit breaker.
+MH_SATURATION_MEAN_DF = 8.0
+
+
+def _auto_band_rows(
+    ex: DataFrame,
+    id_col: str,
+    bands: int,
+    rows: int,
+    rows_max: int,
+    max_cand_per_doc: float,
+) -> int:
+    """Band-geometry circuit breaker (VERDICT r11 #4): pick the
+    smallest ``rows`` ≤ ``rows_max`` whose expected LSH candidate
+    mass stays ≤ ``max_cand_per_doc`` candidates per document.
+
+    Band-collision candidate mass is quadratic in corpus size on a
+    SATURATED shingle universe (random-pair Jaccard stops shrinking
+    once the vocabulary stops growing — the r11 x100 probe measured
+    3.4k/186k/17.8M candidates against 8/97/1018 true pairs) while
+    raising ``rows`` crushes random collisions ≈ j₀ per step at the
+    documented recall cost for true pairs (P(found | j) =
+    1-(1-j^rows)^bands). Strategy:
+
+    1. Pre-signal: mean shingle df (total/approx-distinct) from one
+       aggregate over the persisted explode — healthy corpora return
+       immediately with the static geometry.
+    2. Exact probe: build the CURRENT geometry's (band, band_hash)
+       table — one map-side-combining signature pass over the cached
+       explode — and histogram bucket sizes: Σ c·(c-1)/2 is the exact
+       pre-dedup candidate count. No model, no underestimating skew.
+    3. Escalate ``rows`` one step and re-probe while the mass per doc
+       exceeds the bound, capping at ``rows_max`` (recall floor).
+
+    A saturated corpus pays one extra signature pass per escalation
+    step (realistically one); the decision is deterministic (exact
+    counts over deterministic hashes), so reruns pick the same
+    geometry."""
+    pre = ex.agg(
+        F.count(F.lit(1)).alias("t"),
+        F.approx_count_distinct("sh").alias("u"),
+        F.approx_count_distinct(id_col).alias("d"),
+    ).collect()[0]
+    if pre.d == 0 or pre.t / max(pre.u, 1) <= MH_SATURATION_MEAN_DF:
+        return rows
+    r = rows
+    while r < rows_max:
+        probe = (
+            ex.groupBy(id_col)
+            .agg(*_minhash_sig_cols(bands * r))
+            .select(F.explode(F.array(*_band_hash_structs(bands, r))).alias("bh"))
+            .groupBy("bh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("mass"))
+            .collect()[0]
+        )
+        if (probe.mass or 0.0) / pre.d <= max_cand_per_doc:
+            return r
+        r += 1
+    return r
+
+
 def minhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -125,6 +261,8 @@ def minhash_pairs(
     bands: int = 16,
     rows: int = 2,
     threshold: float = 0.5,
+    auto_rows_max: int | None = None,
+    max_cand_per_doc: float = 16.0,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verify.
 
@@ -132,11 +270,18 @@ def minhash_pairs(
     threshold, jaccard computed exactly on distinct shingle sets for
     LSH candidates that pass the ``min_sig_agree`` signature
     prefilter (see its docstring for the recall bound).
+
+    ``auto_rows_max`` arms the band-geometry circuit breaker
+    (:func:`_auto_band_rows`): on a corpus whose shingle universe is
+    saturated, ``rows`` escalates (up to the cap, ``bands`` fixed)
+    until expected candidates/doc ≤ ``max_cand_per_doc``, keeping
+    candidate mass linear in corpus size instead of quadratic. Leave
+    it ``None`` (the default) wherever the static geometry is part of
+    the contract — value-hash oracles, or signature-index
+    compatibility (pipelines/incremental.py persists signatures at a
+    fixed geometry; a geometry switch would orphan the index).
     """
     from energydatalake_spark.text.stats import _hex15_to_long
-
-    k = bands * rows
-    perm_a, perm_b = _perm_constants(k)
     # Explode + shingle building is the expensive scan-side work and is
     # reused by three downstream stages (signatures, set sizes, exact
     # verify) — persist it instead of recomputing the lineage. What
@@ -153,6 +298,11 @@ def minhash_pairs(
             _hex15_to_long(md).alias("sh"),
         )
     )
+    if auto_rows_max is not None and auto_rows_max > rows:
+        rows = _auto_band_rows(
+            ex, id_col, bands, rows, auto_rows_max, max_cand_per_doc
+        )
+    k = bands * rows
     # The signature aggregate also emits the doc's distinct-shingle
     # count (ex rows are distinct by construction — shingles() wraps
     # array_distinct): carrying |A| through the band pipeline lets the
@@ -161,35 +311,14 @@ def minhash_pairs(
     # joins the verify stage used to pay (8 extra bytes per band row
     # vs one exchange + two joins; measured r10: ~0.5 s at sf0.1).
     sig = ex.groupBy(id_col).agg(
-        *[
-            F.min(
-                (F.lit(perm_a[i]) * F.col("h0") + F.lit(perm_b[i])).bitwiseAND(
-                    F.lit(PERM_MASK)
-                )
-            ).alias(f"m{i}")
-            for i in range(k)
-        ],
+        *_minhash_sig_cols(k),
         F.count(F.lit(1)).alias("n_shingles"),
     )
     # One row per (doc, band) with the band's hash — the LSH bucket key.
     # A single generator expression, NOT a bands-way union: a union of N
     # selects over the same aggregate makes Catalyst plan the upstream N
     # times (exchange reuse is best-effort), an N× scan at scale.
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{i}").cast("string")
-                        for i in range(b * rows, (b + 1) * rows)
-                    ],
-                )
-            ).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
+    band_structs = _band_hash_structs(bands, rows)
     # The full k-component signature rides each band row alongside
     # n_shingles (k ints — linear payload through the one bucket
     # exchange) so the agreement prefilter below runs MAP-SIDE on the
@@ -587,6 +716,7 @@ def substring_dedup(
     k: int = 5,
     max_df: int = 1,
     out_col: str = "text_kept",
+    window_partitions: int | None = None,
 ) -> DataFrame:
     """Exact duplicate-span removal (the Lee-et-al "Deduplicating
     Training Data" tier): remove every run of ≥``k`` consecutive tokens
@@ -621,11 +751,26 @@ def substring_dedup(
     shuffle join if a degenerate corpus overflows it); the coverage
     decision is a running max over the already doc-partitioned frame
     (no new exchange); reassembly groups one document per task.
+
+    The gram window's exchange width is PINNED (``window_partitions``,
+    default :func:`_pinned_doc_partitions` from the source size) —
+    left to AQE coalescing, the sort partitions at the r11 x100 probe
+    sat exactly at the spill boundary and identical runs drew 24.7 s
+    or 97.2 s depending on whether the external sorter engaged; the
+    explicit numPartitions repartition is exempt from coalescing, so
+    the in-memory regime is chosen, not drawn. The window, coverage
+    pass, and per-doc reassembly all reuse the one pinned hash
+    partitioning — still a single doc-keyed exchange.
     """
     from pyspark.sql import Window
 
     from energydatalake_spark.text.stats import _hex15_to_long
 
+    n_parts = (
+        window_partitions
+        if window_partitions is not None
+        else _pinned_doc_partitions(df)
+    )
     toks = df.select(
         F.col(id_col),
         F.posexplode(
@@ -634,7 +779,7 @@ def substring_dedup(
                 lambda t: t != F.lit(""),
             )
         ).alias("pos", "tok"),
-    )
+    ).repartition(n_parts, F.col(id_col))
     w = Window.partitionBy(id_col).orderBy("pos")
     # k-1 lead columns + the validity probe share one WindowExec; the
     # gram is null (and joins nothing) when fewer than k tokens remain.

@@ -225,3 +225,90 @@ def test_min_sig_agree_cutoff_and_prefilter(spark):
         for r in minhash_pairs(docs, threshold=0.0).collect()
     }
     assert set(strict) <= loose
+
+
+def _probe_ex(spark, rows):
+    """The exact (id, h0, sh) explode minhash_pairs builds — the
+    input _auto_band_rows sees."""
+    from pyspark.sql import functions as F
+
+    from energydatalake_spark.text.dedup import _exploded_shingles
+    from energydatalake_spark.text.stats import _hex8_to_long, _hex15_to_long
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    md = F.md5(F.col("shingle"))
+    return _exploded_shingles(df, "text", "doc_id", 3).select(
+        F.col("doc_id"),
+        _hex8_to_long(md).alias("h0"),
+        _hex15_to_long(md).alias("sh"),
+    )
+
+
+def _saturated_rows(n_docs=240, vocab=("aa", "bb", "cc", "dd"), seed=11):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        (i, " ".join(rng.choice(vocab, size=24))) for i in range(n_docs)
+    ]
+
+
+def test_auto_band_rows_escalates_on_saturation(spark):
+    """Band-geometry circuit breaker (VERDICT r11 #4): a saturated
+    shingle universe (4-word vocab → mean shingle df ≫ the pre-signal
+    bound, nearly every band bucket fat) must escalate rows above the
+    static geometry; a healthy Heaps-law-ish corpus (all-distinct
+    tokens, mean df = 1) must short-circuit on the pre-signal and keep
+    it. Deterministic inputs → deterministic choice."""
+    from energydatalake_spark.text.dedup import _auto_band_rows
+
+    sat = _probe_ex(spark, _saturated_rows())
+    chosen = _auto_band_rows(
+        sat, "doc_id", bands=16, rows=2, rows_max=4, max_cand_per_doc=16.0
+    )
+    assert chosen > 2
+    assert chosen == _auto_band_rows(  # same inputs, same geometry
+        sat, "doc_id", bands=16, rows=2, rows_max=4, max_cand_per_doc=16.0
+    )
+
+    healthy = _probe_ex(
+        spark,
+        [
+            (i, " ".join(f"w{i}x{j}" for j in range(24)))
+            for i in range(240)
+        ],
+    )
+    assert (
+        _auto_band_rows(
+            healthy, "doc_id", bands=16, rows=2, rows_max=4, max_cand_per_doc=16.0
+        )
+        == 2
+    )
+
+
+def test_minhash_auto_geometry_subset_of_static(spark):
+    """Escalated geometry only ever LOSES candidates (the documented
+    recall trade) — the exact-Jaccard verify makes every emitted pair
+    true at any geometry, so auto output ⊆ static output; exact
+    duplicates (jaccard 1, band collision certain at any rows) always
+    survive the switch."""
+    from energydatalake_spark.text.dedup import release_shingle_cache
+
+    rows = _saturated_rows()
+    rows.append((9001, rows[5][1]))  # exact dup of doc 5
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    try:
+        static = {
+            (r.id_a, r.id_b)
+            for r in minhash_pairs(df, n=3, threshold=0.5).collect()
+        }
+        auto = {
+            (r.id_a, r.id_b)
+            for r in minhash_pairs(
+                df, n=3, threshold=0.5, auto_rows_max=4
+            ).collect()
+        }
+    finally:
+        release_shingle_cache()
+    assert auto <= static
+    assert (5, 9001) in auto

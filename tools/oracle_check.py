@@ -132,18 +132,23 @@ def main() -> int:
     # scale-tier case as an explicit rows-only verdict.
     from energydatalake_spark.plans.llm_ops import ORACLE_STATIC_BOUNDS
 
-    n_emb = (
-        con.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
-        if os.path.exists(os.path.join(sf_dir, "embeddings.parquet"))
-        else 0
-    )
+    def _table_rows(table: str) -> int:
+        if not os.path.exists(os.path.join(sf_dir, f"{table}.parquet")):
+            return 0
+        return con.sql(f"SELECT COUNT(*) FROM {table}").fetchone()[0]
+
+    table_rows = {
+        t: _table_rows(t)
+        for t in {t for t, _ in ORACLE_STATIC_BOUNDS.values()}
+    }
 
     failures = 0
     verdicts: dict[str, dict] = {}
     for name, q in QUERIES.items():
         if only and name not in only:
             continue
-        bound = ORACLE_STATIC_BOUNDS.get(name)
+        table, bound = ORACLE_STATIC_BOUNDS.get(name, (None, None))
+        n_emb = table_rows.get(table, 0)
         if bound is not None and n_emb > bound:
             try:
                 n_rows = q.build(spark, sf_dir).count()
@@ -157,7 +162,7 @@ def main() -> int:
                 continue
             print(
                 f"ok*   {name}: rows-only ({n_rows} rows) — {n_emb} "
-                f"embeddings exceed the static-mirror bound "
+                f"{table} rows exceed the static-mirror bound "
                 f"{bound}; the corpus-sized model diverges "
                 f"from the frozen-parameter oracle BY DESIGN"
             )
