@@ -263,6 +263,7 @@ def minhash_pairs(
     threshold: float = 0.5,
     auto_rows_max: int | None = None,
     max_cand_per_doc: float = 16.0,
+    sig_prefilter: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verify.
 
@@ -270,6 +271,11 @@ def minhash_pairs(
     threshold, jaccard computed exactly on distinct shingle sets for
     LSH candidates that pass the ``min_sig_agree`` signature
     prefilter (see its docstring for the recall bound).
+    ``sig_prefilter=False`` restores the pre-r11 full-verify recall
+    contract — every band-colliding pair reaches the exact-Jaccard
+    verify, at its cost (ADVICE r11 #2: the prefilter drops a
+    borderline pair at j = threshold with P ≈ 1e-3; callers that need
+    that last 0.1% can buy it back here).
 
     ``auto_rows_max`` arms the band-geometry circuit breaker
     (:func:`_auto_band_rows`): on a corpus whose shingle universe is
@@ -366,7 +372,9 @@ def minhash_pairs(
     # shingle-intersection join. Filter-then-distinct equals
     # distinct-then-filter for a per-pair-deterministic predicate, so
     # the DuckDB mirror may apply it after its DISTINCT.
-    agree_min = F.lit(min_sig_agree(bands, rows, threshold))
+    agree_min = F.lit(
+        min_sig_agree(bands, rows, threshold) if sig_prefilter else 0
+    )
     left = grouped.select(F.explode("ids").alias("ia"), F.col("ids"))
     cand = (
         left.select(

@@ -312,3 +312,27 @@ def test_minhash_auto_geometry_subset_of_static(spark):
         release_shingle_cache()
     assert auto <= static
     assert (5, 9001) in auto
+
+
+def test_minhash_sig_prefilter_opt_out(spark, docs):
+    """sig_prefilter=False restores full-verify recall (ADVICE r11
+    #2): every band-colliding candidate reaches the exact verify, so
+    its output is a superset of the prefiltered default — and on this
+    corpus (no borderline pairs near the cutoff) they are equal."""
+    from energydatalake_spark.text.dedup import release_shingle_cache
+
+    try:
+        pre = {
+            (r.id_a, r.id_b)
+            for r in minhash_pairs(docs, n=3, threshold=0.3).collect()
+        }
+        full = {
+            (r.id_a, r.id_b)
+            for r in minhash_pairs(
+                docs, n=3, threshold=0.3, sig_prefilter=False
+            ).collect()
+        }
+    finally:
+        release_shingle_cache()
+    assert pre <= full
+    assert (1, 4) in full

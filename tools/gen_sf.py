@@ -151,6 +151,13 @@ def main() -> None:
             raise SystemExit(
                 f"gen_sf: multiplier {pos[1]!r} is not an integer; {usage}"
             ) from None
+        if mult < 1:
+            # 0 would "succeed" writing empty scaled tables (ADVICE
+            # r11 #3); negatives only tripped the flag check above
+            # with a misleading message.
+            raise SystemExit(
+                f"gen_sf: multiplier must be >= 1, got {mult}; {usage}"
+            )
     else:
         mult = 10
     os.makedirs(out, exist_ok=True)

@@ -236,6 +236,16 @@ def main() -> int:
             "tool": "tools/oracle_check.py",
             "compare": "rowcount + column-name + typed order-insensitive "
                        "value multiset vs DuckDB oracle SQL",
+            # rows_only is PASS-grade (ADVICE r11 #4): the query ran and
+            # returned rows, but no static oracle applies at this scale
+            # (no oracle declared, or beyond ORACLE_STATIC_BOUNDS where
+            # the frozen-parameter mirror is the wrong oracle by
+            # design). Only status == "FAIL" counts toward n_fail.
+            "status_legend": {
+                "OK": "value-hash match vs oracle",
+                "rows_only": "pass-grade: ran, no static oracle at this scale",
+                "FAIL": "mismatch or engine error",
+            },
             "sf_dir": sf_dir,
             "n_queries": len(verdicts),
             "n_fail": failures,

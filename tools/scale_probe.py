@@ -28,6 +28,18 @@ measurement inherits another's heap/GC state — the r11 sweep measured
 hashed_tfidf at 182 s (α₂ 1.41) inside a shared session vs 47 s
 (α₂ 0.79) clean. Prefer it for any number the ledger will cite.
 Usage:  python tools/scale_probe.py --x100 --fresh [query ...]
+
+``--heaps`` (VERDICT r11 #5) swaps the documents generator for a
+Heaps-law one: vocabulary grows ~n^0.55 with the corpus under a
+zipfian frequency profile, the way real crawl corpora behave. The
+fixed 31-word VOCAB above is a useful adversarial corner (it
+saturates the 3-gram shingle universe, making every LSH exponent
+pessimistic — the corpus the band-geometry circuit breaker exists
+for) but hides real-corpus behavior; the ledger publishes BOTH
+exponent columns (``queries`` = saturated, ``queries_heaps`` = Heaps)
+in BENCHHEAVY_sf10.json. Embeddings are generator-identical across
+modes, so --heaps defaults to the document-driven heavy queries.
+Usage:  python tools/scale_probe.py --x100 [--fresh] --heaps [query ...]
 """
 
 from __future__ import annotations
@@ -129,10 +141,64 @@ def gen_embeddings(path: str, n_vecs: int, rng: np.random.Generator) -> None:
     pq.write_table(tbl, path)
 
 
+def gen_documents_heaps(path: str, n_docs: int, rng: np.random.Generator) -> None:
+    """Heaps-law documents: vocabulary of ~8·n^0.55 synthetic words
+    under a zipf(1.1) frequency profile — distinct shingles keep
+    growing with the corpus, the way real crawl text behaves (vs the
+    fixed-VOCAB generator above, whose shingle universe saturates).
+    Same planted structure: ~0.2% exact dups, a pool of shared 6-token
+    spans, same doc-length profile, so the same dedup machinery has
+    real work at every scale."""
+    v = max(1_000, int(8 * n_docs**0.55))
+    vocab = np.array([f"w{i}" for i in range(v)])
+    p = 1.0 / np.arange(1, v + 1) ** 1.1
+    p /= p.sum()
+    spans = [
+        list(rng.choice(vocab, size=6, p=p)) for _ in range(max(20, n_docs // 250))
+    ]
+    texts: list[str] = []
+    for i in range(n_docs):
+        if texts and rng.random() < 0.002:
+            texts.append(texts[rng.integers(0, len(texts))])  # exact dup
+            continue
+        toks = list(rng.choice(vocab, size=int(rng.integers(40, 69)), p=p))
+        if rng.random() < 0.3:  # plant a shared span mid-document
+            span = spans[rng.integers(0, len(spans))]
+            pos = int(rng.integers(0, len(toks) - 6))
+            toks[pos : pos + 6] = span
+        texts.append(" ".join(toks))
+    langs = rng.choice(["en", "de", "fr", "es", "pt"], size=n_docs)
+    sources = rng.choice([f"src{i}" for i in range(20)], size=n_docs)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs.tolist()),
+            "source": pa.array(sources.tolist()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
 #: x100 additions: the two remaining heavy similarity/CC queries worth
 #: a second decade (the windowed eval ops ngram_jaccard/dedup_recall
 #: stay in the x10 list but are ~constant by construction).
 HEAVY_X100_EXTRA = ["dedup_embedding_lsh", "embedding_clusters_kmeans"]
+
+#: --heaps default: the heavy queries the documents generator drives
+#: (embeddings are generator-identical across modes).
+HEAVY_DOCS = [
+    "minhash_pairs",
+    "hashed_tfidf",
+    "vocab_coverage",
+    "line_dedup",
+    "substring_dedup",
+    "dedup_clusters",
+    "ngram_jaccard",
+    "dedup_recall",
+    "simhash_pairs",
+]
 
 SIZES = {1: (5_000, 2_000), 10: (50_000, 20_000), 100: (500_000, 200_000)}
 
@@ -140,38 +206,54 @@ SIZES = {1: (5_000, 2_000), 10: (50_000, 20_000), 100: (500_000, 200_000)}
 _GEN_SEED = 4242
 
 
-def _gen_manifest(mult: int) -> dict:
+def _gen_manifest(mult: int, heaps: bool = False) -> dict:
     """Identity of the data _gen_dir would produce right now: sizes,
-    seed, and a hash of the generator source. Persisted next to the
-    parquet so reuse across --x100 runs only happens when the data an
-    existing dir holds is the data this code would regenerate —
-    otherwise a generator/SIZES change silently feeds stale rows into
-    the committed BENCHHEAVY exponents (ADVICE r10)."""
+    seed, generator mode, and a hash of the generator source.
+    Persisted next to the parquet so reuse across --x100 runs only
+    happens when the data an existing dir holds is the data this code
+    would regenerate — otherwise a generator/SIZES change silently
+    feeds stale rows into the committed BENCHHEAVY exponents (ADVICE
+    r10)."""
     import hashlib
     import inspect
 
     # Hash the module-level inputs the generators close over (VOCAB —
     # r11 review: editing it changes every document but not the
     # function source) alongside the function bodies.
+    gen_docs = gen_documents_heaps if heaps else gen_documents
     src = (
-        inspect.getsource(gen_documents)
+        inspect.getsource(gen_docs)
         + inspect.getsource(gen_embeddings)
         + repr(VOCAB)
     )
     return {
+        "mode": "heaps" if heaps else "saturated",
         "sizes": list(SIZES[mult]),
         "seed": _GEN_SEED,
         "generator_md5": hashlib.md5(src.encode()).hexdigest(),
     }
 
 
-def _gen_dir(base: str, mult: int) -> str:
+def _manifest_stamp(heaps: bool) -> str:
+    """BENCHHEAVY entry stamp: hash of the FULL x100 manifest (mode +
+    sizes + seed + generator source), not generator_md5 alone — a
+    SIZES/seed change regenerates the data and must invalidate prior
+    merged entries too (ADVICE r11 #1)."""
+    import hashlib
+    import json
+
+    return hashlib.md5(
+        json.dumps(_gen_manifest(100, heaps), sort_keys=True).encode()
+    ).hexdigest()
+
+
+def _gen_dir(base: str, mult: int, heaps: bool = False) -> str:
     import json
 
     d = os.path.join(base, f"x{mult}")
     docs = os.path.join(d, "documents.parquet")
     mpath = os.path.join(d, "manifest.json")
-    want = _gen_manifest(mult)
+    want = _gen_manifest(mult, heaps)
     if os.path.exists(docs):  # reuse across --x100 runs (x100 gen ~min)
         have = None
         if os.path.exists(mpath):
@@ -185,7 +267,7 @@ def _gen_dir(base: str, mult: int) -> str:
     os.makedirs(d, exist_ok=True)
     n_docs, n_vecs = SIZES[mult]
     rng = np.random.default_rng(_GEN_SEED)  # same seed: x10 ⊃-shaped like x1
-    gen_documents(docs, n_docs, rng)
+    (gen_documents_heaps if heaps else gen_documents)(docs, n_docs, rng)
     gen_embeddings(os.path.join(d, "embeddings.parquet"), n_vecs, rng)
     with open(mpath, "w") as fh:
         json.dump(want, fh)
@@ -231,9 +313,14 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--x100", "--fresh")]
+    flags = ("--x100", "--fresh", "--heaps")
+    args = [a for a in sys.argv[1:] if a not in flags]
     x100 = "--x100" in sys.argv[1:]
     fresh = "--fresh" in sys.argv[1:]
+    heaps = "--heaps" in sys.argv[1:]
+    default_queries = (
+        HEAVY_DOCS if heaps else (HEAVY + HEAVY_X100_EXTRA if x100 else HEAVY)
+    )
     if fresh and x100:
         # One subprocess (one JVM) per query: the r11 sweep showed a
         # shared 64g session contaminates later x100 measurements with
@@ -242,9 +329,10 @@ def main() -> None:
         # artifact is as crash-safe as the shared-session path.
         import subprocess
 
-        for q in args or (HEAVY + HEAVY_X100_EXTRA):
+        for q in args or default_queries:
             rc = subprocess.call(
                 [sys.executable, os.path.abspath(__file__), "--x100", q]
+                + (["--heaps"] if heaps else [])
             )
             if rc != 0:
                 print(f"--fresh: {q} exited {rc}; continuing", file=sys.stderr)
@@ -256,34 +344,38 @@ def main() -> None:
         # gives each executor its own heap; locally we emulate that by
         # sizing the shared JVM. Env still wins if the caller sets it.
         os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
-        queries = args or (HEAVY + HEAVY_X100_EXTRA)
-        base = "/tmp/sfgen/probe100"
-        dirs = {m: _gen_dir(base, m) for m in (1, 10, 100)}
+        queries = args or default_queries
+        base = "/tmp/sfgen/probe100h" if heaps else "/tmp/sfgen/probe100"
+        dirs = {m: _gen_dir(base, m, heaps) for m in (1, 10, 100)}
         import json
 
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         path = os.path.join(repo, "BENCHHEAVY_sf10.json")
 
-        gen_id = _gen_manifest(100)["generator_md5"]
+        qkey = "queries_heaps" if heaps else "queries"
+        gen_id = _manifest_stamp(heaps)
 
         def flush(results: dict) -> None:
             # Merge with any prior run so a restricted rerun (e.g. one
             # query that died last time) extends the artifact instead
-            # of clobbering the 11-query map — but only keep prior
-            # entries stamped with the SAME generator identity and
+            # of clobbering the full map — but only keep prior entries
+            # stamped with the SAME full-manifest identity (mode +
+            # sizes + seed + generator source — ADVICE r11 #1) and
             # still in the current query family (r11 review: without
             # the stamp, a generator/SIZES change would silently mix
-            # two corpora in one committed exponent table).
+            # two corpora in one committed exponent table). The two
+            # generator modes keep separate maps ("queries" =
+            # saturated VOCAB, "queries_heaps" = Heaps-law vocab).
             merged, extras = {}, {}
             if os.path.exists(path):
                 try:
                     with open(path) as fh:
                         prior = json.load(fh)
-                    merged = prior.get("queries", {})
+                    merged = prior.get(qkey, {})
                     extras = {
                         k: v
                         for k, v in prior.items()
-                        if k not in ("sizes", "queries")
+                        if k not in ("sizes", qkey)
                     }
                 except Exception:
                     merged = {}
@@ -301,7 +393,7 @@ def main() -> None:
                 json.dump(
                     {**extras,
                      "sizes": {f"x{m}": SIZES[m] for m in (1, 10, 100)},
-                     "queries": merged},
+                     qkey: merged},
                     fh, indent=1, sort_keys=True,
                 )
                 fh.write("\n")
@@ -310,10 +402,10 @@ def main() -> None:
         _run(queries, dirs, (1, 10, 100), flush=flush)
         print(f"wrote {path}")
         return
-    queries = args or HEAVY
+    queries = args or (HEAVY_DOCS if heaps else HEAVY)
     base = tempfile.mkdtemp(prefix="scale_probe_")
     try:
-        dirs = {m: _gen_dir(base, m) for m in (1, 10)}
+        dirs = {m: _gen_dir(base, m, heaps) for m in (1, 10)}
         _run(queries, dirs, (1, 10))
     finally:
         shutil.rmtree(base, ignore_errors=True)
