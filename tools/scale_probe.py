@@ -153,15 +153,22 @@ def gen_documents_heaps(path: str, n_docs: int, rng: np.random.Generator) -> Non
     vocab = np.array([f"w{i}" for i in range(v)])
     p = 1.0 / np.arange(1, v + 1) ** 1.1
     p /= p.sum()
+    # One inverse-CDF bulk draw for every token (per-doc rng.choice
+    # with p re-cumsums the whole vocab per call — O(n_docs·v)).
+    cdf = np.cumsum(p)
+    lengths = rng.integers(40, 69, size=n_docs)
+    pool = vocab[np.searchsorted(cdf, rng.random(int(lengths.sum())))]
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
     spans = [
-        list(rng.choice(vocab, size=6, p=p)) for _ in range(max(20, n_docs // 250))
+        list(vocab[np.searchsorted(cdf, rng.random(6))])
+        for _ in range(max(20, n_docs // 250))
     ]
     texts: list[str] = []
     for i in range(n_docs):
         if texts and rng.random() < 0.002:
             texts.append(texts[rng.integers(0, len(texts))])  # exact dup
             continue
-        toks = list(rng.choice(vocab, size=int(rng.integers(40, 69)), p=p))
+        toks = list(pool[starts[i] : starts[i] + lengths[i]])
         if rng.random() < 0.3:  # plant a shared span mid-document
             span = spans[rng.integers(0, len(spans))]
             pos = int(rng.integers(0, len(toks) - 6))
