@@ -3198,6 +3198,12 @@ SEM_ORACLE_MAX_N = ND_LSH_ORACLE_MAX_N
 #: (n/256 cells × dim doubles; 200k vectors → 782 cells ≈ 400 KB).
 SEM_TARGET_CELL_ROWS = 256
 
+#: Cap on the EXPECTED NumPy-Lloyd training sample (the actual
+#: hash-sample lands within a few % of n/mod). Keeps the gated driver
+#: collect bounded at any corpus size; headroom below the trainer's
+#: train_max_rows=131,072 refusal absorbs sample-size variance.
+SEM_TRAIN_SAMPLE_TARGET = 100_000
+
 
 def _sem_cells(n: int) -> int:
     import math
@@ -3272,9 +3278,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         # Sample target: 8 vectors per cell keeps init + means stable
-        # while the driver-side training collect stays model-scale
-        # (n/mod ≈ 8·n_cells = n/32 at the default occupancy).
-        mod = max(KMEANS_SAMPLE_MOD, n // max(8 * n_cells, 4096))
+        # while the driver-side training collect stays model-scale —
+        # CAPPED at SEM_TRAIN_SAMPLE_TARGET so the expected sample
+        # n/mod never outgrows the trainer's gated collect (r12
+        # review: 8·n_cells is n/32 at the default occupancy, which
+        # crossed train_max_rows at ~4.2M embeddings and hard-failed
+        # the very tier built for scale). Above ~16M embeddings
+        # n_cells approaches the capped sample and the trainer refuses
+        # with its few-vectors guard — that regime wants an externally
+        # trained codebook via the centroids parameter (see
+        # kmeans_centroids_np's docstring).
+        target = min(max(8 * n_cells, 4096), SEM_TRAIN_SAMPLE_TARGET)
+        mod = max(KMEANS_SAMPLE_MOD, -(-n // target))
         cents = kmeans_centroids_np(
             emb,
             n_cells=n_cells,

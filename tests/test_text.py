@@ -286,32 +286,33 @@ def test_auto_band_rows_escalates_on_saturation(spark):
     )
 
 
-def test_minhash_auto_geometry_subset_of_static(spark):
-    """Escalated geometry only ever LOSES candidates (the documented
-    recall trade) — the exact-Jaccard verify makes every emitted pair
-    true at any geometry, so auto output ⊆ static output; exact
-    duplicates (jaccard 1, band collision certain at any rows) always
-    survive the switch."""
+def test_minhash_auto_geometry_output_contract(spark):
+    """The escalated geometry keeps the operator's output contract:
+    every emitted pair is exactly verified (jaccard ≥ threshold — the
+    verify stage is geometry-independent), and exact duplicates
+    (jaccard 1, band collision certain at any rows) survive the
+    switch. NOT asserted: auto ⊆ static — different rows means
+    different permutation indices, so either geometry can band-collide
+    a borderline pair the other misses (the recall trade is
+    probabilistic per geometry, not monotone between them; r12
+    review)."""
     from energydatalake_spark.text.dedup import release_shingle_cache
 
     rows = _saturated_rows()
     rows.append((9001, rows[5][1]))  # exact dup of doc 5
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     try:
-        static = {
-            (r.id_a, r.id_b)
-            for r in minhash_pairs(df, n=3, threshold=0.5).collect()
-        }
         auto = {
-            (r.id_a, r.id_b)
+            (r.id_a, r.id_b): r.jaccard
             for r in minhash_pairs(
                 df, n=3, threshold=0.5, auto_rows_max=4
             ).collect()
         }
     finally:
         release_shingle_cache()
-    assert auto <= static
-    assert (5, 9001) in auto
+    assert auto, "escalated geometry found no pairs at all"
+    assert all(j >= 0.5 for j in auto.values())
+    assert auto[(5, 9001)] == 1.0
 
 
 def test_minhash_sig_prefilter_opt_out(spark, docs):

@@ -224,14 +224,16 @@ def _gen_manifest(mult: int, heaps: bool = False) -> dict:
     import hashlib
     import inspect
 
-    # Hash the module-level inputs the generators close over (VOCAB —
-    # r11 review: editing it changes every document but not the
-    # function source) alongside the function bodies.
+    # Hash the module-level inputs the generator closes over alongside
+    # the function bodies — VOCAB only in saturated mode (r11 review:
+    # editing it changes every document but not the function source;
+    # r12 review: the heaps generator never reads it, so hashing it
+    # there would spuriously invalidate byte-identical heaps data).
     gen_docs = gen_documents_heaps if heaps else gen_documents
     src = (
         inspect.getsource(gen_docs)
         + inspect.getsource(gen_embeddings)
-        + repr(VOCAB)
+        + ("" if heaps else repr(VOCAB))
     )
     return {
         "mode": "heaps" if heaps else "saturated",
@@ -242,15 +244,20 @@ def _gen_manifest(mult: int, heaps: bool = False) -> dict:
 
 
 def _manifest_stamp(heaps: bool) -> str:
-    """BENCHHEAVY entry stamp: hash of the FULL x100 manifest (mode +
-    sizes + seed + generator source), not generator_md5 alone — a
-    SIZES/seed change regenerates the data and must invalidate prior
-    merged entries too (ADVICE r11 #1)."""
+    """BENCHHEAVY entry stamp: hash of the full manifests of ALL
+    THREE decades (mode + per-decade sizes + seed + generator
+    source), not generator_md5 alone — a SIZES/seed change at ANY
+    decade changes t_x1/t_x10/t_x100 and both exponents, so it must
+    invalidate prior merged entries (ADVICE r11 #1; r12 review:
+    hashing only the x100 manifest left SIZES[1]/SIZES[10] edits
+    silently mixing corpora)."""
     import hashlib
     import json
 
     return hashlib.md5(
-        json.dumps(_gen_manifest(100, heaps), sort_keys=True).encode()
+        json.dumps(
+            [_gen_manifest(m, heaps) for m in (1, 10, 100)], sort_keys=True
+        ).encode()
     ).hexdigest()
 
 
