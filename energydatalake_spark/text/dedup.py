@@ -202,6 +202,7 @@ def _auto_band_rows(
     rows: int,
     rows_max: int,
     max_cand_per_doc: float,
+    first_sig: DataFrame | None = None,
 ) -> int:
     """Band-geometry circuit breaker (VERDICT r11 #4): pick the
     smallest ``rows`` ≤ ``rows_max`` whose expected LSH candidate
@@ -226,9 +227,13 @@ def _auto_band_rows(
        exceeds the bound, capping at ``rows_max`` (recall floor).
 
     A saturated corpus pays one extra signature pass per escalation
-    step (realistically one); the decision is deterministic (exact
-    counts over deterministic hashes), so reruns pick the same
-    geometry."""
+    step (realistically one); the caller passes its own (persisted)
+    starting-geometry signature frame as ``first_sig`` so the
+    no-escalation case — armed but healthy enough — probes the frame
+    the main pipeline will reuse instead of computing signatures
+    twice (the sf1 bench measured the throwaway pass at ~3 s / +26%).
+    The decision is deterministic (exact counts over deterministic
+    hashes), so reruns pick the same geometry."""
     pre = ex.agg(
         F.count(F.lit(1)).alias("t"),
         F.approx_count_distinct("sh").alias("u"),
@@ -238,10 +243,13 @@ def _auto_band_rows(
         return rows
     r = rows
     while r < rows_max:
+        sig = (
+            first_sig
+            if r == rows and first_sig is not None
+            else ex.groupBy(id_col).agg(*_minhash_sig_cols(bands * r))
+        )
         probe = (
-            ex.groupBy(id_col)
-            .agg(*_minhash_sig_cols(bands * r))
-            .select(F.explode(F.array(*_band_hash_structs(bands, r))).alias("bh"))
+            sig.select(F.explode(F.array(*_band_hash_structs(bands, r))).alias("bh"))
             .groupBy("bh")
             .agg(F.count(F.lit(1)).alias("c"))
             .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("mass"))
@@ -304,11 +312,6 @@ def minhash_pairs(
             _hex15_to_long(md).alias("sh"),
         )
     )
-    if auto_rows_max is not None and auto_rows_max > rows:
-        rows = _auto_band_rows(
-            ex, id_col, bands, rows, auto_rows_max, max_cand_per_doc
-        )
-    k = bands * rows
     # The signature aggregate also emits the doc's distinct-shingle
     # count (ex rows are distinct by construction — shingles() wraps
     # array_distinct): carrying |A| through the band pipeline lets the
@@ -316,10 +319,36 @@ def minhash_pairs(
     # eliminating the separate sizes aggregate AND both per-side size
     # joins the verify stage used to pay (8 extra bytes per band row
     # vs one exchange + two joins; measured r10: ~0.5 s at sf0.1).
-    sig = ex.groupBy(id_col).agg(
-        *_minhash_sig_cols(k),
-        F.count(F.lit(1)).alias("n_shingles"),
-    )
+    def build_sig(k: int) -> DataFrame:
+        return ex.groupBy(id_col).agg(
+            *_minhash_sig_cols(k),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+
+    sig = None
+    if auto_rows_max is not None and auto_rows_max > rows:
+        # Persist the starting-geometry signatures and probe THEM: in
+        # the no-escalation case (armed but healthy — e.g. the sf1
+        # replicated corpus, probe fires, mass under bound) the main
+        # pipeline reuses the materialized frame, so the breaker costs
+        # one histogram instead of a second full signature pass
+        # (measured ~3 s / +26% at sf1 before this reuse). Registered
+        # in the shingle cache so callers release it with the explode.
+        from pyspark.storagelevel import StorageLevel
+
+        sig0 = build_sig(bands * rows).persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE.append(sig0)
+        chosen = _auto_band_rows(
+            ex, id_col, bands, rows, auto_rows_max, max_cand_per_doc,
+            first_sig=sig0,
+        )
+        if chosen == rows:
+            sig = sig0
+        else:
+            rows = chosen
+    k = bands * rows
+    if sig is None:
+        sig = build_sig(k)
     # One row per (doc, band) with the band's hash — the LSH bucket key.
     # A single generator expression, NOT a bands-way union: a union of N
     # selects over the same aggregate makes Catalyst plan the upstream N
