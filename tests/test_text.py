@@ -337,3 +337,32 @@ def test_minhash_sig_prefilter_opt_out(spark, docs):
         release_shingle_cache()
     assert pre <= full
     assert (1, 4) in full
+
+
+def test_minhash_sig_reuse_identical_output(spark):
+    """Armed-but-no-escalation path (the sf1 class): the breaker
+    probes the persisted starting-geometry signatures and the main
+    pipeline REUSES that frame — output must be identical to the
+    unarmed run at the same geometry (same permutations, same verify;
+    a huge max_cand_per_doc forces chosen == rows while the saturated
+    corpus still fires the pre-signal and materializes the probe)."""
+    from energydatalake_spark.text.dedup import release_shingle_cache
+
+    df = spark.createDataFrame(
+        _saturated_rows(), "doc_id bigint, text string"
+    )
+    try:
+        unarmed = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in minhash_pairs(df, n=3, threshold=0.5).collect()
+        }
+        reused = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in minhash_pairs(
+                df, n=3, threshold=0.5,
+                auto_rows_max=4, max_cand_per_doc=1e12,
+            ).collect()
+        }
+    finally:
+        release_shingle_cache()
+    assert reused == unarmed and unarmed
