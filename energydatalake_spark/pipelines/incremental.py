@@ -51,11 +51,14 @@ band_hash.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from energydatalake_spark.text.dedup import (
+    MH_SATURATION_MEAN_DF,
+    _exploded_shingles,
     minhash_signatures,
     signature_band_buckets,
 )
@@ -63,6 +66,56 @@ from energydatalake_spark.text.dedup import (
 #: Default parameters — same as the inline registry query's
 #: (plans/llm_ops.py MH_*), so the two paths score identically.
 N_SHINGLE, BANDS, ROWS, THRESHOLD = 3, 16, 2, 0.5
+
+
+class SaturatedBatchWarning(UserWarning):
+    """An incoming batch's shingle universe is saturated while the
+    persisted index pins the band geometry static."""
+
+
+def _warn_if_saturated(
+    batch: DataFrame, text_col: str, id_col: str, n: int
+) -> float:
+    """Stage-1 breaker pre-signal on the INDEX path (VERDICT r12 #3).
+
+    The persisted-signature index deliberately keeps band geometry
+    static — an escalation would orphan every signature and bucket
+    already on disk — so the inline breaker
+    (``text.dedup._auto_band_rows``) cannot run here. Its cheap
+    stage-1 pre-signal still can: ONE aggregate over the batch's
+    shingle explode measuring mean shingle document-frequency
+    (total/approx-distinct). A Heaps-law batch sits at ~1-3; a
+    saturated batch (boilerplate-heavy shard, tiny vocabulary — the
+    r11 x100 probe corpus measures ~870) sends near-tier candidate
+    mass quadratic at the pinned geometry, and previously did so
+    SILENTLY (the trade-off lived only in a doc note). Now it fails
+    loudly: a ``SaturatedBatchWarning`` names the measured mean df
+    and the re-bootstrap remedy. Batch-sized, one extra scan of the
+    increment (never the index or corpus); returns the measured mean
+    df so callers can export it as a metric."""
+    pre = (
+        _exploded_shingles(batch, text_col, id_col, n)
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.approx_count_distinct("shingle").alias("u"),
+        )
+        .collect()[0]
+    )
+    mean_df = pre.t / max(pre.u, 1)
+    if pre.t and mean_df > MH_SATURATION_MEAN_DF:
+        warnings.warn(
+            f"incremental_ingest: batch shingle universe is saturated "
+            f"(mean shingle df {mean_df:.1f} > "
+            f"{MH_SATURATION_MEAN_DF}); the persisted index pins band "
+            f"geometry static (bands/rows fixed at bootstrap), so LSH "
+            f"candidate mass for this batch can grow quadratically. "
+            f"Consider re-bootstrapping the index at a harder geometry "
+            f"(build_minhash_index with larger rows) or pre-filtering "
+            f"boilerplate from the batch.",
+            SaturatedBatchWarning,
+            stacklevel=3,
+        )
+    return mean_df
 
 
 def _tables(index_path: str) -> tuple[str, str, str]:
@@ -109,6 +162,7 @@ def incremental_ingest(
     rows: int = ROWS,
     threshold: float = THRESHOLD,
     append: bool = True,
+    presignal: bool = True,
 ) -> DataFrame:
     """Admit one batch against the persisted index. Returns the
     verdict frame ``(doc_id, verdict ∈ {exact, near_dup, accept},
@@ -129,9 +183,16 @@ def incremental_ingest(
 
     The verdict plan reads the three index tables and the batch —
     never the corpus text (pinned by
-    test_incremental_ingest_scans_index_not_corpus)."""
+    test_incremental_ingest_scans_index_not_corpus).
+
+    ``presignal`` (default on) runs the breaker's stage-1 saturation
+    pre-signal over the batch and emits a ``SaturatedBatchWarning``
+    when the static index geometry is at quadratic-candidate risk —
+    see ``_warn_if_saturated``. Verdicts are unaffected either way."""
     spark = batch.sparkSession
     exact_p, sig_p, buckets_p = _tables(index_path)
+    if presignal:
+        _warn_if_saturated(batch, text_col, id_col, n)
 
     batch_exact = batch.select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h")

@@ -2158,7 +2158,7 @@ _SQL_CELL_PROFILE_SUFFIX = """q AS (
          CAST(FLOOR(nm * 1000000.0 + 0.5) AS BIGINT) AS nmq
   FROM assign
 )
-SELECT CAST(cell_id AS INTEGER) AS cell_id,
+SELECT CAST(cell_id AS BIGINT) AS cell_id,
        COUNT(*) AS n_members,
        MIN(vec_id) AS canonical_vec_id,
        FLOOR(CAST(SUM(nmq) AS DOUBLE) / 1000000.0 / COUNT(*)

@@ -2080,16 +2080,76 @@ _register(
 DRIVER_WINDOW = 50
 
 _DRIVER_WINDOW_FIRST = [
-    # r12 rotation (VERDICT r11 #2): avg_by_month FIRST (the r11
-    # slot-arithmetic holdout — r9 driver row + two consecutive judge
+    # r13 rotation (VERDICT r12 #1): ngram_jaccard FIRST (the r12
+    # slot-arithmetic holdout — r10 driver row + r11 AND r12 judge
     # oracle re-runs), then the 48 queries whose newest driver
-    # evidence is r10 (multimodal, minhash/simhash families,
-    # similarity tiers, corpus prep/sampling, streaming, CC clusters,
-    # r8-new). Slot arithmetic repeats (50 candidates, 49 slots after
-    # the flagship): the r12 holdout is ngram_jaccard, which the r11
-    # judge independently re-ran against the DuckDB oracle — the
-    # freshest non-driver evidence in the incoming set. It leads the
-    # r13 rotation.
+    # evidence is r11 (the §2 relational core, text-analysis r7-era
+    # rows, embedding dedup tiers). Slot arithmetic repeats (50
+    # candidates, 49 slots after the flagship): the r13 holdout is
+    # semantic_dedup, which carries the freshest non-driver evidence
+    # in the incoming set (r12 judge oracle re-run at sf0.01, sf1
+    # bench scale-tier run, x100 fresh-JVM probe). It leads the r14
+    # rotation.
+    "ngram_jaccard",
+    "boilerplate_filter",
+    "line_dedup",
+    "lm_buckets",
+    "source_cap",
+    "ann_recall",
+    "quality_probe",
+    "ivf_recall",
+    "streaming_quality",
+    "curation_funnel",
+    "skew_join",
+    "asof_join",
+    "text_stats",
+    "token_count",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "moving_avg",
+    "cumulative_revenue",
+    "rollup_revenue",
+    "pivot_revenue",
+    "quantiles",
+    "forecast_vs_actual",
+    "pearson_corr",
+    "multikey_avg",
+    "band_join",
+    "outer_join",
+    "mix_percentage",
+    "decimal_cast",
+    "timestamp_parse",
+    "tz_convert",
+    "union_all",
+    "drop_nulls",
+    "dedup_rows",
+    "group_count",
+    "topk_per_group",
+    "normalize_names",
+    "avg_by_hour",
+    "dedup_latest",
+    "null_profile",
+    "trend_fit",
+    "approx_distinct",
+    "approx_quantiles",
+    "resample_hourly",
+    "data_profile",
+    "asof_forward",
+    "revenue_by_nation",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+]
+
+_DRIVER_WINDOW_PARKED = [
+    # Parked in r13: every one of these earned a fresh driver-green
+    # row in CORRECTNESS_r12 (the r12-rotated set: multimodal,
+    # minhash/simhash families, similarity tiers, corpus
+    # prep/sampling, streaming, CC clusters, r8-new), plus
+    # semantic_dedup (r12 judge oracle re-run + sf1 bench + x100
+    # probe; the slot-arithmetic holdout — FIRST in the r14
+    # rotation). They stay covered by pytest and by
+    # tools/oracle_check.py (MIRROR_r{N}.json). Rotate back in r14+.
     "avg_by_month",
     "corpus_increment_batch",
     "multimodal_decode",
@@ -2139,66 +2199,7 @@ _DRIVER_WINDOW_FIRST = [
     "cohort_retention",
     "join_skew_profile",
     "decile_stats",
-]
-
-_DRIVER_WINDOW_PARKED = [
-    # Parked in r12: every one of these earned a fresh driver-green
-    # row in CORRECTNESS_r11 (the r11-rotated set: §2 relational
-    # core, text-analysis r7-era rows, embedding dedup tiers), plus
-    # ngram_jaccard (r10 driver row + r11 judge oracle re-run; the
-    # slot-arithmetic holdout — FIRST in the r13 rotation). They stay
-    # covered by pytest and by tools/oracle_check.py
-    # (MIRROR_r{N}.json). Rotate back in r13+.
-    "ngram_jaccard",
-    "boilerplate_filter",
-    "line_dedup",
-    "lm_buckets",
-    "source_cap",
-    "ann_recall",
     "semantic_dedup",
-    "quality_probe",
-    "ivf_recall",
-    "streaming_quality",
-    "curation_funnel",
-    "skew_join",
-    "asof_join",
-    "text_stats",
-    "token_count",
-    "lang_id",
-    "doc_fingerprint",
-    "dedup_exact",
-    "moving_avg",
-    "cumulative_revenue",
-    "rollup_revenue",
-    "pivot_revenue",
-    "quantiles",
-    "forecast_vs_actual",
-    "pearson_corr",
-    "multikey_avg",
-    "band_join",
-    "outer_join",
-    "mix_percentage",
-    "decimal_cast",
-    "timestamp_parse",
-    "tz_convert",
-    "union_all",
-    "drop_nulls",
-    "dedup_rows",
-    "group_count",
-    "topk_per_group",
-    "normalize_names",
-    "avg_by_hour",
-    "dedup_latest",
-    "null_profile",
-    "trend_fit",
-    "approx_distinct",
-    "approx_quantiles",
-    "resample_hourly",
-    "data_profile",
-    "asof_forward",
-    "revenue_by_nation",
-    "dedup_embedding",
-    "dedup_embedding_lsh",
 ]
 
 

@@ -335,12 +335,17 @@ def embedding_semantic_dedup(
                     {
                         "id": pdf["id"].values,
                         "vec": pdf["vec"].values,
-                        "cell_id": cell.astype(np.int32),
+                        # cell ids are corpus ids (default codebook =
+                        # first n_cells corpus vectors) and the id
+                        # space is 64-bit — an int32 cast would wrap
+                        # ids above 2^31 and could merge two distinct
+                        # cells (the Catalyst fold tier keeps longs).
+                        "cell_id": cell,
                     }
                 )
 
         cells = nz.select("id", "vec").mapInPandas(
-            assign_batches, "id long, vec array<double>, cell_id int"
+            assign_batches, "id long, vec array<double>, cell_id long"
         )
 
     out_schema = "vec_id long, cluster_id long, keep boolean"

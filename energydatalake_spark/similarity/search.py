@@ -81,7 +81,10 @@ def _argmax_cell(codebook: Column, vec: Column, norm: Column) -> Column:
     row_number window, with no shuffle."""
     return F.aggregate(
         _cell_cosine_array(codebook, vec, norm),
-        F.struct(F.lit(float("-inf")).alias("cos"), F.lit(-1).alias("cell_id")),
+        F.struct(
+            F.lit(float("-inf")).alias("cos"),
+            F.lit(-1).cast("bigint").alias("cell_id"),
+        ),
         lambda acc, x: F.when(x["cos"] > acc["cos"], x).otherwise(acc),
     )["cell_id"]
 
@@ -233,7 +236,10 @@ def _collect_codebook_rows(
     if centroids is None:
         centroids = corpus.orderBy(F.col(id_col)).limit(n_cells)
     cent_rows = centroids.select(
-        F.col(id_col).cast("int").alias("cell_id"),
+        # bigint: default centroids are corpus vectors, and the
+        # corpus id space is 64-bit ("ANY id space") — an int cast
+        # raises CAST_OVERFLOW under ANSI for ids above 2^31.
+        F.col(id_col).cast("bigint").alias("cell_id"),
         _as_double(F.col(vec_col)).alias("cv"),
     ).collect()
     if not cent_rows:

@@ -179,3 +179,51 @@ def test_incremental_ingest_intra_batch_duplicates(spark, index_path):
         r.doc_id for r in exact_tbl.filter(F.col("doc_id") >= 200).collect()
     }
     assert new_ids == {201}
+
+
+def test_incremental_ingest_saturation_presignal(spark, index_path):
+    """VERDICT r12 #3: the index path pins band geometry static, so a
+    saturated batch must fail LOUDLY — SaturatedBatchWarning fires on
+    a tiny-vocabulary batch (every 3-gram shared by every doc), stays
+    silent on a healthy one, and the verdicts are identical with the
+    pre-signal on or off."""
+    import warnings as _w
+
+    from energydatalake_spark.pipelines.incremental import (
+        SaturatedBatchWarning,
+        incremental_ingest,
+    )
+
+    # 30 docs over a 3-word vocabulary: the 3-gram universe holds a
+    # handful of distinct shingles shared corpus-wide → mean df >> 8.
+    words = ["alpha", "beta", "gamma"]
+    sat_rows = [
+        (300 + i, " ".join(words[(i + j) % 3] for j in range(12)))
+        for i in range(30)
+    ]
+    saturated = spark.createDataFrame(sat_rows, "doc_id bigint, text string")
+    with pytest.warns(SaturatedBatchWarning, match="mean shingle df"):
+        with_sig = incremental_ingest(saturated, index_path, append=False)
+        rows_on = {tuple(r) for r in with_sig.collect()}
+
+    # Healthy batch: distinct vocabularies per doc → mean df ~1.
+    healthy = spark.createDataFrame(
+        [
+            (401, "unique first document discussing watermark propagation"),
+            (402, "second body covering adaptive query execution plans"),
+        ],
+        "doc_id bigint, text string",
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error", SaturatedBatchWarning)
+        incremental_ingest(healthy, index_path, append=False).collect()
+
+    # Verdicts are observation-only: presignal off produces the same rows.
+    rows_off = {
+        tuple(r)
+        for r in incremental_ingest(
+            saturated, index_path, append=False, presignal=False
+        ).collect()
+    }
+    assert rows_on == rows_off
+    assert len(rows_on) == 30

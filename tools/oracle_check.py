@@ -160,6 +160,14 @@ def main() -> int:
                     "detail": f"spark error: {exc}"[:500],
                 }
                 continue
+            finally:
+                # ORACLE_STATIC_BOUNDS now routes shingle-persisting
+                # queries (minhash_pairs, dedup_clusters — breaker
+                # armed above MH_ORACLE_MAX_DOCS) through this branch,
+                # and each build persists the shingle explode plus the
+                # probe-signature frame. Same storage-leak class as
+                # the main loop below: release on success AND failure.
+                release_shingle_cache()
             print(
                 f"ok*   {name}: rows-only ({n_rows} rows) — {n_emb} "
                 f"{table} rows exceed the static-mirror bound "

@@ -40,6 +40,17 @@ exponent columns (``queries`` = saturated, ``queries_heaps`` = Heaps)
 in BENCHHEAVY_sf10.json. Embeddings are generator-identical across
 modes, so --heaps defaults to the document-driven heavy queries.
 Usage:  python tools/scale_probe.py --x100 [--fresh] --heaps [query ...]
+
+``--third`` (VERDICT r12 #2) measures the half-decade x100→x300
+(1.5M docs / 600k vectors ≈ sf30) for the log-factor families whose
+"stays ~linear at x1000" claims were analytic: the band-geometry
+breaker path (minhash_pairs, dedup_clusters) and the multiprobe
+fan-out (dedup_embedding_lsh). Writes ``queries_third`` /
+``queries_third_heaps`` entries (t_x100, t_x300, alpha_x100_x300)
+into BENCHHEAVY_sf10.json, stamped over the (100, 300) manifests.
+x300 is the largest point a 64g local JVM holds; log₃ spacing is
+enough to expose a tier that two full decades hid.
+Usage:  python tools/scale_probe.py --third [--fresh] [--heaps] [query ...]
 """
 
 from __future__ import annotations
@@ -207,7 +218,25 @@ HEAVY_DOCS = [
     "simhash_pairs",
 ]
 
-SIZES = {1: (5_000, 2_000), 10: (50_000, 20_000), 100: (500_000, 200_000)}
+SIZES = {
+    1: (5_000, 2_000),
+    10: (50_000, 20_000),
+    100: (500_000, 200_000),
+    # --third half-decade (VERDICT r12 #2): x300 = 1.5M docs / 600k
+    # vectors ≈ sf30 — the largest point one 64g local JVM holds
+    # comfortably; log₃ spacing is enough to expose a genuinely
+    # super-linear tier that two full decades hid.
+    300: (1_500_000, 600_000),
+}
+
+#: --third targets: the two log-factor families whose x1000
+#: stays-linear claims were analytic until now (the breaker's
+#: bands·rows step; the multiprobe (1+p) fan-out) plus the CC closure
+#: that consumes minhash candidates. dedup_embedding_lsh is
+#: embedding-driven — its data is generator-identical across modes,
+#: so it runs once (saturated key) rather than per-generator.
+THIRD_DECADE = ["minhash_pairs", "dedup_clusters", "dedup_embedding_lsh"]
+THIRD_DECADE_HEAPS = ["minhash_pairs", "dedup_clusters"]
 
 
 _GEN_SEED = 4242
@@ -243,20 +272,20 @@ def _gen_manifest(mult: int, heaps: bool = False) -> dict:
     }
 
 
-def _manifest_stamp(heaps: bool) -> str:
-    """BENCHHEAVY entry stamp: hash of the full manifests of ALL
-    THREE decades (mode + per-decade sizes + seed + generator
-    source), not generator_md5 alone — a SIZES/seed change at ANY
-    decade changes t_x1/t_x10/t_x100 and both exponents, so it must
+def _manifest_stamp(heaps: bool, mults: tuple[int, ...] = (1, 10, 100)) -> str:
+    """BENCHHEAVY entry stamp: hash of the full manifests of EVERY
+    decade the run measures (mode + per-decade sizes + seed +
+    generator source), not generator_md5 alone — a SIZES/seed change
+    at ANY decade changes the timings and every exponent, so it must
     invalidate prior merged entries (ADVICE r11 #1; r12 review:
     hashing only the x100 manifest left SIZES[1]/SIZES[10] edits
-    silently mixing corpora)."""
+    silently mixing corpora). --third stamps over (100, 300)."""
     import hashlib
     import json
 
     return hashlib.md5(
         json.dumps(
-            [_gen_manifest(m, heaps) for m in (1, 10, 100)], sort_keys=True
+            [_gen_manifest(m, heaps) for m in mults], sort_keys=True
         ).encode()
     ).hexdigest()
 
@@ -314,12 +343,16 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
         cells = " ".join(f"{t[m]:9.2f}" for m in mults)
         astr = " ".join(f"{a:6.2f}" for a in alphas)
         print(f"{name:28s} {cells} {astr}")
+        # alpha_1/alpha_2 for the canonical (1,10,100) ladder (the
+        # names SURVEY/VERDICT cite); pair-labelled for anything else
+        # (--third writes alpha_x100_x300).
+        if tuple(mults) == (1, 10, 100) or tuple(mults) == (1, 10):
+            akeys = [f"alpha_{i+1}" for i in range(len(alphas))]
+        else:
+            akeys = [f"alpha_x{a}_x{b}" for a, b in zip(mults, mults[1:])]
         out[name] = {
             **{f"t_x{m}": round(t[m], 4) for m in mults},
-            **{
-                f"alpha_{i+1}": round(a, 3)
-                for i, a in enumerate(alphas)
-            },
+            **{k: round(a, 3) for k, a in zip(akeys, alphas)},
         }
         if flush is not None:  # persist per-query: a dead JVM mid-run
             flush(out)         # must not lose the finished queries (r10)
@@ -332,10 +365,16 @@ def main() -> None:
     x100 = "--x100" in sys.argv[1:]
     fresh = "--fresh" in sys.argv[1:]
     heaps = "--heaps" in sys.argv[1:]
-    default_queries = (
-        HEAVY_DOCS if heaps else (HEAVY + HEAVY_X100_EXTRA if x100 else HEAVY)
-    )
-    if fresh and x100:
+    third = "--third" in sys.argv[1:]
+    if third:
+        default_queries = THIRD_DECADE_HEAPS if heaps else THIRD_DECADE
+    else:
+        default_queries = (
+            HEAVY_DOCS
+            if heaps
+            else (HEAVY + HEAVY_X100_EXTRA if x100 else HEAVY)
+        )
+    if fresh and (x100 or third):
         # One subprocess (one JVM) per query: the r11 sweep showed a
         # shared 64g session contaminates later x100 measurements with
         # heap/GC pressure (hashed_tfidf 182 s shared vs 47 s clean).
@@ -345,13 +384,14 @@ def main() -> None:
 
         for q in args or default_queries:
             rc = subprocess.call(
-                [sys.executable, os.path.abspath(__file__), "--x100", q]
+                [sys.executable, os.path.abspath(__file__),
+                 "--third" if third else "--x100", q]
                 + (["--heaps"] if heaps else [])
             )
             if rc != 0:
                 print(f"--fresh: {q} exited {rc}; continuing", file=sys.stderr)
         return
-    if x100:
+    if x100 or third:
         # x100 is ~sf10 in one local JVM: 32 executor threads sharing
         # the driver heap OOM at the default 8g (first attempted run
         # died in minhash_pairs' shuffle at stage ~625). A real cluster
@@ -360,14 +400,18 @@ def main() -> None:
         os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
         queries = args or default_queries
         base = "/tmp/sfgen/probe100h" if heaps else "/tmp/sfgen/probe100"
-        dirs = {m: _gen_dir(base, m, heaps) for m in (1, 10, 100)}
+        mults = (100, 300) if third else (1, 10, 100)
+        dirs = {m: _gen_dir(base, m, heaps) for m in mults}
         import json
 
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         path = os.path.join(repo, "BENCHHEAVY_sf10.json")
 
-        qkey = "queries_heaps" if heaps else "queries"
-        gen_id = _manifest_stamp(heaps)
+        if third:
+            qkey = "queries_third_heaps" if heaps else "queries_third"
+        else:
+            qkey = "queries_heaps" if heaps else "queries"
+        gen_id = _manifest_stamp(heaps, mults)
 
         def flush(results: dict) -> None:
             # Merge with any prior run so a restricted rerun (e.g. one
@@ -393,7 +437,11 @@ def main() -> None:
                     }
                 except Exception:
                     merged = {}
-            known = set(HEAVY) | set(HEAVY_X100_EXTRA)
+            known = (
+                set(THIRD_DECADE)
+                if third
+                else set(HEAVY) | set(HEAVY_X100_EXTRA)
+            )
             merged = {
                 k: v
                 for k, v in merged.items()
@@ -407,13 +455,14 @@ def main() -> None:
                 json.dump(
                     {**extras,
                      "sizes": {f"x{m}": SIZES[m] for m in (1, 10, 100)},
+                     "sizes_third": {f"x{m}": SIZES[m] for m in (100, 300)},
                      qkey: merged},
                     fh, indent=1, sort_keys=True,
                 )
                 fh.write("\n")
             os.replace(tmp, path)
 
-        _run(queries, dirs, (1, 10, 100), flush=flush)
+        _run(queries, dirs, mults, flush=flush)
         print(f"wrote {path}")
         return
     queries = args or (HEAVY_DOCS if heaps else HEAVY)
