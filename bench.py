@@ -18,6 +18,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _code_state(repo_dir: str) -> str:
+    """`<short-sha>` or `<short-sha>-dirty` of the repo that ran the
+    bench; "unknown" when git is unavailable (driver containers)."""
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=repo_dir, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not sha:
+            return "unknown"
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=repo_dir, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return f"{sha}-dirty" if dirty else sha
+    except Exception:
+        return "unknown"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -219,6 +240,10 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": len(errors),
         "comparable": not errors,
+        # Which code state produced this artifact (VERDICT r12 #6):
+        # ledger prose must be able to pin every BENCHFULL number to a
+        # commit instead of drifting from it.
+        "commit": _code_state(repo_dir),
     }
     if errors:
         payload["errors"] = errors

@@ -470,13 +470,22 @@ FROM c
 # -------------------------------------------------------------------- simhash
 
 SH_BITS = 32
+#: r13: both simhash queries moved from unigram-multiset to DISTINCT
+#: word-3-gram shingle features (Manku et al.'s production form, same
+#: shingle rule as minhash). Unigram votes are dominated by the token
+#: frequency head, so on zipf corpora fingerprints collapse and the
+#: hamming-≤3 PAIR SET is quadratic — the r13 Heaps-probe measured
+#: ~93 partners/doc at 5k docs and the x100 run died collecting a
+#: >1 GiB result. Shingle features restore discrimination (the head
+#: explodes into diverse phrases); see text.dedup.simhash.
+SH_N = 3
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(read_table(spark, sf_dir, "documents"), bits=SH_BITS)
+    return simhash(read_table(spark, sf_dir, "documents"), bits=SH_BITS, n=SH_N)
 
 
-def _sql_simhash(bits: int = SH_BITS) -> str:
+def _sql_simhash(bits: int = SH_BITS, n: int = SH_N) -> str:
     votes = ",\n         ".join(
         f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
         for j in range(bits)
@@ -485,11 +494,20 @@ def _sql_simhash(bits: int = SH_BITS) -> str:
         f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
     )
     # ≤32 bits: md5's first 8 hex chars; 33-60: 15 hex chars — both
-    # mirror text.dedup.simhash's tok_hash choice exactly.
+    # mirror text.dedup.simhash's tok_hash choice exactly. The shingle
+    # CTE is the same distinct word-n-gram rule as the minhash mirror
+    # (1-based inclusive DuckDB slices: toks[i:i+n-1] is n tokens);
+    # docs shorter than n words have no features in either engine.
     hex_chars = 8 if bits <= 32 else 15
     return f"""
-WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, {hex_chars}))::BIGINT AS hv FROM toks),
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - {n} + 2),
+                                      i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS sh
+  FROM t WHERE len(toks) >= {n}
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, {hex_chars}))::BIGINT AS hv FROM s),
 votes AS (
   SELECT doc_id,
          {votes}
@@ -517,6 +535,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=SHP_BITS,
         max_hamming=SP_MAX_HAMMING,
         band_bits=SHP_BAND_BITS,
+        n=SH_N,
     )
 
 

@@ -568,21 +568,46 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    n: int | None = None,
 ) -> DataFrame:
-    """SimHash: per-token portable hash, per-bit ±1 votes summed over
-    the token multiset, sign of each vote = fingerprint bit. Near-dup
-    = small Hamming distance (see simhash_pairs). ``bits`` ≤ 32 draws
-    the token hash from md5's first 8 hex chars (the original form);
-    33-60 bits draw 15 hex chars — both engine-portable."""
+    """SimHash: per-feature portable hash, per-bit ±1 votes summed over
+    the document's features, sign of each vote = fingerprint bit.
+    Near-dup = small Hamming distance (see simhash_pairs). ``bits`` ≤
+    32 draws the feature hash from md5's first 8 hex chars (the
+    original form); 33-60 bits draw 15 hex chars — both
+    engine-portable.
+
+    ``n`` selects the feature set. ``None`` = the unigram token
+    MULTISET (Charikar's original toy form — every token occurrence
+    votes). ``n = k`` = DISTINCT word k-gram shingles, one vote each —
+    Manku et al.'s production form (phrase features). The distinction
+    is load-bearing at scale: on a zipf-headed corpus the unigram
+    votes are dominated by the handful of head tokens every document
+    shares, so fingerprints collapse toward each other and the
+    hamming-≤d pair set itself goes QUADRATIC (measured r13 on the
+    Heaps-law probe corpus: ~93 partners per doc at 5k docs, 14M
+    pairs at 50k — pair-count α ≈ 1.78; the x100 probe died
+    collecting the result). Distinct k-gram features restore
+    discrimination because the zipf head explodes into diverse
+    in-context phrases, each voting once. Documents shorter than
+    ``n`` words have no features and no fingerprint row."""
     from energydatalake_spark.text.stats import _hex15_to_long
 
     if bits > 60:
         raise ValueError(f"simhash: bits={bits} > 60 (portable-hash width)")
     tok_hash = _hash_long if bits <= 32 else _hex15_to_long
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    )
+    if n is None:
+        toks = df.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        )
+    else:
+        toks = _exploded_shingles(df, text_col, id_col, n).select(
+            F.col(id_col), F.col("shingle").alias("tok")
+        )
     h = toks.select(F.col(id_col), tok_hash(F.md5(F.col("tok"))).alias("hv"))
     votes = h.groupBy(id_col).agg(
         *[
@@ -606,6 +631,7 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     band_bits: int = 8,
+    n: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -621,8 +647,27 @@ def simhash_pairs(
     join linear. The r9 measurement: 8-bit bands at a 50k-doc corpus
     put ~195 docs in every bucket (α ≈ 1.3 across the sf0.1→sf1
     decade); 15-bit bands over a 60-bit fingerprint (4 bands, pigeonhole
-    still exact for max_hamming ≤ 3) hold occupancy ~1.5 there."""
-    fps = simhash(df, text_col, id_col, bits)
+    still exact for max_hamming ≤ 3) hold occupancy ~1.5 there.
+
+    ``n`` picks the simhash feature set (see :func:`simhash`): pass a
+    shingle width on any corpus with a heavy token-frequency head —
+    unigram fingerprints collapse there and the qualifying PAIR SET
+    itself is quadratic, which no banding can fix (the output is the
+    output).
+
+    Honest mass accounting (r13 measurement): with well-spread
+    fingerprints the band-collision candidate mass is
+    ``n²·n_bands/(2·2^band_bits)`` — quadratic over a FIXED bucket
+    count. At 60 bits the pigeonhole constraint (n_bands >
+    max_hamming) caps band_bits at 15 for hamming ≤ 3, so the mass is
+    ~n²/16k: 16.6M candidates at 500k docs (measured, vs 1,018 true
+    pairs), 137M at 1.5M — fine for a partition-group, not for a
+    planetary corpus. The next tier is a WIDER fingerprint (two
+    independent md5 slices → 120 bits, 30-bit bands, pigeonhole
+    intact), which re-sizes the bucket space with the corpus; at 100
+    TB you would also shard the banding by a corpus partition key the
+    way the minhash index does."""
+    fps = simhash(df, text_col, id_col, bits, n=n)
     nb = bits // band_bits
     if max_hamming >= nb:
         # Pigeonhole guarantee requires distance < number of bands —

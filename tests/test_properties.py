@@ -1138,3 +1138,72 @@ def test_embedding_semantic_dedup_matches_python_model(spark, vecs, n_cells, dat
         ).collect()
     }
     assert got == _py_semantic_dedup(rows, cents, 0.37)
+
+
+def _py_simhash_shingles(texts, bits=60, n=3, max_hamming=3, band_bits=15):
+    """Shingle-feature SimHash twin: DISTINCT word n-grams vote once
+    each (Manku form); same banding/verify as _py_simhash_pairs."""
+    import hashlib
+
+    def h(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    fps = {}
+    for i, t in texts.items():
+        toks = t.split(" ")
+        if len(toks) < n:
+            continue
+        feats = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+        votes = [0] * bits
+        for f_ in feats:
+            hv = h(f_)
+            for j in range(bits):
+                votes[j] += 1 if (hv >> j) & 1 else -1
+        fps[i] = sum(1 << j for j in range(bits) if votes[j] > 0)
+    nb = bits // band_bits
+    mask = (1 << band_bits) - 1
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i, fp in fps.items():
+        for b in range(nb):
+            buckets[(b, (fp >> (b * band_bits)) & mask)].append(i)
+    out = {}
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                d = bin(fps[ids[x]] ^ fps[ids[y]]).count("1")
+                if d <= max_hamming:
+                    out[(ids[x], ids[y])] = d
+    return out, fps
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=8),
+        min_size=2,
+        max_size=6,
+    )
+)
+@_prop_settings
+def test_simhash_shingle_matches_python_model(spark, texts_toks):
+    from energydatalake_spark.text.dedup import simhash, simhash_pairs
+
+    texts = {i: " ".join(t) for i, t in enumerate(texts_toks)}
+    texts[len(texts)] = texts[0]  # exact copy — Hamming 0 when featured
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    want_pairs, want_fps = _py_simhash_shingles(texts)
+    got_fps = {
+        r.doc_id: r.simhash for r in simhash(df, bits=60, n=3).collect()
+    }
+    assert got_fps == want_fps
+    got_pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(
+            df, bits=60, max_hamming=3, band_bits=15, n=3
+        ).collect()
+    }
+    assert got_pairs == want_pairs

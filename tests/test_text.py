@@ -366,3 +366,56 @@ def test_minhash_sig_reuse_identical_output(spark):
     finally:
         release_shingle_cache()
     assert reused == unarmed and unarmed
+
+
+def test_simhash_shingle_features_discriminate_zipf(spark):
+    """r13: unigram-multiset simhash collapses on zipf-headed text —
+    every doc shares the frequency head, so fingerprints crowd within
+    a few bits and the hamming-ball pair set goes quadratic (the
+    Heaps-probe x100 failure). Distinct 3-gram shingle features keep
+    unrelated docs far apart while an exact copy still lands at
+    hamming 0."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    head = ["the", "of", "and", "to", "in"]
+    rows = []
+    for i in range(40):
+        # ~70% head tokens (zipf-ish), 30% doc-specific tail
+        toks = []
+        for j in range(30):
+            if rng.random() < 0.7:
+                toks.append(head[int(rng.integers(0, 5))])
+            else:
+                toks.append(f"tail{i}_{j}")
+        rows.append((i, " ".join(toks)))
+    rows.append((40, rows[7][1]))  # exact copy of doc 7
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uni = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(
+            df, bits=60, max_hamming=3, band_bits=15
+        ).collect()
+    }
+    sh3 = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(
+            df, bits=60, max_hamming=3, band_bits=15, n=3
+        ).collect()
+    }
+    assert (7, 40) in sh3          # true dup survives
+    assert sh3 == {(7, 40)}        # and nothing else pairs
+    # the unigram form on the same corpus pairs unrelated docs
+    assert len(uni) > len(sh3)
+
+
+def test_simhash_shingle_short_docs_have_no_fingerprint(spark):
+    """Docs shorter than n words yield no shingle features and no
+    fingerprint row — mirrored by the oracle's len(toks) >= n guard."""
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, "three word doc"), (3, "a much longer document here")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id for r in simhash(df, n=3).collect()}
+    assert out == {2, 3}
