@@ -1028,17 +1028,24 @@ def _parquet_rows(sf_dir: str, name: str) -> int:
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _parquet_rows(sf_dir, "embeddings")
     out = embedding_near_dup_lsh(
         read_table(spark, sf_dir, "embeddings"),
         threshold=ND_THRESHOLD,
-        n_planes=_nd_lsh_planes(_parquet_rows(sf_dir, "embeddings")),
+        n_planes=_nd_lsh_planes(n),
         dim=LSH_DIM,
         n_tables=ND_LSH_TABLES,
+        # Map-side rerank while the vector table is broadcast-sized
+        # (dim·8·n ≈ 1 GB at the bound): the default co-shuffle rerank
+        # moves 2·dim·8 B per CANDIDATE and spills locally (the r13
+        # x300 probe's α 1.95). Same results either way.
+        broadcast_vectors=n <= ND_LSH_BROADCAST_MAX_N,
     )
     return out.select("id_a", "id_b", _r(F.col("cosine"), 6).alias("cosine"))
 
 
 ND_LSH_TABLES = 4
+ND_LSH_BROADCAST_MAX_N = 2_000_000
 
 
 def _sql_dedup_embedding_lsh() -> str:

@@ -149,6 +149,7 @@ def embedding_near_dup_lsh(
     dim: int = 64,
     n_tables: int = 4,
     seed: int = 42,
+    broadcast_vectors: bool = False,
 ) -> DataFrame:
     """Sub-quadratic near-dup: multi-table sign-LSH candidate
     generation + exact JVM-side cosine rerank (``aggregate``/``zip_with``
@@ -171,6 +172,26 @@ def embedding_near_dup_lsh(
     vectors; p≈26, tables 4-8 holds candidates/vector at O(100)
     there. The rerank cost IS the candidate count: everything upstream
     of it is one scan plus a 24-byte-row collision join.
+
+    ``broadcast_vectors`` (r13, from the x300 probe): with candidates
+    sized O(100)·n, the default sort-merge rerank joins shuffle
+    2·dim·8 bytes PER CANDIDATE — 67 GB at 600k vectors / 131M
+    candidates, a spill regime that measured α(x100→x300) = 1.95
+    while the candidate COUNT grew ×3.27 (linear; the (1+p) factor).
+    The vector table itself is tiny (dim·8·n ≈ 312 MB there), so when
+    the corpus fits a broadcast (callers gate on row count — the
+    registry uses ≤2M), broadcasting the vector side turns BOTH
+    rerank joins and the collision join map-side: the only remaining
+    wide exchange is the 16-byte-row pair dedup (plus the narrow
+    up-front repartition below). Re-measured fresh-JVM x100/x300:
+    90.9/774.0 s co-shuffle → 25.2/93.8 s broadcast, α 1.95 → 1.20 —
+    the residual is the corpus's own qualifying-pair growth (the
+    probe generator's same-cluster cosine tail crosses t=0.4
+    quadratically often; output 0.77M pairs at 200k vectors, 3.45M
+    at 600k) plus the (1+p) probe factor, i.e. output mass, not
+    operator overhead. Beyond broadcast size (true 100 TB corpora)
+    the co-shuffle path stands — there the cluster absorbs the
+    candidate shuffle; locally it spills.
     """
     from energydatalake_spark.similarity.search import _bucket, _hyperplanes, dot, with_norm
 
@@ -185,6 +206,16 @@ def embedding_near_dup_lsh(
         "nm",
         F.when(F.col("nm") == 0, F.lit(1.0)).otherwise(F.col("nm")),
     )
+    if broadcast_vectors:
+        # With the collision and rerank joins map-side, the whole
+        # explode→join→dedup-map chain runs at PARQUET SCAN
+        # parallelism — a single large row group means one task does
+        # all the candidate work (measured r13: 31 idle + 1 straggler
+        # task per stage, x100 167 s vs 91 s co-shuffle). One narrow
+        # corpus-sized exchange up front buys full-width execution of
+        # the fat broadcast-join stages.
+        spark = df.sparkSession
+        base = base.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     bucket_cols = [
         _bucket(F.col("vec"), _hyperplanes(dim, n_planes, seed=seed + t)).alias(f"b{t}")
         for t in range(n_tables)
@@ -216,6 +247,8 @@ def embedding_near_dup_lsh(
     b = base.select(F.col("id").alias("id_b"), F.explode(F.array(*home)).alias("tb")).select(
         "id_b", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
     )
+    if broadcast_vectors:
+        b = F.broadcast(b)
     cand = (
         a.join(b, ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -229,6 +262,8 @@ def embedding_near_dup_lsh(
     gb = base.select(
         F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nm").alias("nm_b")
     )
+    if broadcast_vectors:
+        ga, gb = F.broadcast(ga), F.broadcast(gb)
     cos = dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nm_a") * F.col("nm_b"))
     return (
         cand.join(ga, "id_a")

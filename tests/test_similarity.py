@@ -521,3 +521,34 @@ def test_embedding_semantic_dedup_external_codebook_parity(spark, tmp_path):
         assert out_self == out_ext, f"tier fold_max_cells={fmc} diverged"
         assert len(out_self) == 400
         assert any(not keep for _, _, keep in out_self)
+
+
+def test_embedding_near_dup_lsh_broadcast_parity(spark):
+    """r13: the broadcast rerank tier (map-side collision + rerank
+    joins for broadcast-sized corpora) must be plan-only — identical
+    pairs/cosines to the default co-shuffle path."""
+    import numpy as np
+
+    from energydatalake_spark.similarity.neardup import embedding_near_dup_lsh
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(300):
+        v = rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+        if i % 10 == 0:  # planted near-dup twin
+            rows.append((1000 + i, [float(x + 0.01) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, n_planes=8, dim=16)
+    shuf = {
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in embedding_near_dup_lsh(df, **kw).collect()
+    }
+    bcast = {
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in embedding_near_dup_lsh(
+            df, broadcast_vectors=True, **kw
+        ).collect()
+    }
+    assert shuf == bcast
+    assert len(bcast) >= 25  # the planted twins are found

@@ -360,7 +360,7 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
 
 
 def main() -> None:
-    flags = ("--x100", "--fresh", "--heaps")
+    flags = ("--x100", "--fresh", "--heaps", "--third")
     args = [a for a in sys.argv[1:] if a not in flags]
     x100 = "--x100" in sys.argv[1:]
     fresh = "--fresh" in sys.argv[1:]
