@@ -773,7 +773,7 @@ m_train AS (
   SELECT vec_id, v, nm FROM m WHERE {sample}
 ),
 cent_0 AS (
-  SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv
+  SELECT CAST(vec_id AS BIGINT) AS cell_id, v AS cv
   FROM m_train ORDER BY vec_id LIMIT {IVF_CELLS}
 )"""
     ]

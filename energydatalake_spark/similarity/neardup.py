@@ -215,7 +215,11 @@ def embedding_near_dup_lsh(
         # corpus-sized exchange up front buys full-width execution of
         # the fat broadcast-join stages.
         spark = df.sparkSession
-        base = base.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        try:
+            width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:  # e.g. "auto" under some AQE platforms
+            width = spark.sparkContext.defaultParallelism
+        base = base.repartition(width)
     bucket_cols = [
         _bucket(F.col("vec"), _hyperplanes(dim, n_planes, seed=seed + t)).alias(f"b{t}")
         for t in range(n_tables)

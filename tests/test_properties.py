@@ -593,20 +593,33 @@ def test_minhash_pairs_matches_python_model(spark, texts_toks, data):
         assert abs(got[pair] - want[pair]) < 1e-12
 
 
-def _py_simhash_pairs(texts, bits=32, max_hamming=3, band_bits=8):
-    """Independent SimHash twin: per-token ±1 bit votes over the token
-    MULTISET, sign → fingerprint bit, pigeonhole banding, Hamming
-    verify."""
+def _py_simhash_pairs(texts, bits=32, max_hamming=3, band_bits=8, n=None):
+    """Independent SimHash twin: per-feature ±1 bit votes — the token
+    MULTISET when ``n`` is None, DISTINCT word n-gram shingles (one
+    vote each, Manku form) otherwise — sign → fingerprint bit,
+    pigeonhole banding, Hamming verify. ONE model for both feature
+    modes so the banding/verify logic can never fork."""
     import hashlib
 
-    def h32(tok):
-        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+    hex_chars = 8 if bits <= 32 else 15
+
+    def h(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:hex_chars], 16)
 
     fps = {}
     for i, t in texts.items():
+        toks = t.split(" ")
+        if n is None:
+            feats = toks  # multiset: every occurrence votes
+        else:
+            if len(toks) < n:
+                continue  # no features → no fingerprint row
+            feats = {
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            }
         votes = [0] * bits
-        for tok in t.split(" "):
-            hv = h32(tok)
+        for tok in feats:
+            hv = h(tok)
             for j in range(bits):
                 votes[j] += 1 if (hv >> j) & 1 else -1
         fps[i] = sum(1 << j for j in range(bits) if votes[j] > 0)
@@ -1140,45 +1153,6 @@ def test_embedding_semantic_dedup_matches_python_model(spark, vecs, n_cells, dat
     assert got == _py_semantic_dedup(rows, cents, 0.37)
 
 
-def _py_simhash_shingles(texts, bits=60, n=3, max_hamming=3, band_bits=15):
-    """Shingle-feature SimHash twin: DISTINCT word n-grams vote once
-    each (Manku form); same banding/verify as _py_simhash_pairs."""
-    import hashlib
-
-    def h(tok):
-        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
-
-    fps = {}
-    for i, t in texts.items():
-        toks = t.split(" ")
-        if len(toks) < n:
-            continue
-        feats = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
-        votes = [0] * bits
-        for f_ in feats:
-            hv = h(f_)
-            for j in range(bits):
-                votes[j] += 1 if (hv >> j) & 1 else -1
-        fps[i] = sum(1 << j for j in range(bits) if votes[j] > 0)
-    nb = bits // band_bits
-    mask = (1 << band_bits) - 1
-    from collections import defaultdict
-
-    buckets = defaultdict(list)
-    for i, fp in fps.items():
-        for b in range(nb):
-            buckets[(b, (fp >> (b * band_bits)) & mask)].append(i)
-    out = {}
-    for ids in buckets.values():
-        ids = sorted(ids)
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                d = bin(fps[ids[x]] ^ fps[ids[y]]).count("1")
-                if d <= max_hamming:
-                    out[(ids[x], ids[y])] = d
-    return out, fps
-
-
 @given(
     st.lists(
         st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=8),
@@ -1195,7 +1169,9 @@ def test_simhash_shingle_matches_python_model(spark, texts_toks):
     df = spark.createDataFrame(
         list(texts.items()), "doc_id bigint, text string"
     )
-    want_pairs, want_fps = _py_simhash_shingles(texts)
+    want_pairs, want_fps = _py_simhash_pairs(
+        texts, bits=60, max_hamming=3, band_bits=15, n=3
+    )
     got_fps = {
         r.doc_id: r.simhash for r in simhash(df, bits=60, n=3).collect()
     }
