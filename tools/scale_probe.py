@@ -229,14 +229,27 @@ SIZES = {
     300: (1_500_000, 600_000),
 }
 
-#: --third targets: the two log-factor families whose x1000
-#: stays-linear claims were analytic until now (the breaker's
-#: bands·rows step; the multiprobe (1+p) fan-out) plus the CC closure
-#: that consumes minhash candidates. dedup_embedding_lsh is
-#: embedding-driven — its data is generator-identical across modes,
-#: so it runs once (saturated key) rather than per-generator.
-THIRD_DECADE = ["minhash_pairs", "dedup_clusters", "dedup_embedding_lsh"]
-THIRD_DECADE_HEAPS = ["minhash_pairs", "dedup_clusters"]
+#: --third targets: the log-factor families whose x1000 stays-linear
+#: claims were analytic until r13 (the breaker's bands·rows step; the
+#: multiprobe (1+p) fan-out), the CC closure that consumes minhash
+#: candidates, and (extended late r13) the remaining heavy dedup
+#: families. dedup_embedding_lsh and semantic_dedup are
+#: embedding-driven — their data is generator-identical across modes,
+#: so they run once (saturated key) rather than per-generator.
+THIRD_DECADE = [
+    "minhash_pairs",
+    "dedup_clusters",
+    "dedup_embedding_lsh",
+    "semantic_dedup",
+    "substring_dedup",
+    "simhash_pairs",
+]
+THIRD_DECADE_HEAPS = [
+    "minhash_pairs",
+    "dedup_clusters",
+    "substring_dedup",
+    "simhash_pairs",
+]
 
 
 _GEN_SEED = 4242
