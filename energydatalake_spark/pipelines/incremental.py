@@ -73,6 +73,12 @@ class SaturatedBatchWarning(UserWarning):
     persisted index pins the band geometry static."""
 
 
+#: index paths whose first batch already ran the saturation pre-signal
+#: this session (``presignal="once"`` mode — ADVICE r13 steady-state
+#: opt-down; process-local by design, a new session re-probes).
+_PRESIGNALED_INDEXES: set[str] = set()
+
+
 def _warn_if_saturated(
     batch: DataFrame, text_col: str, id_col: str, n: int
 ) -> float:
@@ -162,7 +168,7 @@ def incremental_ingest(
     rows: int = ROWS,
     threshold: float = THRESHOLD,
     append: bool = True,
-    presignal: bool = True,
+    presignal: bool | str = True,
 ) -> DataFrame:
     """Admit one batch against the persisted index. Returns the
     verdict frame ``(doc_id, verdict ∈ {exact, near_dup, accept},
@@ -188,10 +194,21 @@ def incremental_ingest(
     ``presignal`` (default on) runs the breaker's stage-1 saturation
     pre-signal over the batch and emits a ``SaturatedBatchWarning``
     when the static index geometry is at quadratic-candidate risk —
-    see ``_warn_if_saturated``. Verdicts are unaffected either way."""
+    see ``_warn_if_saturated``. Verdicts are unaffected either way.
+    The signal is one extra shingle-explode aggregate over the batch
+    — roughly the batch's own scan cost again, which callers ingesting
+    MANY tiny batches pay on every call (ADVICE r13). ``"once"``
+    probes only the FIRST batch per (session, index) and skips the
+    aggregate on subsequent calls — the steady-state opt-down for
+    known-healthy streams that still smoke-checks the stream's shape
+    at startup; ``False`` skips it entirely."""
     spark = batch.sparkSession
     exact_p, sig_p, buckets_p = _tables(index_path)
-    if presignal:
+    if presignal == "once":
+        if index_path not in _PRESIGNALED_INDEXES:
+            _PRESIGNALED_INDEXES.add(index_path)
+            _warn_if_saturated(batch, text_col, id_col, n)
+    elif presignal:
         _warn_if_saturated(batch, text_col, id_col, n)
 
     batch_exact = batch.select(

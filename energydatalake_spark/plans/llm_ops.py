@@ -1027,8 +1027,20 @@ def _parquet_rows(sf_dir: str, name: str) -> int:
     ).count_rows()
 
 
+def _nd_bcast_max() -> int:
+    """Broadcast-rerank gate, env-overridable so the scale probe can
+    force the above-gate compact-rerank tier onto corpora that would
+    normally broadcast (SPARK_GRAFT_ND_BCAST_MAX=0 → every run takes
+    the co-shuffle + int8 path). Not a tuning knob — the default IS
+    the validated gate."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_ND_BCAST_MAX", ND_LSH_BROADCAST_MAX_N))
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _parquet_rows(sf_dir, "embeddings")
+    gate = _nd_bcast_max()
     out = embedding_near_dup_lsh(
         read_table(spark, sf_dir, "embeddings"),
         threshold=ND_THRESHOLD,
@@ -1039,7 +1051,14 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (dim·8·n ≈ 1 GB at the bound): the default co-shuffle rerank
         # moves 2·dim·8 B per CANDIDATE and spills locally (the r13
         # x300 probe's α 1.95). Same results either way.
-        broadcast_vectors=n <= ND_LSH_BROADCAST_MAX_N,
+        broadcast_vectors=n <= gate,
+        # Above the broadcast gate (r14, VERDICT r13 #2): pre-rerank
+        # the candidates on int8-quantized vectors (dim bytes per
+        # exchange row instead of dim·8) and recheck only the
+        # survivors against float64 — same output, output-proportional
+        # full-vector shuffle mass. Closes the α-1.95 regime the r13
+        # probe measured on the bare co-shuffle path.
+        compact_rerank=n > gate,
     )
     return out.select("id_a", "id_b", _r(F.col("cosine"), 6).alias("cosine"))
 
@@ -3284,7 +3303,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the bounded-sample NumPy Lloyd (search.kmeans_centroids_np —
     sample sized a few × n_cells via the same deterministic hash
     predicate), and cell assignment switches to the Arrow-batched BLAS
-    argmax inside the operator."""
+    argmax inside the operator — TWO-LEVEL above 512 cells (r14,
+    VERDICT r13 #1: brute argmax over the corpus-sized codebook was
+    O(n²·dim/256), the measured α₃ = 1.41; IVF-style coarse routing
+    through ⌈√n_cells⌉ coarse cells makes it O(n·√n_cells·dim) — see
+    embedding_semantic_dedup's docstring for the measured recall
+    parity)."""
     from energydatalake_spark.similarity.neardup import embedding_semantic_dedup
     from energydatalake_spark.similarity.search import (
         kmeans_centroids,

@@ -2080,16 +2080,77 @@ _register(
 DRIVER_WINDOW = 50
 
 _DRIVER_WINDOW_FIRST = [
-    # r13 rotation (VERDICT r12 #1): ngram_jaccard FIRST (the r12
-    # slot-arithmetic holdout — r10 driver row + r11 AND r12 judge
-    # oracle re-runs), then the 48 queries whose newest driver
-    # evidence is r11 (the §2 relational core, text-analysis r7-era
-    # rows, embedding dedup tiers). Slot arithmetic repeats (50
-    # candidates, 49 slots after the flagship): the r13 holdout is
-    # semantic_dedup, which carries the freshest non-driver evidence
-    # in the incoming set (r12 judge oracle re-run at sf0.01, sf1
-    # bench scale-tier run, x100 fresh-JVM probe). It leads the r14
-    # rotation.
+    # r14 rotation (VERDICT r13 #5): semantic_dedup FIRST (the r13
+    # slot-arithmetic holdout AND this round's lead fix — two-level
+    # centroid assignment — so its driver evidence must be fresh),
+    # then the r13-parked set (r12 driver rows: multimodal,
+    # minhash/simhash families, similarity tiers, corpus
+    # prep/sampling, streaming, CC clusters, r8-new). Slot arithmetic
+    # repeats (50 candidates, 49 slots after the flagship): the r15
+    # holdout is minhash_pairs, which carries the freshest non-driver
+    # evidence in the incoming set (r12 driver row, r13 judge oracle
+    # re-run at sf0.01, x300 fresh-JVM probe entries in BOTH
+    # generator modes). It leads the r15 rotation.
+    "semantic_dedup",
+    "avg_by_month",
+    "corpus_increment_batch",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_embed",
+    "simhash",
+    "simhash_pairs",
+    "similarity_topk",
+    "streaming_dedup",
+    "similarity_lsh",
+    "similarity_ivf",
+    "similarity_ivf_kmeans",
+    "corpus_prep",
+    "train_split",
+    "stratified_sample",
+    "doc_chunks",
+    "text_normalize",
+    "pack_chunks",
+    "corpus_prep_full",
+    "streaming_hourly",
+    "sessionize",
+    "streaming_enrich",
+    "streaming_asof",
+    "doc_repetition",
+    "contamination",
+    "corpus_mix",
+    "dedup_clusters",
+    "vocab_topk",
+    "shuffle_shards",
+    "tfidf_topk",
+    "lm_score",
+    "embedding_clusters",
+    "doc_outliers",
+    "source_profile",
+    "corpus_increment",
+    "json_extract",
+    "snapshot_diff",
+    "corpus_funnel",
+    "embedding_clusters_kmeans",
+    "substring_dedup",
+    "hashed_tfidf",
+    "vocab_coverage",
+    "dedup_recall",
+    "quantized_recall",
+    "cohort_retention",
+    "join_skew_profile",
+    "decile_stats",
+]
+
+_DRIVER_WINDOW_PARKED = [
+    # Parked in r14: every one of these earned a fresh driver-green
+    # row in CORRECTNESS_r13 (the r13 window: §2 relational core,
+    # text-analysis, embedding dedup tiers), except minhash_pairs —
+    # the r15 slot-arithmetic holdout (r12 driver row + r13 judge
+    # re-run + two-mode x300 probe; FIRST in the r15 rotation). All
+    # stay covered by pytest and by tools/oracle_check.py
+    # (MIRROR_r{N}.json). Rotate back in r15+.
+    "minhash_pairs",
     "ngram_jaccard",
     "boilerplate_filter",
     "line_dedup",
@@ -2139,67 +2200,6 @@ _DRIVER_WINDOW_FIRST = [
     "revenue_by_nation",
     "dedup_embedding",
     "dedup_embedding_lsh",
-]
-
-_DRIVER_WINDOW_PARKED = [
-    # Parked in r13: every one of these earned a fresh driver-green
-    # row in CORRECTNESS_r12 (the r12-rotated set: multimodal,
-    # minhash/simhash families, similarity tiers, corpus
-    # prep/sampling, streaming, CC clusters, r8-new), plus
-    # semantic_dedup (r12 judge oracle re-run + sf1 bench + x100
-    # probe; the slot-arithmetic holdout — FIRST in the r14
-    # rotation). They stay covered by pytest and by
-    # tools/oracle_check.py (MIRROR_r{N}.json). Rotate back in r14+.
-    "avg_by_month",
-    "corpus_increment_batch",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_embed",
-    "minhash_pairs",
-    "simhash",
-    "simhash_pairs",
-    "similarity_topk",
-    "streaming_dedup",
-    "similarity_lsh",
-    "similarity_ivf",
-    "similarity_ivf_kmeans",
-    "corpus_prep",
-    "train_split",
-    "stratified_sample",
-    "doc_chunks",
-    "text_normalize",
-    "pack_chunks",
-    "corpus_prep_full",
-    "streaming_hourly",
-    "sessionize",
-    "streaming_enrich",
-    "streaming_asof",
-    "doc_repetition",
-    "contamination",
-    "corpus_mix",
-    "dedup_clusters",
-    "vocab_topk",
-    "shuffle_shards",
-    "tfidf_topk",
-    "lm_score",
-    "embedding_clusters",
-    "doc_outliers",
-    "source_profile",
-    "corpus_increment",
-    "json_extract",
-    "snapshot_diff",
-    "corpus_funnel",
-    "embedding_clusters_kmeans",
-    "substring_dedup",
-    "hashed_tfidf",
-    "vocab_coverage",
-    "dedup_recall",
-    "quantized_recall",
-    "cohort_retention",
-    "join_skew_profile",
-    "decile_stats",
-    "semantic_dedup",
 ]
 
 

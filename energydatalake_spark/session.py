@@ -61,6 +61,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Broadcast builds collect through the driver and are capped by
+        # maxResultSize (default 1g) — the LSH broadcast-rerank tier
+        # (similarity/neardup.py) broadcasts the vector table, which is
+        # ~1 GB serialized near its 2M-vector gate (ADVICE r13: the
+        # gate sat 3× beyond the largest size the default cap could
+        # actually collect). 4g tracks the 8g driver heap; override via
+        # SPARK_GRAFT_MAX_RESULT.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
         # Files: pack many small files into tasks; split big ones at 128 MiB.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # Runtime bloom-filter pushdown for selective joins (on by

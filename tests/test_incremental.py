@@ -227,3 +227,33 @@ def test_incremental_ingest_saturation_presignal(spark, index_path):
     }
     assert rows_on == rows_off
     assert len(rows_on) == 30
+
+
+def test_incremental_ingest_presignal_once_mode(spark, index_path):
+    """ADVICE r13: presignal="once" probes only the FIRST batch per
+    (session, index) — the warning fires for a saturated first batch,
+    then a saturated second batch is admitted without re-running the
+    pre-signal aggregate (no warning), and verdicts are unchanged."""
+    import warnings as _w
+
+    from energydatalake_spark.pipelines import incremental as inc
+
+    words = ["alpha", "beta", "gamma"]
+    sat_rows = [
+        (500 + i, " ".join(words[(i + j) % 3] for j in range(12)))
+        for i in range(20)
+    ]
+    saturated = spark.createDataFrame(sat_rows, "doc_id bigint, text string")
+
+    inc._PRESIGNALED_INDEXES.discard(index_path)
+    with pytest.warns(inc.SaturatedBatchWarning, match="mean shingle df"):
+        first = inc.incremental_ingest(
+            saturated, index_path, append=False, presignal="once"
+        ).collect()
+    with _w.catch_warnings():
+        _w.simplefilter("error", inc.SaturatedBatchWarning)
+        second = inc.incremental_ingest(
+            saturated, index_path, append=False, presignal="once"
+        ).collect()
+    assert {tuple(r) for r in first} == {tuple(r) for r in second}
+    inc._PRESIGNALED_INDEXES.discard(index_path)

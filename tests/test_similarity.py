@@ -552,3 +552,165 @@ def test_embedding_near_dup_lsh_broadcast_parity(spark):
     }
     assert shuf == bcast
     assert len(bcast) >= 25  # the planted twins are found
+
+
+def test_coarse_router_partitions_codebook():
+    """_coarse_router's member lists must PARTITION the codebook rows
+    (every row in exactly one coarse cell) and stay ascending — the
+    ascending order is what preserves the first-max tie-break in the
+    second-level argmax."""
+    import numpy as np
+
+    from energydatalake_spark.similarity.neardup import _coarse_router
+
+    rng = np.random.default_rng(11)
+    cbn = rng.normal(size=(200, 16))
+    cbn /= np.linalg.norm(cbn, axis=1, keepdims=True)
+    coarse_n, members = _coarse_router(cbn, n_coarse=15)
+    assert coarse_n.shape == (15, 16)
+    seen = np.concatenate([m for m in members if m.size])
+    assert sorted(seen.tolist()) == list(range(200))
+    for m in members:
+        assert (np.diff(m) > 0).all() if m.size > 1 else True
+    # deterministic
+    coarse2, members2 = _coarse_router(cbn, n_coarse=15)
+    assert np.array_equal(coarse_n, coarse2)
+    assert all(np.array_equal(a, b) for a, b in zip(members, members2))
+
+
+def test_semantic_dedup_two_level_exact_when_probing_all(spark):
+    """r14 two-level assignment: probing EVERY coarse cell degenerates
+    to the brute argmax — output must be identical to the single-level
+    BLAS tier on the same codebook (including tie-break)."""
+    import numpy as np
+
+    from energydatalake_spark.similarity.neardup import embedding_semantic_dedup
+
+    rng = np.random.default_rng(23)
+    cents_v = rng.normal(size=(80, 16))
+    cents_v /= np.linalg.norm(cents_v, axis=1, keepdims=True)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cents_v[i]]) for i in range(80)],
+        "vec_id int, embedding array<double>",
+    )
+    rows = []
+    for i in range(240):
+        c = cents_v[i % 80]
+        v = c + 0.3 * rng.normal(size=16)  # loose → boundary vectors exist
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    kw = dict(threshold=0.9, n_cells=80, centroids=cents, fold_max_cells=8)
+    brute = {
+        (r.vec_id, r.cluster_id, r.keep)
+        for r in embedding_semantic_dedup(
+            df, two_level_min_cells=10**9, **kw
+        ).collect()
+    }
+    two_level_all = {
+        (r.vec_id, r.cluster_id, r.keep)
+        for r in embedding_semantic_dedup(
+            df, two_level_min_cells=8, coarse_probes=10**9, **kw
+        ).collect()
+    }
+    assert brute == two_level_all
+
+
+def test_semantic_dedup_two_level_default_collapses_dups(spark):
+    """Default coarse_probes: planted exact-duplicate twins must still
+    collapse (identical vectors route identically at every level), and
+    every input row must come back exactly once."""
+    import numpy as np
+
+    from energydatalake_spark.similarity.neardup import embedding_semantic_dedup
+
+    rng = np.random.default_rng(29)
+    cents_v = rng.normal(size=(100, 16))
+    cents_v /= np.linalg.norm(cents_v, axis=1, keepdims=True)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cents_v[i]]) for i in range(100)],
+        "vec_id int, embedding array<double>",
+    )
+    rows = []
+    twins = []
+    for i in range(300):
+        v = cents_v[i % 100] + 0.2 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+        if i % 7 == 0:
+            rows.append((10_000 + i, [float(x) for x in v]))  # exact twin
+            twins.append((i, 10_000 + i))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in embedding_semantic_dedup(
+            df,
+            threshold=0.99,
+            n_cells=100,
+            centroids=cents,
+            fold_max_cells=8,
+            two_level_min_cells=16,
+        ).collect()
+    }
+    assert len(out) == len(rows)
+    for a, b in twins:
+        assert out[a][0] == out[b][0], f"twins {a},{b} split cells"
+        assert out[b] == (a, False) and out[a] == (a, True)
+
+
+def test_embedding_near_dup_lsh_compact_rerank_parity(spark):
+    """r14: the int8 compact pre-rerank + exact recheck must be
+    plan-only — identical pairs/cosines to the default co-shuffle
+    rerank (the margin is an analytic superset bound, the float64
+    recheck decides)."""
+    import numpy as np
+
+    from energydatalake_spark.similarity.neardup import embedding_near_dup_lsh
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(300):
+        v = rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+        if i % 10 == 0:
+            rows.append((1000 + i, [float(x + 0.01) for x in v]))
+    rows.append((5000, [0.0] * 16))  # zero-norm guard path
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, n_planes=8, dim=16)
+    plain = {
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in embedding_near_dup_lsh(df, **kw).collect()
+    }
+    compact = {
+        (r.id_a, r.id_b, round(r.cosine, 9))
+        for r in embedding_near_dup_lsh(df, compact_rerank=True, **kw).collect()
+    }
+    assert plain == compact
+    assert len(compact) >= 25  # the planted twins are found
+
+
+def test_int8_quantized_cosine_margin_bound():
+    """Property behind compact_rerank's superset guarantee: for unit
+    vectors, the int8-quantized cosine never undershoots the true
+    cosine by more than the analytic margin used in the operator."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    dim = 64
+    delta = np.sqrt(dim) / 254.0
+    worst = 0.0
+    for _ in range(300):
+        a = rng.normal(size=dim)
+        b = a + rng.exponential(0.3) * rng.normal(size=dim)  # mixed-sim pairs
+        a /= np.linalg.norm(a)
+        b /= np.linalg.norm(b)
+        c = float(a @ b)
+        qa = np.round(127.0 * a)
+        qb = np.round(127.0 * b)
+        cq = float(qa @ qb) / (np.linalg.norm(qa) * np.linalg.norm(qb))
+        num = c - 2.0 * delta - delta * delta
+        floor = num / (1.0 + delta) ** 2 if num >= 0 else num / (1.0 - delta) ** 2
+        assert cq >= floor - 1e-12, (c, cq, floor)
+        worst = max(worst, c - cq)
+    # the bound is not vacuous: observed undershoot is positive but
+    # well inside the analytic margin
+    assert 0.0 < worst < 2.0 * delta + delta * delta
