@@ -624,6 +624,69 @@ def simhash(
     return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
+def simhash_wide(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int | None = None,
+) -> DataFrame:
+    """120-bit two-slice SimHash: ``(id, simhash_lo, simhash_hi)``.
+
+    The portable 60-bit fingerprint caps ``band_bits`` at 15 under the
+    pigeonhole constraint (max_hamming ≤ 3 needs ≥ 4 bands), which
+    pins the bucket space at 2¹⁵ — candidate mass ~n²·n_bands/2¹⁶, the
+    documented simhash_pairs ceiling. This tier doubles the
+    fingerprint instead of the band count: two INDEPENDENT 60-bit
+    slices of the same md5 (hex chars 1-15 and 16-30 — disjoint bits
+    of one digest, so one hash pass per feature) each run Charikar's
+    per-bit vote, giving 120 bits → 30-bit bands, 4 bands, pigeonhole
+    intact, bucket space 2³⁰. Same feature semantics as
+    :func:`simhash` (``n`` = distinct word n-gram shingles vs unigram
+    multiset); ONE exchange (the vote groupBy computes both words in a
+    single 120-column aggregate)."""
+    from energydatalake_spark.text.stats import _hex15_to_long
+
+    if n is None:
+        toks = df.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        )
+    else:
+        toks = _exploded_shingles(df, text_col, id_col, n).select(
+            F.col(id_col), F.col("shingle").alias("tok")
+        )
+    md = F.md5(F.col("tok"))
+    h = toks.select(
+        F.col(id_col),
+        _hex15_to_long(md).alias("h1"),
+        # second slice: the NEXT 15 hex chars — disjoint digest bits,
+        # so the two 60-bit feature hashes are independent
+        F.conv(F.substring(md, 16, 15), 16, 10).cast("bigint").alias("h2"),
+    )
+
+    def vote(src: str, j: int) -> Column:
+        return F.sum(
+            F.when(F.shiftright(F.col(src), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"{src}v{j}")
+
+    votes = h.groupBy(id_col).agg(
+        *[vote("h1", j) for j in range(60)],
+        *[vote("h2", j) for j in range(60)],
+    )
+
+    def fold(src: str) -> Column:
+        fp: Column = F.lit(0).cast("bigint")
+        for j in range(60):
+            fp = fp + F.when(F.col(f"{src}v{j}") > 0, F.lit(1 << j)).otherwise(0)
+        return fp.cast("bigint")
+
+    return votes.select(
+        F.col(id_col),
+        fold("h1").alias("simhash_lo"),
+        fold("h2").alias("simhash_hi"),
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -662,13 +725,31 @@ def simhash_pairs(
     max_hamming) caps band_bits at 15 for hamming ≤ 3, so the mass is
     ~n²/16k: 16.6M candidates at 500k docs (measured, vs 1,018 true
     pairs), 137M at 1.5M — fine for a partition-group, not for a
-    planetary corpus. The next tier is a WIDER fingerprint (two
-    independent md5 slices → 120 bits, 30-bit bands, pigeonhole
-    intact), which re-sizes the bucket space with the corpus; at 100
-    TB you would also shard the banding by a corpus partition key the
-    way the minhash index does."""
-    fps = simhash(df, text_col, id_col, bits, n=n)
-    nb = bits // band_bits
+    planetary corpus. That wider tier EXISTS (r14): ``bits=120`` with
+    ``band_bits=30`` routes through :func:`simhash_wide` — two
+    independent md5 slices, 4 bands over 2³⁰ buckets, pigeonhole
+    intact for max_hamming ≤ 3, candidate mass ~n²·4/2³¹ (32k× fewer
+    collisions than the 15-bit bucket space). At 100 TB you would
+    also shard the banding by a corpus partition key the way the
+    minhash index does."""
+    if bits > 60:
+        # Two-slice wide tier: pairs of 60-bit words, banded uniformly.
+        if bits != 120:
+            raise ValueError(
+                f"simhash_pairs: bits must be ≤ 60 (single portable "
+                f"hash) or exactly 120 (two md5 slices); got {bits}"
+            )
+        if 60 % band_bits:
+            raise ValueError(
+                f"simhash_pairs: the 120-bit tier needs band_bits "
+                f"dividing 60; got {band_bits}"
+            )
+        fps = simhash_wide(df, text_col, id_col, n=n)
+        words = [("simhash_lo", 60), ("simhash_hi", 60)]
+    else:
+        fps = simhash(df, text_col, id_col, bits, n=n)
+        words = [("simhash", bits)]
+    nb = sum(wbits // band_bits for _, wbits in words)
     if max_hamming >= nb:
         # Pigeonhole guarantee requires distance < number of bands —
         # otherwise a pair can differ in every band and never collide.
@@ -679,20 +760,23 @@ def simhash_pairs(
     mask = (1 << band_bits) - 1
     # Single generator explode (see minhash_pairs: an nb-way union would
     # re-plan the vote aggregation nb times).
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * band_bits)
-            .bitwiseAND(F.lit(mask))
-            .alias("band_val"),
-        )
-        for b in range(nb)
-    ]
+    band_structs = []
+    for wi, (wcol, wbits) in enumerate(words):
+        for b in range(wbits // band_bits):
+            band_structs.append(
+                F.struct(
+                    F.lit(wi * 64 + b).alias("band"),
+                    F.shiftright(F.col(wcol), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+            )
+    wcols = [wcol for wcol, _ in words]
     bands = fps.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bv")
+        F.col(id_col), *wcols, F.explode(F.array(*band_structs)).alias("bv")
     ).select(
         F.col(id_col),
-        F.col("simhash"),
+        *wcols,
         F.col("bv.band").alias("band"),
         F.col("bv.band_val").alias("band_val"),
     )
@@ -717,12 +801,14 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            *[F.col(f"a.{w}").alias(f"{w}_a") for w in wcols],
+            *[F.col(f"b.{w}").alias(f"{w}_b") for w in wcols],
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham: Column = F.lit(0)
+    for w in wcols:
+        ham = ham + F.bit_count(F.col(f"{w}_a").bitwiseXOR(F.col(f"{w}_b")))
     return (
         cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
