@@ -226,14 +226,17 @@ def embedding_near_dup_lsh(
         "nm",
         F.when(F.col("nm") == 0, F.lit(1.0)).otherwise(F.col("nm")),
     )
-    if broadcast_vectors:
+    if broadcast_vectors or compact_rerank:
         # With the collision and rerank joins map-side, the whole
         # explode→join→dedup-map chain runs at PARQUET SCAN
         # parallelism — a single large row group means one task does
         # all the candidate work (measured r13: 31 idle + 1 straggler
         # task per stage, x100 167 s vs 91 s co-shuffle). One narrow
         # corpus-sized exchange up front buys full-width execution of
-        # the fat broadcast-join stages.
+        # the fat broadcast-join stages. The compact tier needs the
+        # same guard (measured r14: AQE broadcasts its small quantized
+        # side, collapsing the chain into a scan-parallel map stage —
+        # one straggler task ran 8+ min at x100 before the fix).
         spark = df.sparkSession
         try:
             width = int(spark.conf.get("spark.sql.shuffle.partitions"))
