@@ -291,18 +291,36 @@ def embedding_near_dup_lsh(
         delta = (dim ** 0.5) / 254.0
         num = threshold - 2.0 * delta - delta * delta
         qfloor = num / (1.0 + delta) ** 2 if num >= 0 else num / (1.0 - delta) ** 2
-        unit = F.transform(
-            F.col("vec"), lambda x: F.round(F.lit(127.0) * x / F.col("nm"), 0)
-        )
-        qn_raw = F.sqrt(
-            F.aggregate(
-                unit, F.lit(0.0), lambda acc, x: acc + x * x
-            )
-        )
-        qbase = base.select(
-            "id",
-            F.transform(unit, lambda x: x.cast("tinyint")).alias("qv"),
-            F.when(qn_raw == 0, F.lit(1.0)).otherwise(qn_raw).alias("qn"),
+
+        # Arrow-batched quantization, NOT a Catalyst transform/aggregate
+        # chain: interpreted HOF lambdas cost ~400 evals/row here, and
+        # the join's inferred isnotnull(qn) predicate PUSHES the whole
+        # expression below the up-front repartition into the
+        # single-row-group scan task (measured r14: one straggler task
+        # evaluated 200k quantizations alone for 4+ min at the x100
+        # probe). mapInPandas is vectorized NumPy AND a pushdown
+        # barrier, so the compute stays at exchange width.
+        def quantize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                m = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+                )
+                nm = pdf["nm"].to_numpy(dtype=np.float64)
+                q = np.round(127.0 * m / nm[:, None])
+                qn = np.sqrt((q * q).sum(axis=1))
+                qn[qn == 0.0] = 1.0
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].values,
+                        "qv": list(q.astype(np.int8)),
+                        "qn": qn,
+                    }
+                )
+
+        qbase = base.select("id", "vec", "nm").mapInPandas(
+            quantize, "id long, qv array<tinyint>, qn double"
         )
         qa = qbase.select(
             F.col("id").alias("id_a"),
