@@ -64,9 +64,14 @@ def _pinned_doc_partitions(df: DataFrame, target_bytes: int = 4 * 1024 * 1024) -
     spark = df.sparkSession
     base = int(spark.conf.get("spark.sql.shuffle.partitions"))
     try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j hands scala.math.BigInt back as a Python int on current
+        # Spark; older bridges return a JavaObject needing toString()
+        # (r14: the unconditional .toString() raised AttributeError on
+        # the int path, silently pinning EVERY caller to the session
+        # base width — the x300 probe's window sorts then held 3× the
+        # intended rows per partition, the spill-lottery source).
+        size = raw if isinstance(raw, int) else int(raw.toString())
     except Exception:
         return base
     if size <= 0 or size > (1 << 50):  # default/unknown stats sentinel
@@ -913,12 +918,15 @@ def substring_dedup(
     from ``k-1`` lead() columns sharing ONE window over (doc, pos) —
     no per-window re-tokenize); the doc-frequency aggregate is
     map-side-combining on the hash; the duplicated-gram set is
-    bounded by total_grams/(max_df+1) and in practice
-    boilerplate-sized, so the per-token match is a broadcast left
-    join (drop the hint to fall back to an identical-semantics
-    shuffle join if a degenerate corpus overflows it); the coverage
-    decision is a running max over the already doc-partitioned frame
-    (no new exchange); reassembly groups one document per task.
+    bounded by total_grams/(max_df+1) — boilerplate-sized on healthy
+    corpora but CORPUS-sized on saturated vocabularies (20.8M grams
+    at the r14 x300 probe), so the per-token match carries no join
+    hint: AQE broadcasts it when runtime stats say it is small and
+    falls back to a gh-keyed shuffle join when it is not (the forced
+    broadcast was the adjudicated x300 spill lottery — 68.6 vs
+    177.1 s across identical runs); the coverage decision is a
+    running max over the already doc-partitioned frame (no new
+    exchange); reassembly groups one document per task.
 
     The gram window's exchange width is PINNED (``window_partitions``,
     default :func:`_pinned_doc_partitions` from the source size) —
@@ -973,7 +981,15 @@ def substring_dedup(
     dup = dfreq.filter(F.col("gram_df") > max_df).select(
         "gh", F.lit(True).alias("is_dup")
     )
-    flagged = grams.join(F.broadcast(dup), "gh", "left")
+    # NO broadcast hint (r14): the "dup set is boilerplate-sized"
+    # assumption fails on saturated-vocabulary corpora — the x300
+    # probe measured 20.8M duplicated grams, and the forced-broadcast
+    # hash relation per task was the adjudicated spill lottery (x300
+    # wall time drew 68.6–177.1 s across identical fresh-JVM runs).
+    # AQE's runtime stats pick broadcast when dup is actually small
+    # (oracle scales) and a gh-keyed shuffle join when it is
+    # corpus-sized — the regime is chosen from measured bytes.
+    flagged = grams.join(dup, "gh", "left")
     # Coverage: token i is inside a removed span iff some duplicated
     # window starts at p ∈ [i-k+1, i]; with starts visited in order the
     # running max of matched starts decides it in one pass.
