@@ -1039,6 +1039,8 @@ def _nd_bcast_max() -> int:
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     n = _parquet_rows(sf_dir, "embeddings")
     gate = _nd_bcast_max()
     out = embedding_near_dup_lsh(
@@ -1057,8 +1059,16 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exchange row instead of dim·8) and recheck only the
         # survivors against float64 — same output, output-proportional
         # full-vector shuffle mass. Closes the α-1.95 regime the r13
-        # probe measured on the bare co-shuffle path.
+        # probe measured on the bare co-shuffle path. Width A/B
+        # (fresh-JVM x100/x300, r14): int8's 0.084 margin admits a
+        # 4.63× survivor band on this generator's near-threshold
+        # cosine mass (3.57M survivors / 770k true pairs at 200k
+        # vectors), yet still wins end-to-end — 50.6/327.7 s vs
+        # int16's 52.5/482.2 s — because the 131M-candidate quantized
+        # joins dominate and int16 moves 1.7× their bytes. 8 is the
+        # measured default; the env knob re-runs the A/B.
         compact_rerank=n > gate,
+        compact_bits=int(os.environ.get("SPARK_GRAFT_ND_COMPACT_BITS", "8")),
     )
     return out.select("id_a", "id_b", _r(F.col("cosine"), 6).alias("cosine"))
 

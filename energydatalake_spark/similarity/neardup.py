@@ -151,6 +151,7 @@ def embedding_near_dup_lsh(
     seed: int = 42,
     broadcast_vectors: bool = False,
     compact_rerank: bool = False,
+    compact_bits: int = 8,
 ) -> DataFrame:
     """Sub-quadratic near-dup: multi-table sign-LSH candidate
     generation + exact JVM-side cosine rerank (``aggregate``/``zip_with``
@@ -283,12 +284,25 @@ def embedding_near_dup_lsh(
         .dropDuplicates(["id_a", "id_b"])
     )
     if compact_rerank and not broadcast_vectors:
-        # int8 pre-rerank: quantized-vector joins carry ~dim bytes per
-        # candidate side instead of dim·8 B of float64 — the exchange
-        # mass that made the co-shuffle rerank spill. Margin = the
-        # analytic worst case of unit-vector int8 rounding, so the
-        # exact recheck below sees every true pair.
-        delta = (dim ** 0.5) / 254.0
+        # Quantized pre-rerank: compact-vector joins carry dim (int8) or
+        # 2·dim (int16) bytes per candidate side instead of dim·8 B of
+        # float64 — the exchange mass that made the co-shuffle rerank
+        # spill. Margin = the analytic worst case of unit-vector
+        # rounding at the chosen width, so the exact recheck below sees
+        # every true pair. The width trades candidate-side bytes
+        # against the near-threshold MARGIN BAND the survivor join must
+        # carry: int8's margin is ~0.084 at dim 64 (wide band on
+        # corpora with cosine mass near the threshold), int16's is
+        # ~0.0007 (survivors ≈ true output).
+        if compact_bits == 8:
+            qscale, qtype = 127.0, "tinyint"
+        elif compact_bits == 16:
+            qscale, qtype = 32767.0, "smallint"
+        else:
+            raise ValueError(
+                f"compact_bits must be 8 or 16, got {compact_bits}"
+            )
+        delta = (dim ** 0.5) / (2.0 * qscale)
         num = threshold - 2.0 * delta - delta * delta
         qfloor = num / (1.0 + delta) ** 2 if num >= 0 else num / (1.0 - delta) ** 2
 
@@ -308,19 +322,21 @@ def embedding_near_dup_lsh(
                     [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
                 )
                 nm = pdf["nm"].to_numpy(dtype=np.float64)
-                q = np.round(127.0 * m / nm[:, None])
+                q = np.round(qscale * m / nm[:, None])
                 qn = np.sqrt((q * q).sum(axis=1))
                 qn[qn == 0.0] = 1.0
                 yield pd.DataFrame(
                     {
                         "id": pdf["id"].values,
-                        "qv": list(q.astype(np.int8)),
+                        "qv": list(
+                            q.astype(np.int8 if compact_bits == 8 else np.int16)
+                        ),
                         "qn": qn,
                     }
                 )
 
         qbase = base.select("id", "vec", "nm").mapInPandas(
-            quantize, "id long, qv array<tinyint>, qn double"
+            quantize, f"id long, qv array<{qtype}>, qn double"
         )
         qa = qbase.select(
             F.col("id").alias("id_a"),
@@ -332,13 +348,15 @@ def embedding_near_dup_lsh(
             F.col("qv").alias("qv_b"),
             F.col("qn").alias("qn_b"),
         )
+        # per-element products fit int (≤ 32767²); the dim-length sum
+        # can exceed int32 at 16-bit scale, so accumulate in bigint
         qdot = F.aggregate(
             F.zip_with(
                 F.col("qv_a"),
                 F.col("qv_b"),
                 lambda x, y: x.cast("int") * y.cast("int"),
             ),
-            F.lit(0),
+            F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
         cand = (
