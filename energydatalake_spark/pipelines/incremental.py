@@ -204,10 +204,19 @@ def incremental_ingest(
     at startup; ``False`` skips it entirely."""
     spark = batch.sparkSession
     exact_p, sig_p, buckets_p = _tables(index_path)
+    if isinstance(presignal, str) and presignal != "once":
+        # only the exact mode string is meaningful — any other string
+        # would fall into the truthy branch and run the per-batch
+        # aggregate the caller thought they were turning off/down
+        raise ValueError(
+            f"presignal must be True, False or 'once'; got {presignal!r}"
+        )
     if presignal == "once":
         if index_path not in _PRESIGNALED_INDEXES:
-            _PRESIGNALED_INDEXES.add(index_path)
+            # mark AFTER the probe succeeds: a transient failure must
+            # not permanently disable the first-batch smoke-check
             _warn_if_saturated(batch, text_col, id_col, n)
+            _PRESIGNALED_INDEXES.add(index_path)
     elif presignal:
         _warn_if_saturated(batch, text_col, id_col, n)
 

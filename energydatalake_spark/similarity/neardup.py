@@ -321,10 +321,32 @@ def embedding_near_dup_lsh(
                 m = np.asarray(
                     [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
                 )
+                if m.shape[1] != dim:
+                    # the margin is derived from `dim`; an undersized
+                    # param would understate it and SILENTLY drop true
+                    # pairs only in this tier (the other reranks
+                    # tolerate the mismatch) — fail loudly instead
+                    raise ValueError(
+                        f"compact_rerank: vectors have {m.shape[1]} "
+                        f"elements but dim={dim}; the quantization "
+                        f"margin needs the true length"
+                    )
                 nm = pdf["nm"].to_numpy(dtype=np.float64)
                 q = np.round(qscale * m / nm[:, None])
                 qn = np.sqrt((q * q).sum(axis=1))
                 qn[qn == 0.0] = 1.0
+                # Non-finite vectors (NaN/inf elements): the exact
+                # rerank's cosine is NaN, which Spark compares ABOVE
+                # every number, so the default path EMITS those pairs.
+                # int8-casting NaN is platform-undefined garbage that
+                # could fail qfloor and silently drop them — zero the
+                # quantized vector and poison qn to NaN instead; the
+                # survivor filter keeps NaN quantized cosines so the
+                # exact recheck stays the decider (parity preserved).
+                bad = ~np.isfinite(q).all(axis=1)
+                if bad.any():
+                    q[bad] = 0.0
+                    qn[bad] = np.nan
                 yield pd.DataFrame(
                     {
                         "id": pdf["id"].values,
@@ -335,9 +357,14 @@ def embedding_near_dup_lsh(
                     }
                 )
 
+        # localCheckpoint: BOTH join sides read qbase, and without a
+        # materialization boundary each side re-executes the Python
+        # quantize stage (2× the NumPy work and Arrow round-trips per
+        # run); the frame is 3 narrow columns, the same
+        # materialize-once pattern pipelines/incremental.py uses.
         qbase = base.select("id", "vec", "nm").mapInPandas(
             quantize, f"id long, qv array<{qtype}>, qn double"
-        )
+        ).localCheckpoint(eager=False)
         qa = qbase.select(
             F.col("id").alias("id_a"),
             F.col("qv").alias("qv_a"),
@@ -359,12 +386,16 @@ def embedding_near_dup_lsh(
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
+        qcos = qdot.cast("double") / (F.col("qn_a") * F.col("qn_b"))
         cand = (
             cand.join(qa, "id_a")
             .join(qb, "id_b")
+            # NULL/NaN qcos = a non-finite input vector (poisoned qn
+            # above — pandas→Arrow ships np.nan in a float column as
+            # NULL); those pairs pass through so the exact recheck
+            # decides, exactly as the default rerank would
             .filter(
-                qdot.cast("double") / (F.col("qn_a") * F.col("qn_b"))
-                >= F.lit(qfloor)
+                (qcos >= F.lit(qfloor)) | qcos.isNull() | F.isnan(qcos)
             )
             .select("id_a", "id_b")
         )

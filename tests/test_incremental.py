@@ -257,3 +257,17 @@ def test_incremental_ingest_presignal_once_mode(spark, index_path):
         ).collect()
     assert {tuple(r) for r in first} == {tuple(r) for r in second}
     inc._PRESIGNALED_INDEXES.discard(index_path)
+
+
+def test_incremental_ingest_presignal_rejects_unknown_strings(spark, index_path):
+    """Self-review r14: any string other than 'once' raises — a typo
+    must not silently run the per-batch aggregate the caller thought
+    they disabled."""
+    from energydatalake_spark.pipelines.incremental import incremental_ingest
+
+    batch = spark.createDataFrame(
+        [(900, "some fresh document text")], "doc_id bigint, text string"
+    )
+    for bad in ("off", "Once", "never"):
+        with pytest.raises(ValueError, match="presignal"):
+            incremental_ingest(batch, index_path, append=False, presignal=bad)

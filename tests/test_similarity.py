@@ -744,3 +744,58 @@ def test_embedding_near_dup_lsh_compact16_parity(spark):
     }
     assert plain == c16
     assert len(c16) >= 25
+
+
+def test_embedding_near_dup_lsh_compact_nan_parity(spark):
+    """Self-review r14: a vector with a NaN element gives the exact
+    rerank a NaN cosine, which Spark compares ABOVE every number — the
+    default path emits those pairs. The compact tier must not drop
+    them (int8-cast NaN is platform garbage): poisoned qn routes them
+    past the quantized filter to the exact recheck."""
+    import numpy as np
+
+    from energydatalake_spark.similarity.neardup import embedding_near_dup_lsh
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for i in range(60):
+        v = rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((2000 + i, [float(x + 0.005) for x in v]))  # twins
+    base_v = [float(x) for x in rng.normal(size=16)]
+    nan_v = list(base_v)
+    nan_v[3] = float("nan")
+    rows.append((9000, nan_v))
+    rows.append((9001, base_v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, n_planes=4, dim=16)  # few planes → collisions
+    plain = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_lsh(df, **kw).collect()
+    }
+    compact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_lsh(df, compact_rerank=True, **kw).collect()
+    }
+    assert plain == compact
+    # the NaN row actually collided and was emitted by BOTH paths
+    # (otherwise this test proves nothing about the poison path)
+    assert any(9000 in p for p in plain)
+
+
+def test_compact_rerank_dim_mismatch_raises(spark):
+    """Self-review r14: an undersized dim would understate the margin
+    and silently drop true pairs only in the compact tier — it must
+    raise instead."""
+    import numpy as np
+    import pytest as _pt
+
+    from energydatalake_spark.similarity.neardup import embedding_near_dup_lsh
+
+    rng = np.random.default_rng(43)
+    rows = [(i, [float(x) for x in rng.normal(size=32)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pt.raises(Exception, match="32 elements but dim=16"):
+        embedding_near_dup_lsh(
+            df, threshold=0.5, n_planes=4, dim=16, compact_rerank=True
+        ).collect()
