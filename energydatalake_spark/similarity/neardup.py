@@ -357,14 +357,22 @@ def embedding_near_dup_lsh(
                     }
                 )
 
-        # localCheckpoint: BOTH join sides read qbase, and without a
+        # persist: BOTH join sides read qbase, and without a
         # materialization boundary each side re-executes the Python
         # quantize stage (2× the NumPy work and Arrow round-trips per
-        # run); the frame is 3 narrow columns, the same
-        # materialize-once pattern pipelines/incremental.py uses.
-        qbase = base.select("id", "vec", "nm").mapInPandas(
-            quantize, f"id long, qv array<{qtype}>, qn double"
-        ).localCheckpoint(eager=False)
+        # run); the frame is 3 narrow columns. persist over
+        # localCheckpoint deliberately: checkpoint blocks die with
+        # their executor (non-recomputable — the job fails), while a
+        # persisted frame keeps lineage and recomputes lost partitions
+        # — the fault-tolerance this tier needs on a real cluster.
+        # The ContextCleaner unpersists when the frame is GC'd.
+        from pyspark import StorageLevel
+
+        qbase = (
+            base.select("id", "vec", "nm")
+            .mapInPandas(quantize, f"id long, qv array<{qtype}>, qn double")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         qa = qbase.select(
             F.col("id").alias("id_a"),
             F.col("qv").alias("qv_a"),
