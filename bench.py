@@ -40,6 +40,21 @@ def _code_state(repo_dir: str) -> str:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="explicit path for the full per-query artifact. Default: the "
+        "canonical BENCHFULL_r{N}.json IF it does not exist yet, else an "
+        "auto-suffixed BENCHFULL_r{N}_rerun{K}.json — a disclosure/diagnostic "
+        "re-run can never clobber the committed round headline (VERDICT r14 "
+        "#3: third occurrence of the clobber class; fix the tool, not the "
+        "process).",
+    )
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -293,11 +308,27 @@ def main() -> None:
             this_round, derivation = full_max, "reuse newest BENCHFULL"
         else:
             this_round, derivation = bench_max + 1, "newest BENCH + 1"
-    full_path = os.path.join(repo_dir, f"BENCHFULL_r{this_round:02d}.json")
-    # Make an unintended overwrite visible (a stale BENCHFULL newer than
-    # the newest BENCH silently wins the inference otherwise).
+    if args.out:
+        full_path = (
+            args.out
+            if os.path.isabs(args.out)
+            else os.path.join(repo_dir, args.out)
+        )
+        derivation = "--out"
+    else:
+        full_path = os.path.join(repo_dir, f"BENCHFULL_r{this_round:02d}.json")
+        # Never clobber an existing (possibly committed) round headline:
+        # the first run of a round claims the canonical name; every later
+        # run without --out lands under a _rerun{K} suffix.
+        k = 1
+        while os.path.exists(full_path):
+            full_path = os.path.join(
+                repo_dir, f"BENCHFULL_r{this_round:02d}_rerun{k}.json"
+            )
+            k += 1
     print(
-        f"# BENCHFULL round {this_round:02d} ({derivation})"
+        f"# BENCHFULL round {this_round:02d} ({derivation}) -> "
+        f"{os.path.basename(full_path)}"
         + (" — overwriting existing file" if os.path.exists(full_path) else ""),
         file=sys.stderr,
     )
