@@ -2080,17 +2080,76 @@ _register(
 DRIVER_WINDOW = 50
 
 _DRIVER_WINDOW_FIRST = [
-    # r14 rotation (VERDICT r13 #5): semantic_dedup FIRST (the r13
-    # slot-arithmetic holdout AND this round's lead fix — two-level
-    # centroid assignment — so its driver evidence must be fresh),
-    # then the r13-parked set (r12 driver rows: multimodal,
-    # minhash/simhash families, similarity tiers, corpus
-    # prep/sampling, streaming, CC clusters, r8-new). Slot arithmetic
-    # repeats (50 candidates, 49 slots after the flagship): the r15
-    # holdout is minhash_pairs, which carries the freshest non-driver
-    # evidence in the incoming set (r12 driver row, r13 judge oracle
-    # re-run at sf0.01, x300 fresh-JVM probe entries in BOTH
-    # generator modes). It leads the r15 rotation.
+    # r15 rotation (VERDICT r14 #2): minhash_pairs FIRST (the
+    # designated r15 holdout — r13 driver row, r14 judge oracle
+    # re-run at sf0.01, fresh-JVM x300 probe entries in BOTH
+    # generator modes), then the r14-parked set (r13 driver rows:
+    # §2 relational core, text-analysis, embedding dedup tiers).
+    # Slot arithmetic repeats (50 candidates, 49 slots after the
+    # flagship): the r16 holdout is outer_join — r13 driver row,
+    # r14 judge re-run OK, trivially-shaped long-green equi-join.
+    # It leads the r16 rotation.
+    "minhash_pairs",
+    "ngram_jaccard",
+    "boilerplate_filter",
+    "line_dedup",
+    "lm_buckets",
+    "source_cap",
+    "ann_recall",
+    "quality_probe",
+    "ivf_recall",
+    "streaming_quality",
+    "curation_funnel",
+    "skew_join",
+    "asof_join",
+    "text_stats",
+    "token_count",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "moving_avg",
+    "cumulative_revenue",
+    "rollup_revenue",
+    "pivot_revenue",
+    "quantiles",
+    "forecast_vs_actual",
+    "pearson_corr",
+    "multikey_avg",
+    "band_join",
+    "mix_percentage",
+    "decimal_cast",
+    "timestamp_parse",
+    "tz_convert",
+    "union_all",
+    "drop_nulls",
+    "dedup_rows",
+    "group_count",
+    "topk_per_group",
+    "normalize_names",
+    "avg_by_hour",
+    "dedup_latest",
+    "null_profile",
+    "trend_fit",
+    "approx_distinct",
+    "approx_quantiles",
+    "resample_hourly",
+    "data_profile",
+    "asof_forward",
+    "revenue_by_nation",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+]
+
+_DRIVER_WINDOW_PARKED = [
+    # Parked in r15: every one of these earned a fresh driver-green
+    # row in CORRECTNESS_r14 (the r14 window: multimodal,
+    # simhash/similarity families, corpus prep/sampling, streaming,
+    # CC clusters, r8-new, semantic_dedup), plus outer_join — the
+    # r16 slot-arithmetic holdout (r13 driver row + r14 judge
+    # re-run; FIRST in the r16 rotation). All stay covered by pytest
+    # and by tools/oracle_check.py (MIRROR_r{N}.json). Rotate back
+    # in r16+.
+    "outer_join",
     "semantic_dedup",
     "avg_by_month",
     "corpus_increment_batch",
@@ -2140,66 +2199,6 @@ _DRIVER_WINDOW_FIRST = [
     "cohort_retention",
     "join_skew_profile",
     "decile_stats",
-]
-
-_DRIVER_WINDOW_PARKED = [
-    # Parked in r14: every one of these earned a fresh driver-green
-    # row in CORRECTNESS_r13 (the r13 window: §2 relational core,
-    # text-analysis, embedding dedup tiers), except minhash_pairs —
-    # the r15 slot-arithmetic holdout (r12 driver row + r13 judge
-    # re-run + two-mode x300 probe; FIRST in the r15 rotation). All
-    # stay covered by pytest and by tools/oracle_check.py
-    # (MIRROR_r{N}.json). Rotate back in r15+.
-    "minhash_pairs",
-    "ngram_jaccard",
-    "boilerplate_filter",
-    "line_dedup",
-    "lm_buckets",
-    "source_cap",
-    "ann_recall",
-    "quality_probe",
-    "ivf_recall",
-    "streaming_quality",
-    "curation_funnel",
-    "skew_join",
-    "asof_join",
-    "text_stats",
-    "token_count",
-    "lang_id",
-    "doc_fingerprint",
-    "dedup_exact",
-    "moving_avg",
-    "cumulative_revenue",
-    "rollup_revenue",
-    "pivot_revenue",
-    "quantiles",
-    "forecast_vs_actual",
-    "pearson_corr",
-    "multikey_avg",
-    "band_join",
-    "outer_join",
-    "mix_percentage",
-    "decimal_cast",
-    "timestamp_parse",
-    "tz_convert",
-    "union_all",
-    "drop_nulls",
-    "dedup_rows",
-    "group_count",
-    "topk_per_group",
-    "normalize_names",
-    "avg_by_hour",
-    "dedup_latest",
-    "null_profile",
-    "trend_fit",
-    "approx_distinct",
-    "approx_quantiles",
-    "resample_hourly",
-    "data_profile",
-    "asof_forward",
-    "revenue_by_nation",
-    "dedup_embedding",
-    "dedup_embedding_lsh",
 ]
 
 
