@@ -177,7 +177,14 @@ def main() -> None:
     # precedent exactly); (b) baseline restatement: the query is NOT
     # in the r01 common set, so the r01 baseline ratio is unchanged by
     # warming it.
+    from energydatalake_spark.similarity.neardup import release_quantized_cache
     from energydatalake_spark.text.dedup import release_shingle_cache
+
+    def _release_caches() -> None:
+        # per-invocation scratch (shingle explosions, quantized
+        # vectors) must not crowd executor storage across the suite
+        release_shingle_cache()
+        release_quantized_cache()
 
     for warm_q in (
         "streaming_enrich",
@@ -191,7 +198,7 @@ def main() -> None:
                 QUERIES[warm_q].build(spark, "/root/testdata/sf0.001").collect()
             except Exception as exc:
                 print(f"# {warm_q} smoke warm-up skipped: {exc}", file=sys.stderr)
-            release_shingle_cache()
+            _release_caches()
 
     # Round-over-round regression guard: compare per-query against the
     # newest BENCH_r*.json (stderr only — the stdout contract stays one
@@ -230,12 +237,12 @@ def main() -> None:
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
-            release_shingle_cache()
+            _release_caches()
             continue
         timings[name] = round(time.perf_counter() - t0, 4)
         # Shingle caches are per-invocation scratch; holding them across
         # the suite would crowd executor storage and skew later queries.
-        release_shingle_cache()
+        _release_caches()
         flag = ""
         if name in prev and prev[name] > 0.2 and timings[name] > 2 * prev[name]:
             flag = f"  ** REGRESSION vs r-1 ({prev[name]:.2f}s)"

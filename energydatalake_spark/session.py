@@ -33,6 +33,28 @@ def default_parallelism() -> int:
     return max(1, os.cpu_count() or 8)
 
 
+def _size_mb(jvm_size: str) -> int:
+    """Parse a JVM memory string ('8g', '2048m', '512k', bare bytes)
+    to MiB; raises on anything Spark itself would reject."""
+    s = jvm_size.strip().lower()
+    mult = {"k": 1.0 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
+    if s and s[-1] in mult:
+        return max(1, int(float(s[:-1]) * mult[s[-1]]))
+    return max(1, int(s) // (1024 * 1024))
+
+
+def _default_max_result(driver_mem: str) -> str:
+    """maxResultSize default derived from the RESOLVED driver heap
+    (ADVICE r14): a fixed 4g cap tracks the 8g default heap, but a
+    user lowering SPARK_GRAFT_DRIVER_MEM without also setting
+    SPARK_GRAFT_MAX_RESULT would get a cap ABOVE the heap — a large
+    broadcast collect then OOMs the driver instead of failing cleanly
+    at the cap. Half the heap keeps the broadcast-rerank tier's ~1 GB
+    collect viable at the 8g default (= the documented 4g) and scales
+    both directions."""
+    return f"{max(1, _size_mb(driver_mem) // 2)}m"
+
+
 def get_spark(
     app_name: str = "energydatalake_spark",
     master: str | None = None,
@@ -49,6 +71,7 @@ def get_spark(
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     n_shuffle = shuffle_partitions if shuffle_partitions is not None else cores
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -60,17 +83,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
         # Broadcast builds collect through the driver and are capped by
         # maxResultSize (default 1g) — the LSH broadcast-rerank tier
         # (similarity/neardup.py) broadcasts the vector table, which is
         # ~1 GB serialized near its 2M-vector gate (ADVICE r13: the
         # gate sat 3× beyond the largest size the default cap could
-        # actually collect). 4g tracks the 8g driver heap; override via
+        # actually collect). Default = HALF the resolved heap (4g at
+        # the 8g default) so the cap can never exceed the heap when a
+        # user lowers SPARK_GRAFT_DRIVER_MEM alone; override via
         # SPARK_GRAFT_MAX_RESULT.
         .config(
             "spark.driver.maxResultSize",
-            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+            os.environ.get(
+                "SPARK_GRAFT_MAX_RESULT", _default_max_result(driver_mem)
+            ),
         )
         # Files: pack many small files into tasks; split big ones at 128 MiB.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

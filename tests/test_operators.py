@@ -397,3 +397,19 @@ def test_cc_nodes_cover_edges_all_branches(spark, monkeypatch):
         ).collect()
     }
     assert got == {5: 5, 6: 6, 7: 7}
+
+
+def test_max_result_size_tracks_driver_heap():
+    """ADVICE r14: the maxResultSize default must derive from the
+    resolved driver heap (half), never exceed it — a 2g heap with the
+    old fixed 4g cap OOM'd instead of failing cleanly at the cap."""
+    from energydatalake_spark.session import _default_max_result, _size_mb
+
+    assert _default_max_result("8g") == "4096m"   # documented 4g default
+    assert _default_max_result("2g") == "1024m"   # cap < heap again
+    assert _default_max_result("64g") == "32768m"
+    assert _size_mb("2048m") == 2048
+    assert _size_mb("512k") == 1  # floors to the 1 MiB minimum
+    assert _size_mb(str(3 * 1024 * 1024 * 1024)) == 3072  # bare bytes
+    for mem in ("8g", "2g", "512m"):
+        assert _size_mb(_default_max_result(mem)) <= _size_mb(mem)

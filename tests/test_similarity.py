@@ -688,32 +688,59 @@ def test_embedding_near_dup_lsh_compact_rerank_parity(spark):
     assert len(compact) >= 25  # the planted twins are found
 
 
-def test_int8_quantized_cosine_margin_bound():
-    """Property behind compact_rerank's superset guarantee: for unit
-    vectors, the int8-quantized cosine never undershoots the true
-    cosine by more than the analytic margin used in the operator."""
+def test_int8_quantized_dot_margin_bound():
+    """Property behind compact_rerank's superset guarantee (r15
+    per-vector form): for unit vectors a, b with quantizations
+    q = round(s·u) and ACTUAL error norms qe = |q/s − u|₂, the integer
+    dot never undershoots s²·(cos − qe_a − qe_b − qe_a·qe_b). Also
+    pins that the per-vector margin is strictly tighter than the old
+    global worst-case δ = √dim/(2s) on typical vectors."""
     import numpy as np
 
     rng = np.random.default_rng(17)
     dim = 64
-    delta = np.sqrt(dim) / 254.0
-    worst = 0.0
+    s = 127.0
+    delta_global = np.sqrt(dim) / (2.0 * s)
+    slack = []
     for _ in range(300):
         a = rng.normal(size=dim)
         b = a + rng.exponential(0.3) * rng.normal(size=dim)  # mixed-sim pairs
         a /= np.linalg.norm(a)
         b /= np.linalg.norm(b)
         c = float(a @ b)
-        qa = np.round(127.0 * a)
-        qb = np.round(127.0 * b)
-        cq = float(qa @ qb) / (np.linalg.norm(qa) * np.linalg.norm(qb))
-        num = c - 2.0 * delta - delta * delta
-        floor = num / (1.0 + delta) ** 2 if num >= 0 else num / (1.0 - delta) ** 2
-        assert cq >= floor - 1e-12, (c, cq, floor)
-        worst = max(worst, c - cq)
-    # the bound is not vacuous: observed undershoot is positive but
-    # well inside the analytic margin
-    assert 0.0 < worst < 2.0 * delta + delta * delta
+        qa = np.round(s * a)
+        qb = np.round(s * b)
+        qe_a = float(np.linalg.norm(qa / s - a))
+        qe_b = float(np.linalg.norm(qb / s - b))
+        floor = s * s * (c - qe_a - qe_b - qe_a * qe_b)
+        assert float(qa @ qb) >= floor - 1e-9, (c, float(qa @ qb), floor)
+        # actual error norms sit well inside the global worst case
+        assert qe_a <= delta_global and qe_b <= delta_global
+        slack.append(delta_global - max(qe_a, qe_b))
+    # tighter in aggregate, not just valid: typical |e|₂ ≈ √(dim/12)/s
+    # is ~0.577 of the worst case — the margin band roughly halves
+    assert np.mean(slack) > 0.3 * delta_global
+
+
+def test_compact_rerank_ragged_batch_raises(spark):
+    """ADVICE r14: a partition mixing vector lengths must hit the loud
+    dim-mismatch ValueError, not an opaque IndexError from a 1-D
+    object array."""
+    import numpy as np
+    import pytest as _pt
+
+    from energydatalake_spark.similarity.neardup import embedding_near_dup_lsh
+
+    rng = np.random.default_rng(47)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)]
+    rows.append((99, [float(x) for x in rng.normal(size=12)]))  # ragged
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    with _pt.raises(Exception, match="the quantization margin needs"):
+        embedding_near_dup_lsh(
+            df, threshold=0.5, n_planes=4, dim=16, compact_rerank=True
+        ).collect()
 
 
 def test_embedding_near_dup_lsh_compact16_parity(spark):
@@ -799,3 +826,94 @@ def test_compact_rerank_dim_mismatch_raises(spark):
         embedding_near_dup_lsh(
             df, threshold=0.5, n_planes=4, dim=16, compact_rerank=True
         ).collect()
+
+
+def test_embedding_semantic_dedup_labels_parity(spark):
+    """r15 (VERDICT r14 #6): caller-assigned labels skip the router —
+    feeding back the assignment the in-process path would compute must
+    give identical (cluster_id, keep) output, including zero-norm
+    singletons whose labels are ignored."""
+    import numpy as np
+
+    from energydatalake_spark.similarity.neardup import embedding_semantic_dedup
+
+    rng = np.random.default_rng(53)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(120)]
+    for i in range(0, 120, 7):  # planted twins
+        rows.append((1000 + i, [float(x + 0.01) for x in rows[i][1]]))
+    rows.append((9000, [0.0] * 8))  # zero-norm singleton
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, n_cells=4)
+    base = {
+        (r.vec_id, r.cluster_id, r.keep)
+        for r in embedding_semantic_dedup(df, **kw).collect()
+    }
+    # reproduce the default assignment (codebook = first n_cells rows
+    # by id) in NumPy and hand it back as a labels frame
+    cb_rows = sorted(rows, key=lambda r: r[0])[:4]
+    cb = np.asarray([v for _, v in cb_rows], dtype=np.float64)
+    cbn = cb / np.linalg.norm(cb, axis=1)[:, None]
+    lab_rows = []
+    for i, v in rows:
+        nv = np.linalg.norm(v)
+        if nv == 0.0:
+            lab_rows.append((i, 77777))  # ignored: zero-norm stays singleton
+            continue
+        cell = int(np.argmax((np.asarray(v) / nv) @ cbn.T))
+        lab_rows.append((i, cb_rows[cell][0]))
+    labels = spark.createDataFrame(lab_rows, "vec_id long, cell_id long")
+    ext = {
+        (r.vec_id, r.cluster_id, r.keep)
+        for r in embedding_semantic_dedup(df, labels=labels, **kw).collect()
+    }
+    assert base == ext
+    assert (9000, 9000, True) in ext
+
+
+def test_embedding_semantic_dedup_labels_missing_raises(spark):
+    """An unlabelled non-zero-norm vector must fail loudly, never drop."""
+    import numpy as np
+    import pytest as _pt
+
+    from energydatalake_spark.similarity.neardup import embedding_semantic_dedup
+
+    rng = np.random.default_rng(59)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    labels = spark.createDataFrame(
+        [(i, 0) for i in range(19)], "vec_id long, cell_id long"  # 19 missing
+    )
+    with _pt.raises(Exception, match="no\\s+row in the caller-supplied labels"):
+        embedding_semantic_dedup(df, threshold=0.9, labels=labels).collect()
+
+
+def test_embedding_semantic_dedup_labels_and_centroids_raises(spark):
+    """centroids and labels are mutually exclusive escape hatches."""
+    import pytest as _pt
+
+    from energydatalake_spark.similarity.neardup import embedding_semantic_dedup
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pt.raises(ValueError, match="not both"):
+        embedding_semantic_dedup(df, centroids=df, labels=df)
+
+
+def test_release_quantized_cache(spark):
+    """ADVICE r14: compact-rerank invocations register their persisted
+    quantized frame; the release hook unpersists them all."""
+    import numpy as np
+
+    from energydatalake_spark.similarity import neardup
+
+    neardup.release_quantized_cache()  # drain any prior test's entries
+    rng = np.random.default_rng(61)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    neardup.embedding_near_dup_lsh(
+        df, threshold=0.9, n_planes=4, dim=16, compact_rerank=True
+    ).collect()
+    assert len(neardup._QUANTIZED_CACHE) == 1
+    assert neardup.release_quantized_cache() == 1
+    assert neardup._QUANTIZED_CACHE == []
