@@ -239,6 +239,8 @@ def _auto_band_rows(
     twice (the sf1 bench measured the throwaway pass at ~3 s / +26%).
     The decision is deterministic (exact counts over deterministic
     hashes), so reruns pick the same geometry."""
+    import sys
+
     pre = ex.agg(
         F.count(F.lit(1)).alias("t"),
         F.approx_count_distinct("sh").alias("u"),
@@ -246,6 +248,16 @@ def _auto_band_rows(
     ).collect()[0]
     if pre.d == 0 or pre.t / max(pre.u, 1) <= MH_SATURATION_MEAN_DF:
         return rows
+    # Decisions go to stderr (r15, VERDICT r14 #5): at cluster scale
+    # the chosen geometry is the difference between a linear and a
+    # quadratic run — operators need to SEE each escalation, and the
+    # scale probes record it as ladder evidence.
+    print(
+        f"# minhash breaker armed: mean_df "
+        f"{pre.t / max(pre.u, 1):.1f} > {MH_SATURATION_MEAN_DF} "
+        f"(docs={pre.d}, shingles={pre.u}); probing from rows={rows}",
+        file=sys.stderr,
+    )
     r = rows
     while r < rows_max:
         sig = (
@@ -260,9 +272,24 @@ def _auto_band_rows(
             .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("mass"))
             .collect()[0]
         )
-        if (probe.mass or 0.0) / pre.d <= max_cand_per_doc:
+        mass_per_doc = (probe.mass or 0.0) / pre.d
+        if mass_per_doc <= max_cand_per_doc:
+            print(
+                f"# minhash breaker: rows={r} holds "
+                f"{mass_per_doc:.1f} cands/doc <= {max_cand_per_doc}",
+                file=sys.stderr,
+            )
             return r
+        print(
+            f"# minhash breaker: rows={r} gives {mass_per_doc:.1f} "
+            f"cands/doc > {max_cand_per_doc}; escalating",
+            file=sys.stderr,
+        )
         r += 1
+    print(
+        f"# minhash breaker: capped at rows_max={rows_max} "
+        f"(recall floor)", file=sys.stderr,
+    )
     return r
 
 

@@ -51,6 +51,17 @@ into BENCHHEAVY_sf10.json, stamped over the (100, 300) manifests.
 x300 is the largest point a 64g local JVM holds; log₃ spacing is
 enough to expose a tier that two full decades hid.
 Usage:  python tools/scale_probe.py --third [--fresh] [--heaps] [query ...]
+
+``--fourth`` (VERDICT r14 #5) measures the x300→x1000 ladder step
+(5M docs / 2M vectors ≈ sf100) — the fourth-decade pilot for the
+100-TB workhorse families; default query is minhash_pairs (its
+x1000-stays-linear claim was two-thirds measured, and the band
+breaker's next decade-boundary decision is exactly what a 100-TB
+deployment hits first; breaker decisions print to stderr). Writes
+``queries_fourth`` / ``queries_fourth_heaps`` entries (t_x300,
+t_x1000, alpha_x300_x1000) stamped over the (300, 1000) manifests.
+Budget ~1 h per query on a quiet machine.
+Usage:  python tools/scale_probe.py --fourth [--fresh] [--heaps] [query ...]
 """
 
 from __future__ import annotations
@@ -227,6 +238,12 @@ SIZES = {
     # comfortably; log₃ spacing is enough to expose a genuinely
     # super-linear tier that two full decades hid.
     300: (1_500_000, 600_000),
+    # --fourth pilot (VERDICT r14 #5): x1000 = 5M docs ≈ sf100 — the
+    # fourth-decade point for the 100-TB workhorse families (minhash
+    # first); converts the "stays linear at x1000" claim from
+    # two-thirds measured to fully measured and exercises the band
+    # breaker at the next decade boundary.
+    1000: (5_000_000, 2_000_000),
 }
 
 #: --third targets: the log-factor families whose x1000 stays-linear
@@ -236,6 +253,12 @@ SIZES = {
 #: families. dedup_embedding_lsh and semantic_dedup are
 #: embedding-driven — their data is generator-identical across modes,
 #: so they run once (saturated key) rather than per-generator.
+#: --fourth default: the fourth-decade pilot family (one query by
+#: design — budget ~1 h each; widen deliberately, not by default).
+FOURTH_DECADE = [
+    "minhash_pairs",
+]
+
 THIRD_DECADE = [
     "minhash_pairs",
     "dedup_clusters",
@@ -373,13 +396,16 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
 
 
 def main() -> None:
-    flags = ("--x100", "--fresh", "--heaps", "--third")
+    flags = ("--x100", "--fresh", "--heaps", "--third", "--fourth")
     args = [a for a in sys.argv[1:] if a not in flags]
     x100 = "--x100" in sys.argv[1:]
     fresh = "--fresh" in sys.argv[1:]
     heaps = "--heaps" in sys.argv[1:]
     third = "--third" in sys.argv[1:]
-    if third:
+    fourth = "--fourth" in sys.argv[1:]
+    if fourth:
+        default_queries = FOURTH_DECADE
+    elif third:
         default_queries = THIRD_DECADE_HEAPS if heaps else THIRD_DECADE
     else:
         default_queries = (
@@ -387,7 +413,7 @@ def main() -> None:
             if heaps
             else (HEAVY + HEAVY_X100_EXTRA if x100 else HEAVY)
         )
-    if fresh and (x100 or third):
+    if fresh and (x100 or third or fourth):
         # One subprocess (one JVM) per query: the r11 sweep showed a
         # shared 64g session contaminates later x100 measurements with
         # heap/GC pressure (hashed_tfidf 182 s shared vs 47 s clean).
@@ -398,13 +424,14 @@ def main() -> None:
         for q in args or default_queries:
             rc = subprocess.call(
                 [sys.executable, os.path.abspath(__file__),
-                 "--third" if third else "--x100", q]
+                 "--fourth" if fourth else ("--third" if third else "--x100"),
+                 q]
                 + (["--heaps"] if heaps else [])
             )
             if rc != 0:
                 print(f"--fresh: {q} exited {rc}; continuing", file=sys.stderr)
         return
-    if x100 or third:
+    if x100 or third or fourth:
         # x100 is ~sf10 in one local JVM: 32 executor threads sharing
         # the driver heap OOM at the default 8g (first attempted run
         # died in minhash_pairs' shuffle at stage ~625). A real cluster
@@ -413,14 +440,18 @@ def main() -> None:
         os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
         queries = args or default_queries
         base = "/tmp/sfgen/probe100h" if heaps else "/tmp/sfgen/probe100"
-        mults = (100, 300) if third else (1, 10, 100)
+        mults = (
+            (300, 1000) if fourth else (100, 300) if third else (1, 10, 100)
+        )
         dirs = {m: _gen_dir(base, m, heaps) for m in mults}
         import json
 
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         path = os.path.join(repo, "BENCHHEAVY_sf10.json")
 
-        if third:
+        if fourth:
+            qkey = "queries_fourth_heaps" if heaps else "queries_fourth"
+        elif third:
             qkey = "queries_third_heaps" if heaps else "queries_third"
         else:
             qkey = "queries_heaps" if heaps else "queries"
@@ -451,8 +482,8 @@ def main() -> None:
                 except Exception:
                     merged = {}
             known = (
-                set(THIRD_DECADE)
-                if third
+                set(FOURTH_DECADE + THIRD_DECADE)
+                if fourth or third
                 else set(HEAVY) | set(HEAVY_X100_EXTRA)
             )
             merged = {
@@ -469,6 +500,7 @@ def main() -> None:
                     {**extras,
                      "sizes": {f"x{m}": SIZES[m] for m in (1, 10, 100)},
                      "sizes_third": {f"x{m}": SIZES[m] for m in (100, 300)},
+                     "sizes_fourth": {f"x{m}": SIZES[m] for m in (300, 1000)},
                      qkey: merged},
                     fh, indent=1, sort_keys=True,
                 )
