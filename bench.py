@@ -177,14 +177,12 @@ def main() -> None:
     # precedent exactly); (b) baseline restatement: the query is NOT
     # in the r01 common set, so the r01 baseline ratio is unchanged by
     # warming it.
-    from energydatalake_spark.similarity.neardup import release_quantized_cache
-    from energydatalake_spark.text.dedup import release_shingle_cache
+    from energydatalake_spark import release_caches
 
     def _release_caches() -> None:
         # per-invocation scratch (shingle explosions, quantized
         # vectors) must not crowd executor storage across the suite
-        release_shingle_cache()
-        release_quantized_cache()
+        release_caches()
 
     for warm_q in (
         "streaming_enrich",

@@ -21,6 +21,7 @@ centralized and tuned for the Catalyst/Tungsten execution model:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -34,13 +35,28 @@ def default_parallelism() -> int:
 
 
 def _size_mb(jvm_size: str) -> int:
-    """Parse a JVM memory string ('8g', '2048m', '512k', bare bytes)
-    to MiB; raises on anything Spark itself would reject."""
+    """Parse a memory string to MiB with Spark's own grammar
+    (JavaUtils.byteStringAsMb): suffixes b/k/kb/m/mb/g/gb/t/tb/p/pb,
+    and a BARE number means MiB — not bytes — because that is how
+    Spark reads a suffixless ``spark.driver.memory``. Raises on
+    anything Spark itself would reject (r15 self-review: the previous
+    parser took bare values as bytes, so SPARK_GRAFT_DRIVER_MEM=8192
+    — 8 GiB to Spark — derived a 1 MiB maxResultSize, and it raised
+    on Spark-valid '8gb')."""
     s = jvm_size.strip().lower()
-    mult = {"k": 1.0 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
-    if s and s[-1] in mult:
-        return max(1, int(float(s[:-1]) * mult[s[-1]]))
-    return max(1, int(s) // (1024 * 1024))
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([kmgtp]?b?)", s)
+    if not m:
+        raise ValueError(f"unparseable JVM memory string: {jvm_size!r}")
+    mult = {
+        "": 1,  # suffixless memory strings are MiB to Spark
+        "b": 1.0 / (1024 * 1024),
+        "k": 1.0 / 1024, "kb": 1.0 / 1024,
+        "m": 1, "mb": 1,
+        "g": 1024, "gb": 1024,
+        "t": 1024 * 1024, "tb": 1024 * 1024,
+        "p": 1024 ** 3, "pb": 1024 ** 3,
+    }
+    return max(1, int(float(m.group(1)) * mult[m.group(2)]))
 
 
 def _default_max_result(driver_mem: str) -> str:

@@ -42,9 +42,15 @@ PAIR_SCHEMA = T.StructType(
 )
 
 # Quantized (id, qv, qe) frames persisted by compact-rerank invocations
-# (see embedding_near_dup_lsh). Same lifecycle pattern as
-# text.dedup._SHINGLE_CACHE: blocks are released by the ContextCleaner
-# when the frame is GC'd, or eagerly via release_quantized_cache().
+# (see embedding_near_dup_lsh). NOTE (r15 self-review): a persisted
+# SQL frame is pinned by the JVM CacheManager until unpersist() — GC
+# of the Python object does NOT free the blocks, so this module list
+# is the ONLY release path short of session end. Each new compact
+# invocation therefore evicts every PRIOR invocation's frame (safe:
+# persist keeps lineage, so a still-unconsumed older result silently
+# recomputes), and callers can release eagerly via
+# release_quantized_cache() once a result is consumed (bench and the
+# probe tools do).
 _QUANTIZED_CACHE: list[DataFrame] = []
 
 
@@ -405,13 +411,15 @@ def embedding_near_dup_lsh(
         # their executor (non-recomputable — the job fails), while a
         # persisted frame keeps lineage and recomputes lost partitions
         # — the fault-tolerance this tier needs on a real cluster.
-        # RETENTION (ADVICE r14): the blocks live until the Python
-        # frame is GC'd and the ContextCleaner runs; a long-lived
-        # session making repeated compact-rerank calls can release
-        # them eagerly via ``release_quantized_cache()`` (registered
-        # below) once the returned DataFrame has been consumed.
+        # RETENTION (ADVICE r14, corrected r15): the CacheManager
+        # pins the blocks until unpersist — Python GC never frees
+        # them — so evict every PRIOR invocation's frame here (an
+        # older unconsumed result recomputes from lineage) and keep
+        # only this one registered for eager release via
+        # ``release_quantized_cache()``.
         from pyspark import StorageLevel
 
+        release_quantized_cache()
         qbase = (
             base.select("id", "vec", "nm")
             .mapInPandas(quantize, f"id long, qv array<{qtype}>, qe double")
@@ -636,9 +644,11 @@ def embedding_semantic_dedup(
     that replaces the assignment compute with one co-partitioned
     join. Mutually exclusive with ``centroids``. Every non-zero-norm
     vector must be labelled: a missing id fails loudly in the cell
-    stage (never a silent drop). Zero-norm vectors stay singleton
-    clusters whether labelled or not (their label is ignored — they
-    have no direction to score).
+    stage (never a silent drop), and an id labelled with two
+    DIFFERENT cells raises in-plan (exact duplicate rows collapse
+    silently — re-concatenated assignment runs are idempotent).
+    Zero-norm vectors stay singleton clusters whether labelled or not
+    (their label is ignored — they have no direction to score).
     """
     from energydatalake_spark.similarity.search import (
         _argmax_cell,
@@ -670,6 +680,34 @@ def embedding_semantic_dedup(
         lab = labels.select(
             F.col(id_col).cast("long").alias("id"),
             F.col("cell_id").cast("long").alias("cell_id"),
+        )
+        # Duplicate ids in the caller's frame would fan the join out,
+        # duplicating vectors into cells and emitting conflicting
+        # (id, cluster, keep) rows with no error (r15 self-review).
+        # Collapse exact duplicates (idempotent re-concat is fine);
+        # CONFLICTING cells raise loudly in-plan via raise_error. The
+        # groupBy's exchange is reused by the id-join below, so the
+        # guard costs only the map-side partial aggregate.
+        lab = lab.groupBy("id").agg(
+            F.min("cell_id").alias("cell_id"),
+            F.count_distinct("cell_id").alias("_ncell"),
+        )
+        lab = lab.select(
+            "id",
+            F.when(
+                F.col("_ncell") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "embedding_semantic_dedup: labels assigns "
+                            "conflicting cells to id "
+                        ),
+                        F.col("id").cast("string"),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("cell_id"))
+            .alias("cell_id"),
         )
         # left join: an unlabelled vector surfaces as a NULL cell in
         # dedup_cell (loud ValueError there) instead of silently

@@ -410,6 +410,17 @@ def test_max_result_size_tracks_driver_heap():
     assert _default_max_result("64g") == "32768m"
     assert _size_mb("2048m") == 2048
     assert _size_mb("512k") == 1  # floors to the 1 MiB minimum
-    assert _size_mb(str(3 * 1024 * 1024 * 1024)) == 3072  # bare bytes
-    for mem in ("8g", "2g", "512m"):
+    # r15 self-review: Spark's JavaUtils grammar — bare numbers are
+    # MiB for memory strings (NOT bytes), and two-letter suffixes
+    # ('8gb', '2048mb') are valid. The old parser read 8192 as 8 KiB
+    # -> derived a 1 MiB maxResultSize, and raised on '8gb'.
+    assert _size_mb("8192") == 8192              # bare = MiB to Spark
+    assert _size_mb("8gb") == 8 * 1024           # two-letter suffix
+    assert _size_mb("2048mb") == 2048
+    assert _size_mb(f"{3 * 1024 * 1024 * 1024}b") == 3072  # explicit bytes
+    assert _default_max_result("8192") == "4096m"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _size_mb("eight gigs")
+    for mem in ("8g", "2g", "512m", "8192", "8gb"):
         assert _size_mb(_default_max_result(mem)) <= _size_mb(mem)

@@ -917,3 +917,89 @@ def test_release_quantized_cache(spark):
     assert len(neardup._QUANTIZED_CACHE) == 1
     assert neardup.release_quantized_cache() == 1
     assert neardup._QUANTIZED_CACHE == []
+
+
+def test_compact_rerank_evicts_prior_cache(spark):
+    """r15 self-review: a persisted SQL frame is pinned by the JVM
+    CacheManager until unpersist — Python GC never frees it — so each
+    compact-rerank invocation must evict the previous invocation's
+    frame or a long-lived session leaks storage monotonically. The
+    unified release_caches() helper drains both engine caches."""
+    import numpy as np
+
+    import energydatalake_spark as pkg
+    from energydatalake_spark.similarity import neardup
+
+    neardup.release_quantized_cache()
+    rng = np.random.default_rng(67)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, n_planes=4, dim=16, compact_rerank=True)
+    first = neardup.embedding_near_dup_lsh(df, **kw)
+    first.collect()
+    pinned = neardup._QUANTIZED_CACHE[0]
+    # a DIFFERENT input frame: identical inputs canonicalize to the
+    # same plan, and the CacheManager would report the second persist
+    # through the first handle
+    rows2 = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(30)]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    neardup.embedding_near_dup_lsh(df2, **kw).collect()
+    # steady state: exactly one live frame, and it is NOT the first
+    assert len(neardup._QUANTIZED_CACHE) == 1
+    assert neardup._QUANTIZED_CACHE[0] is not pinned
+    assert pinned.storageLevel.useMemory is False  # evicted
+    # the evicted frame's consumer still works (recomputes lineage)
+    assert len(first.collect()) >= 0
+    assert pkg.release_caches() == 1
+    assert neardup._QUANTIZED_CACHE == []
+
+
+def test_semantic_dedup_labels_duplicates(spark):
+    """r15 self-review: duplicate ids in the caller's labels frame
+    must not fan the join out. Exact duplicates collapse silently
+    (idempotent re-concat); CONFLICTING cells raise in-plan."""
+    import numpy as np
+    import pytest as _pt
+
+    from energydatalake_spark.similarity.neardup import embedding_semantic_dedup
+
+    rng = np.random.default_rng(71)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, n_cells=3)
+    base_lab = [
+        (r.vec_id, r.cluster_id)
+        for r in embedding_semantic_dedup(df, **kw).collect()
+    ]
+    # the in-process assignment IS a valid labels frame; duplicate it
+    cells = {
+        vid: cid
+        for vid, cid in spark.createDataFrame(
+            base_lab, "vec_id long, cell long"
+        ).collect()
+    }
+    # exact-duplicate labels: every row twice -> output identical to base
+    lab2 = spark.createDataFrame(
+        [(i, c) for i, c in cells.items()] * 2, "vec_id long, cell_id long"
+    )
+    # cluster_id from labels path differs (cells keyed by caller ids),
+    # so compare per-id keep sets via cluster SIZES instead
+    def _profile(out_rows):
+        from collections import Counter
+
+        return (
+            sorted(Counter(r.cluster_id for r in out_rows).values()),
+            sorted(r.vec_id for r in out_rows if r.keep),
+        )
+
+    base_out = embedding_semantic_dedup(df, **kw).collect()
+    dup_out = embedding_semantic_dedup(df, labels=lab2, **kw).collect()
+    assert len(dup_out) == len(base_out) == 24  # no fan-out duplicates
+    assert _profile(dup_out)[0] == _profile(base_out)[0]
+    # conflicting labels: one id assigned two different cells -> loud
+    bad = spark.createDataFrame(
+        [(i, c) for i, c in cells.items()] + [(0, 999_999)],
+        "vec_id long, cell_id long",
+    )
+    with _pt.raises(Exception, match="conflicting cells to id 0"):
+        embedding_semantic_dedup(df, labels=bad, **kw).collect()

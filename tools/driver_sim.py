@@ -59,7 +59,7 @@ def norm(v):
 
 
 fails = 0
-from energydatalake_spark.text.dedup import release_shingle_cache
+from energydatalake_spark import release_caches
 
 for name, build in qmap.items():
     try:
@@ -71,7 +71,7 @@ for name, build in qmap.items():
         fails += 1
         continue
     finally:
-        release_shingle_cache()  # released on success AND failure paths
+        release_caches()  # released on success AND failure paths
     if name not in omap:
         print(f"ok*  {name}: rows-only ({len(s_rows)})", flush=True)
         continue

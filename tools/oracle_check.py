@@ -121,7 +121,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    from energydatalake_spark.text.dedup import release_shingle_cache
+    from energydatalake_spark import release_caches
 
     # Some queries size their model with the corpus above a bound on
     # the embeddings count (dedup_embedding_lsh's hyperplanes,
@@ -167,7 +167,7 @@ def main() -> int:
                 # and each build persists the shingle explode plus the
                 # probe-signature frame. Same storage-leak class as
                 # the main loop below: release on success AND failure.
-                release_shingle_cache()
+                release_caches()
             print(
                 f"ok*   {name}: rows-only ({n_rows} rows) — {n_emb} "
                 f"{table} rows exceed the static-mirror bound "
@@ -192,7 +192,7 @@ def main() -> int:
             # compositions) must not accumulate cached partitions
             # across an 81-query session (the r1 storage-leak class) —
             # released on BOTH the success and the failure path.
-            release_shingle_cache()
+            release_caches()
         if q.oracle is None:
             print(f"ok*   {name}: rows-only ({len(s_rows)} rows, "
                   f"{time.time()-t0:.1f}s) — no oracle declared")

@@ -357,7 +357,7 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
          flush=None):
     from energydatalake_spark.plans.registry import QUERIES
     from energydatalake_spark.session import get_spark
-    from energydatalake_spark.text.dedup import release_shingle_cache
+    from energydatalake_spark import release_caches
 
     spark = get_spark("scale_probe")
     hdr = " ".join(f"{'t_x%d' % m:>9s}" for m in mults)
@@ -367,11 +367,11 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
         t = {}
         for mult in mults:
             QUERIES[name].build(spark, dirs[mult]).collect()  # warm
-            release_shingle_cache()
+            release_caches()
             t0 = time.perf_counter()
             QUERIES[name].build(spark, dirs[mult]).collect()
             t[mult] = time.perf_counter() - t0
-            release_shingle_cache()
+            release_caches()
         alphas = [
             math.log(t[b] / t[a]) / math.log(b / a)
             for a, b in zip(mults, mults[1:])
