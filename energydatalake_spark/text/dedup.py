@@ -675,7 +675,19 @@ def simhash_wide(
     intact, bucket space 2³⁰. Same feature semantics as
     :func:`simhash` (``n`` = distinct word n-gram shingles vs unigram
     multiset); ONE exchange (the vote groupBy computes both words in a
-    single 120-column aggregate)."""
+    single 120-column aggregate).
+
+    WHEN TO FLIP (r15 e2e measurement, BENCHHEAVY
+    ``simhash_wide_x100_e2e``): only when 15-bit-band candidate mass
+    actually dominates — at 500k saturated docs the 60-bit geometry's
+    16.5M candidates (~33/doc) verify in noise time and the doubled
+    vote aggregate makes 120-bit 2.0× SLOWER end-to-end (65.5 s vs
+    132.2 s, identical 1,018 output pairs). The wide tier wins once
+    candidate mass passes roughly 100× the corpus size (pairs/doc
+    ≳ 100, where verification rivals the ~1×-corpus fingerprint
+    cost); on saturated shingle universes mass grows ~n², so that is
+    ~1.5M docs of this profile. Check the candidate-mass pre-signal
+    before flipping; the default stays 60-bit."""
     from energydatalake_spark.text.stats import _hex15_to_long
 
     if n is None:
