@@ -359,7 +359,25 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
     from energydatalake_spark.session import get_spark
     from energydatalake_spark import release_caches
 
-    spark = get_spark("scale_probe")
+    # Fourth-decade runs (x1000 = 5M docs) exceed the container's ~80G
+    # scratch with lz4 shuffle files — the first r15 pilot died on
+    # ENOSPC mid-warm-run — so they (a) compress shuffle/spill with
+    # zstd (~2-3x better on text-heavy exchanges; BOTH scales in the
+    # run share the codec, so the exponent stays apples-to-apples,
+    # and the entry is stamped with it) and (b) force a JVM GC after
+    # every collect so the ContextCleaner reclaims the previous run's
+    # shuffle files instead of stacking warm+timed scratch on disk.
+    big = max(mults) >= 1000
+    spark = get_spark(
+        "scale_probe",
+        extra_conf={"spark.io.compression.codec": "zstd"} if big else None,
+    )
+
+    def _reclaim_scratch() -> None:
+        if big:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(3)  # let the ContextCleaner delete shuffle files
+
     hdr = " ".join(f"{'t_x%d' % m:>9s}" for m in mults)
     print(f"{'query':28s} {hdr} {'alpha':>18s}")
     out = {}
@@ -368,10 +386,12 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
         for mult in mults:
             QUERIES[name].build(spark, dirs[mult]).collect()  # warm
             release_caches()
+            _reclaim_scratch()
             t0 = time.perf_counter()
             QUERIES[name].build(spark, dirs[mult]).collect()
             t[mult] = time.perf_counter() - t0
             release_caches()
+            _reclaim_scratch()
         alphas = [
             math.log(t[b] / t[a]) / math.log(b / a)
             for a, b in zip(mults, mults[1:])
@@ -389,6 +409,9 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
         out[name] = {
             **{f"t_x{m}": round(t[m], 4) for m in mults},
             **{k: round(a, 3) for k, a in zip(akeys, alphas)},
+            # fourth-decade entries are measured under zstd (ENOSPC
+            # mitigation) — not directly comparable to lz4 wall times
+            **({"codec": "zstd"} if big else {}),
         }
         if flush is not None:  # persist per-query: a dead JVM mid-run
             flush(out)         # must not lose the finished queries (r10)
