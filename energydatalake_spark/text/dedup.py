@@ -687,7 +687,17 @@ def simhash_wide(
     ≳ 100, where verification rivals the ~1×-corpus fingerprint
     cost); on saturated shingle universes mass grows ~n², so that is
     ~1.5M docs of this profile. Check the candidate-mass pre-signal
-    before flipping; the default stays 60-bit."""
+    before flipping; the default stays 60-bit.
+
+    Why "identical 1,018 pairs" holds even though the probe compares
+    only counts: the 120-bit lo word IS the 60-bit fingerprint
+    (pinned by the lo-word identity test), so hamming≤3 over 120
+    bits implies hamming≤3 over the lo 60 — every 120-bit pair is a
+    60-bit pair (both bandings are exhaustive for their hamming
+    bound by pigeonhole). Subset + equal counts ⇒ equal sets. NOTE
+    this argument needs the two-slice construction and uniform
+    bands; a variant that breaks the lo-word identity must re-verify
+    set-parity, not just counts."""
     from energydatalake_spark.text.stats import _hex15_to_long
 
     if n is None:

@@ -930,7 +930,9 @@ def test_compact_rerank_evicts_prior_cache(spark):
     import energydatalake_spark as pkg
     from energydatalake_spark.similarity import neardup
 
-    neardup.release_quantized_cache()
+    # drain BOTH engine caches: an earlier suite test can leave
+    # shingle entries, and release_caches() counts shingle+quantized
+    pkg.release_caches()
     rng = np.random.default_rng(67)
     rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")

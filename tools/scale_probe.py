@@ -374,9 +374,42 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
     )
 
     def _reclaim_scratch() -> None:
-        if big:
+        # ContextCleaner deletion is asynchronous and best-effort: one
+        # advisory GC + fixed sleep is a race (r15 review) — a slow
+        # disk can outlast it and the timed leg then starts over the
+        # warm leg's scratch (ENOSPC, or deletion I/O inflating the
+        # timed run). Poll the blockmgr footprint until it stops
+        # shrinking, re-nudging the GC, bounded at 120 s.
+        if not big:
+            return
+        import glob as _glob
+
+        def _scratch_bytes() -> int:
+            n = 0
+            for d in _glob.glob("/tmp/blockmgr-*"):
+                for root, _dirs, files in os.walk(d):
+                    for f in files:
+                        try:
+                            n += os.path.getsize(os.path.join(root, f))
+                        except OSError:
+                            pass
+            return n
+
+        deadline = time.time() + 120
+        prev, stable = None, 0
+        while time.time() < deadline:
             spark.sparkContext._jvm.System.gc()
-            time.sleep(3)  # let the ContextCleaner delete shuffle files
+            time.sleep(3)
+            cur = _scratch_bytes()
+            if cur < 1 << 30:  # near-drained: done
+                break
+            # two consecutive non-shrinking polls = deletion finished
+            # (one is not enough: the first poll can race the cleaner
+            # before it starts deleting at all)
+            stable = stable + 1 if (prev is not None and cur >= prev) else 0
+            if stable >= 2:
+                break
+            prev = cur
 
     hdr = " ".join(f"{'t_x%d' % m:>9s}" for m in mults)
     print(f"{'query':28s} {hdr} {'alpha':>18s}")
