@@ -19,8 +19,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _code_state(repo_dir: str) -> str:
-    """`<short-sha>` or `<short-sha>-dirty` of the repo that ran the
-    bench; "unknown" when git is unavailable (driver containers)."""
+    """`<short-sha>`, `<short-sha>-dirty`, or
+    `<short-sha>-clean-except-bench-artifacts` of the repo that ran
+    the bench; "unknown" when git is unavailable (driver containers).
+
+    The third state closes the r15 bootstrapping loophole (VERDICT r15
+    #5): a bench run PRODUCES an untracked BENCHFULL artifact, so a
+    second same-session run used to stamp itself `-dirty` even though
+    the only dirt was the previous run's output. Untracked
+    BENCH*/CORRECTNESS*/MIRROR* json files are measurement artifacts,
+    not code — they cannot change what the bench measures — so they
+    get their own honest stamp instead of polluting `-dirty` (which
+    now always means CODE differs from the sha)."""
     import subprocess
 
     try:
@@ -30,11 +40,27 @@ def _code_state(repo_dir: str) -> str:
         ).stdout.strip()
         if not sha:
             return "unknown"
-        dirty = subprocess.run(
+        status = subprocess.run(
             ["git", "status", "--porcelain"],
             cwd=repo_dir, capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
-        return f"{sha}-dirty" if dirty else sha
+        ).stdout
+        artifact = re.compile(r"(BENCH|CORRECTNESS|MIRROR)\w*\.json$")
+        real_dirt = artifact_dirt = False
+        for line in status.splitlines():
+            if not line.strip():
+                continue
+            path = line[3:].strip().strip('"')
+            if line.startswith("??") and artifact.fullmatch(
+                os.path.basename(path)
+            ):
+                artifact_dirt = True
+            else:
+                real_dirt = True
+        if real_dirt:
+            return f"{sha}-dirty"
+        if artifact_dirt:
+            return f"{sha}-clean-except-bench-artifacts"
+        return sha
     except Exception:
         return "unknown"
 
@@ -337,12 +363,69 @@ def main() -> None:
         + (" — overwriting existing file" if os.path.exists(full_path) else ""),
         file=sys.stderr,
     )
+    # Noise-robust headline companion (VERDICT r15 #4): the r15
+    # headline (136.3 s) was the WORST of three same-code runs purely
+    # by run order. Keep the first-run-claims rule for artifact
+    # integrity, but stamp every artifact with the MEDIAN total across
+    # all comparable same-commit runs of this round (including this
+    # one), so round-over-round comparison can read a noise-robust
+    # number without human adjudication. A rerun also refreshes the
+    # field inside the canonical headline artifact in place — ONLY
+    # this derived field, never the measurements.
+    def _same_code_runs() -> dict[str, float]:
+        base_sha = payload["commit"].split("-")[0]
+        runs = {os.path.basename(full_path): total} if not errors else {}
+        for f in glob.glob(
+            os.path.join(repo_dir, f"BENCHFULL_r{this_round:02d}*.json")
+        ):
+            if os.path.abspath(f) == os.path.abspath(full_path):
+                continue
+            try:
+                d = json.load(open(f))
+            except Exception:
+                continue
+            if (
+                str(d.get("commit", "")).split("-")[0] == base_sha
+                and d.get("comparable")
+                and base_sha != "unknown"
+            ):
+                runs[os.path.basename(f)] = float(d["value"])
+        return runs
+
+    import statistics
+
+    runs = _same_code_runs()
+    if runs:
+        payload["median_of_runs"] = {
+            "n_runs": len(runs),
+            "value": round(statistics.median(runs.values()), 4),
+            "runs": dict(sorted(runs.items())),
+        }
     try:
         with open(full_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError as exc:
         print(f"# BENCHFULL write skipped: {exc}", file=sys.stderr)
+    canonical = os.path.join(repo_dir, f"BENCHFULL_r{this_round:02d}.json")
+    if runs and os.path.abspath(full_path) != os.path.abspath(canonical):
+        try:
+            head = json.load(open(canonical))
+            if (
+                str(head.get("commit", "")).split("-")[0]
+                == payload["commit"].split("-")[0]
+            ):
+                head["median_of_runs"] = payload["median_of_runs"]
+                with open(canonical, "w") as fh:
+                    json.dump(head, fh, indent=1, sort_keys=True)
+                    fh.write("\n")
+                print(
+                    "# refreshed median_of_runs in "
+                    f"{os.path.basename(canonical)}",
+                    file=sys.stderr,
+                )
+        except Exception as exc:
+            print(f"# median refresh skipped: {exc}", file=sys.stderr)
     print(json.dumps(payload))
 
 

@@ -2080,15 +2080,76 @@ _register(
 DRIVER_WINDOW = 50
 
 _DRIVER_WINDOW_FIRST = [
-    # r15 rotation (VERDICT r14 #2): minhash_pairs FIRST (the
-    # designated r15 holdout — r13 driver row, r14 judge oracle
-    # re-run at sf0.01, fresh-JVM x300 probe entries in BOTH
-    # generator modes), then the r14-parked set (r13 driver rows:
-    # §2 relational core, text-analysis, embedding dedup tiers).
-    # Slot arithmetic repeats (50 candidates, 49 slots after the
-    # flagship): the r16 holdout is outer_join — r13 driver row,
-    # r14 judge re-run OK, trivially-shaped long-green equi-join.
-    # It leads the r16 rotation.
+    # r16 rotation (VERDICT r15 #2): outer_join FIRST (the
+    # designated r16 holdout per r15.2 slot arithmetic — r13
+    # driver row + r14 judge re-run + r15 judge mirror re-run),
+    # then the r15-parked set (r14 driver rows: multimodal,
+    # simhash/similarity families, corpus prep/sampling,
+    # streaming, CC clusters, semantic_dedup). Slot arithmetic
+    # repeats (50 candidates, 49 post-flagship slots): the r17
+    # holdout is json_extract — r14 driver row, r15 judge
+    # independent oracle re-run OK, trivially-shaped from_json
+    # projection. It leads the r17 rotation.
+    "outer_join",
+    "semantic_dedup",
+    "avg_by_month",
+    "corpus_increment_batch",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_embed",
+    "simhash",
+    "simhash_pairs",
+    "similarity_topk",
+    "streaming_dedup",
+    "similarity_lsh",
+    "similarity_ivf",
+    "similarity_ivf_kmeans",
+    "corpus_prep",
+    "train_split",
+    "stratified_sample",
+    "doc_chunks",
+    "text_normalize",
+    "pack_chunks",
+    "corpus_prep_full",
+    "streaming_hourly",
+    "sessionize",
+    "streaming_enrich",
+    "streaming_asof",
+    "doc_repetition",
+    "contamination",
+    "corpus_mix",
+    "dedup_clusters",
+    "vocab_topk",
+    "shuffle_shards",
+    "tfidf_topk",
+    "lm_score",
+    "embedding_clusters",
+    "doc_outliers",
+    "source_profile",
+    "corpus_increment",
+    "snapshot_diff",
+    "corpus_funnel",
+    "embedding_clusters_kmeans",
+    "substring_dedup",
+    "hashed_tfidf",
+    "vocab_coverage",
+    "dedup_recall",
+    "quantized_recall",
+    "cohort_retention",
+    "join_skew_profile",
+    "decile_stats",
+]
+
+_DRIVER_WINDOW_PARKED = [
+    # Parked in r16: every one of these earned a fresh
+    # driver-green row in CORRECTNESS_r15 (the r15 window:
+    # minhash/ngram/line dedup tiers, §2 relational core,
+    # text-analysis, embedding dedup), except json_extract —
+    # the r17 slot-arithmetic holdout (r14 driver row + r15
+    # judge re-run; FIRST in the r17 rotation). All stay
+    # covered by pytest and by tools/oracle_check.py
+    # (MIRROR_r{N}.json). Rotate back in r17+.
     "minhash_pairs",
     "ngram_jaccard",
     "boilerplate_filter",
@@ -2138,67 +2199,7 @@ _DRIVER_WINDOW_FIRST = [
     "revenue_by_nation",
     "dedup_embedding",
     "dedup_embedding_lsh",
-]
-
-_DRIVER_WINDOW_PARKED = [
-    # Parked in r15: every one of these earned a fresh driver-green
-    # row in CORRECTNESS_r14 (the r14 window: multimodal,
-    # simhash/similarity families, corpus prep/sampling, streaming,
-    # CC clusters, r8-new, semantic_dedup), plus outer_join — the
-    # r16 slot-arithmetic holdout (r13 driver row + r14 judge
-    # re-run; FIRST in the r16 rotation). All stay covered by pytest
-    # and by tools/oracle_check.py (MIRROR_r{N}.json). Rotate back
-    # in r16+.
-    "outer_join",
-    "semantic_dedup",
-    "avg_by_month",
-    "corpus_increment_batch",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_embed",
-    "simhash",
-    "simhash_pairs",
-    "similarity_topk",
-    "streaming_dedup",
-    "similarity_lsh",
-    "similarity_ivf",
-    "similarity_ivf_kmeans",
-    "corpus_prep",
-    "train_split",
-    "stratified_sample",
-    "doc_chunks",
-    "text_normalize",
-    "pack_chunks",
-    "corpus_prep_full",
-    "streaming_hourly",
-    "sessionize",
-    "streaming_enrich",
-    "streaming_asof",
-    "doc_repetition",
-    "contamination",
-    "corpus_mix",
-    "dedup_clusters",
-    "vocab_topk",
-    "shuffle_shards",
-    "tfidf_topk",
-    "lm_score",
-    "embedding_clusters",
-    "doc_outliers",
-    "source_profile",
-    "corpus_increment",
     "json_extract",
-    "snapshot_diff",
-    "corpus_funnel",
-    "embedding_clusters_kmeans",
-    "substring_dedup",
-    "hashed_tfidf",
-    "vocab_coverage",
-    "dedup_recall",
-    "quantized_recall",
-    "cohort_retention",
-    "join_skew_profile",
-    "decile_stats",
 ]
 
 

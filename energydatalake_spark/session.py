@@ -44,7 +44,11 @@ def _size_mb(jvm_size: str) -> int:
     — 8 GiB to Spark — derived a 1 MiB maxResultSize, and it raised
     on Spark-valid '8gb')."""
     s = jvm_size.strip().lower()
-    m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([kmgtp]?b?)", s)
+    # Spark's JavaUtils grammar is integer-only with the suffix glued
+    # to the number ("8 g" and "1.5g" are rejected at session build) —
+    # accepting them here would derive a maxResultSize from a string
+    # Spark itself then refuses (ADVICE r15).
+    m = re.fullmatch(r"(\d+)([kmgtp]?b?)", s)
     if not m:
         raise ValueError(f"unparseable JVM memory string: {jvm_size!r}")
     mult = {

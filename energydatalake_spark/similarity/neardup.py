@@ -246,7 +246,13 @@ def embedding_near_dup_lsh(
     move no vectors through an exchange); it is the default co-shuffle
     regime's fix. RETENTION: each call persists one narrow quantized
     frame; long-lived sessions can release those blocks eagerly with
-    ``release_quantized_cache()`` after consuming the result.
+    ``release_quantized_cache()`` after consuming the result. NOTE
+    (ADVICE r15): building a SECOND compact-rerank plan evicts the
+    prior call's persisted frame at plan-BUILD time, so consume
+    (collect/write) each compact-rerank result before building the
+    next one — an unconsumed earlier result stays CORRECT (persist
+    keeps lineage; lost blocks recompute) but silently re-executes
+    its quantize stage, the exact 2× cost the persist avoids.
     """
     from energydatalake_spark.similarity.search import _bucket, _hyperplanes, dot, with_norm
 

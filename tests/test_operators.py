@@ -422,5 +422,11 @@ def test_max_result_size_tracks_driver_heap():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         _size_mb("eight gigs")
+    # ADVICE r15: Spark's grammar is integer-only with the suffix
+    # glued to the number — reject what Spark rejects, so we never
+    # derive a default from a string session build then refuses.
+    for spark_invalid in ("1.5g", "8 g", "2 048m"):
+        with _pytest.raises(ValueError):
+            _size_mb(spark_invalid)
     for mem in ("8g", "2g", "512m", "8192", "8gb"):
         assert _size_mb(_default_max_result(mem)) <= _size_mb(mem)

@@ -938,7 +938,7 @@ def test_compact_rerank_evicts_prior_cache(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     kw = dict(threshold=0.9, n_planes=4, dim=16, compact_rerank=True)
     first = neardup.embedding_near_dup_lsh(df, **kw)
-    first.collect()
+    pre_evict = {(r.id_a, r.id_b) for r in first.collect()}
     pinned = neardup._QUANTIZED_CACHE[0]
     # a DIFFERENT input frame: identical inputs canonicalize to the
     # same plan, and the CacheManager would report the second persist
@@ -950,8 +950,10 @@ def test_compact_rerank_evicts_prior_cache(spark):
     assert len(neardup._QUANTIZED_CACHE) == 1
     assert neardup._QUANTIZED_CACHE[0] is not pinned
     assert pinned.storageLevel.useMemory is False  # evicted
-    # the evicted frame's consumer still works (recomputes lineage)
-    assert len(first.collect()) >= 0
+    # the evicted frame's consumer recomputes from lineage to the
+    # SAME pairs (ADVICE r15: >= 0 was vacuous — pin value parity,
+    # not just does-not-throw)
+    assert {(r.id_a, r.id_b) for r in first.collect()} == pre_evict
     assert pkg.release_caches() == 1
     assert neardup._QUANTIZED_CACHE == []
 

@@ -383,10 +383,32 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
         if not big:
             return
         import glob as _glob
+        import tempfile as _tempfile
+
+        # Resolve the ACTUAL scratch roots (ADVICE r15): hardcoding
+        # /tmp measures 0 bytes under a nondefault spark.local.dir /
+        # SPARK_LOCAL_DIRS, hits the <1 GiB early-exit after one poll,
+        # and silently degrades to the fixed-sleep race this polling
+        # loop was written to fix.
+        roots: list[str] = []
+        env_dirs = os.environ.get("SPARK_LOCAL_DIRS", "")
+        roots += [p for p in env_dirs.split(",") if p.strip()]
+        try:
+            roots.append(spark.conf.get("spark.local.dir"))
+        except Exception:
+            pass
+        roots = [r.strip() for r in roots if r and r.strip()] or [
+            _tempfile.gettempdir()
+        ]
 
         def _scratch_bytes() -> int:
             n = 0
-            for d in _glob.glob("/tmp/blockmgr-*"):
+            dirs_ = [
+                d
+                for root_dir in dict.fromkeys(roots)
+                for d in _glob.glob(os.path.join(root_dir, "blockmgr-*"))
+            ]
+            for d in dirs_:
                 for root, _dirs, files in os.walk(d):
                     for f in files:
                         try:
