@@ -22,6 +22,8 @@ in 4. Fails loudly rather than returning a half-converged labeling.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -229,8 +231,10 @@ def connected_components(
     # label-sum is stationary iff every label is — one cheap scalar
     # action per round instead of a changed-rows join.
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    rounds = 0
     try:
         for _ in range(max_iter):
+            rounds += 1
             nbr_min = (
                 sym.join(
                     labels.select(
@@ -264,6 +268,15 @@ def connected_components(
             new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
             labels = new_labels
             if new_sum == prev_sum:
+                # Convergence telemetry (VERDICT r15 #1): the pointer
+                # -jumping round count is the per-decade scale signal
+                # the fourth-decade probes log — same stderr channel
+                # as the MinHash band-breaker decisions.
+                print(
+                    f"# cc: distributed tier converged in {rounds} "
+                    f"round(s) over {n_edges} directed edge rows",
+                    file=sys.stderr,
+                )
                 sym.unpersist()
                 return _attach_df(labels)
             prev_sum = new_sum

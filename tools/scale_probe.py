@@ -373,6 +373,41 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
         extra_conf={"spark.io.compression.codec": "zstd"} if big else None,
     )
 
+    import glob as _glob
+    import tempfile as _tempfile
+
+    # Resolve the ACTUAL scratch roots (ADVICE r15): hardcoding /tmp
+    # measures 0 bytes under a nondefault spark.local.dir /
+    # SPARK_LOCAL_DIRS, hits the <1 GiB early-exit after one poll,
+    # and silently degrades to the fixed-sleep race the polling
+    # reclaim loop was written to fix.
+    roots: list[str] = []
+    env_dirs = os.environ.get("SPARK_LOCAL_DIRS", "")
+    roots += [p for p in env_dirs.split(",") if p.strip()]
+    try:
+        roots.append(spark.conf.get("spark.local.dir"))
+    except Exception:
+        pass
+    roots = [r.strip() for r in roots if r and r.strip()] or [
+        _tempfile.gettempdir()
+    ]
+
+    def _scratch_bytes() -> int:
+        n = 0
+        dirs_ = [
+            d
+            for root_dir in dict.fromkeys(roots)
+            for d in _glob.glob(os.path.join(root_dir, "blockmgr-*"))
+        ]
+        for d in dirs_:
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    try:
+                        n += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        return n
+
     def _reclaim_scratch() -> None:
         # ContextCleaner deletion is asynchronous and best-effort: one
         # advisory GC + fixed sleep is a race (r15 review) — a slow
@@ -382,41 +417,6 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
         # shrinking, re-nudging the GC, bounded at 120 s.
         if not big:
             return
-        import glob as _glob
-        import tempfile as _tempfile
-
-        # Resolve the ACTUAL scratch roots (ADVICE r15): hardcoding
-        # /tmp measures 0 bytes under a nondefault spark.local.dir /
-        # SPARK_LOCAL_DIRS, hits the <1 GiB early-exit after one poll,
-        # and silently degrades to the fixed-sleep race this polling
-        # loop was written to fix.
-        roots: list[str] = []
-        env_dirs = os.environ.get("SPARK_LOCAL_DIRS", "")
-        roots += [p for p in env_dirs.split(",") if p.strip()]
-        try:
-            roots.append(spark.conf.get("spark.local.dir"))
-        except Exception:
-            pass
-        roots = [r.strip() for r in roots if r and r.strip()] or [
-            _tempfile.gettempdir()
-        ]
-
-        def _scratch_bytes() -> int:
-            n = 0
-            dirs_ = [
-                d
-                for root_dir in dict.fromkeys(roots)
-                for d in _glob.glob(os.path.join(root_dir, "blockmgr-*"))
-            ]
-            for d in dirs_:
-                for root, _dirs, files in os.walk(d):
-                    for f in files:
-                        try:
-                            n += os.path.getsize(os.path.join(root, f))
-                        except OSError:
-                            pass
-            return n
-
         deadline = time.time() + 120
         prev, stable = None, 0
         while time.time() < deadline:
@@ -433,18 +433,50 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
                 break
             prev = cur
 
+    import threading
+
+    def _timed_with_peak(fn) -> tuple[float, int]:
+        """Run fn(), sampling blockmgr scratch every 5 s on a daemon
+        thread; returns (elapsed_sec, peak_scratch_bytes). The peak is
+        the fourth-decade evidence the ledger logs (VERDICT r15 #1:
+        shuffle + localCheckpoint disk footprint at scale) — sampling
+        granularity means it is a floor, not an exact max."""
+        peak = [0]
+        stop = threading.Event()
+
+        def _sample() -> None:
+            while not stop.is_set():
+                try:
+                    peak[0] = max(peak[0], _scratch_bytes())
+                except Exception:
+                    pass
+                stop.wait(5.0)
+
+        th = threading.Thread(target=_sample, daemon=True)
+        th.start()
+        t0 = time.perf_counter()
+        try:
+            fn()
+        finally:
+            elapsed = time.perf_counter() - t0
+            stop.set()
+            th.join(timeout=10)
+        peak[0] = max(peak[0], _scratch_bytes())
+        return elapsed, peak[0]
+
     hdr = " ".join(f"{'t_x%d' % m:>9s}" for m in mults)
     print(f"{'query':28s} {hdr} {'alpha':>18s}")
     out = {}
     for name in queries:
         t = {}
+        peaks = {}
         for mult in mults:
             QUERIES[name].build(spark, dirs[mult]).collect()  # warm
             release_caches()
             _reclaim_scratch()
-            t0 = time.perf_counter()
-            QUERIES[name].build(spark, dirs[mult]).collect()
-            t[mult] = time.perf_counter() - t0
+            t[mult], peaks[mult] = _timed_with_peak(
+                lambda: QUERIES[name].build(spark, dirs[mult]).collect()
+            )
             release_caches()
             _reclaim_scratch()
         alphas = [
@@ -467,6 +499,17 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
             # fourth-decade entries are measured under zstd (ENOSPC
             # mitigation) — not directly comparable to lz4 wall times
             **({"codec": "zstd"} if big else {}),
+            # timed-leg blockmgr disk peak (5 s sampling floor): the
+            # scratch evidence a fourth-decade entry must carry
+            **(
+                {
+                    "scratch_peak_gb": {
+                        f"x{m}": round(peaks[m] / 2**30, 2) for m in mults
+                    }
+                }
+                if big
+                else {}
+            ),
         }
         if flush is not None:  # persist per-query: a dead JVM mid-run
             flush(out)         # must not lose the finished queries (r10)
