@@ -373,12 +373,26 @@ def main() -> None:
     # field inside the canonical headline artifact in place — ONLY
     # this derived field, never the measurements.
     def _same_code_runs() -> dict[str, float]:
+        # The family is STRICT: canonical-or-rerun filenames of THIS
+        # round only, same commit base sha, same sf. The first cut
+        # globbed BENCHFULL_r{N}* and seeded the current run
+        # unconditionally, so an --out sf1 artifact (which shares the
+        # round number in its name but not the scale) merged sf0.1 and
+        # sf1 totals into one "median" and refreshed that mix into the
+        # canonical headline — caught live in r16.
+        fam = re.compile(rf"BENCHFULL_r{this_round:02d}(_rerun\d+)?\.json$")
         base_sha = payload["commit"].split("-")[0]
+        if base_sha == "unknown" or not fam.fullmatch(
+            os.path.basename(full_path)
+        ):
+            return {}
         runs = {os.path.basename(full_path): total} if not errors else {}
         for f in glob.glob(
             os.path.join(repo_dir, f"BENCHFULL_r{this_round:02d}*.json")
         ):
-            if os.path.abspath(f) == os.path.abspath(full_path):
+            if os.path.abspath(f) == os.path.abspath(
+                full_path
+            ) or not fam.fullmatch(os.path.basename(f)):
                 continue
             try:
                 d = json.load(open(f))
@@ -387,7 +401,7 @@ def main() -> None:
             if (
                 str(d.get("commit", "")).split("-")[0] == base_sha
                 and d.get("comparable")
-                and base_sha != "unknown"
+                and d.get("sf") == payload["sf"]
             ):
                 runs[os.path.basename(f)] = float(d["value"])
         return runs
