@@ -440,7 +440,14 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
         thread; returns (elapsed_sec, peak_scratch_bytes). The peak is
         the fourth-decade evidence the ledger logs (VERDICT r15 #1:
         shuffle + localCheckpoint disk footprint at scale) — sampling
-        granularity means it is a floor, not an exact max."""
+        granularity means it is a floor, not an exact max. Only the
+        fourth-decade tier samples: the walk itself is I/O the other
+        tiers' cited timings should not carry (the peak is only
+        reported for big runs anyway)."""
+        if not big:
+            t0 = time.perf_counter()
+            fn()
+            return time.perf_counter() - t0, 0
         peak = [0]
         stop = threading.Event()
 
