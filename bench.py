@@ -50,9 +50,13 @@ def _code_state(repo_dir: str) -> str:
             if not line.strip():
                 continue
             path = line[3:].strip().strip('"')
-            if line.startswith("??") and artifact.fullmatch(
-                os.path.basename(path)
-            ):
+            # Untracked OR tracked-modified artifacts both count as
+            # artifact dirt (r16 self-review: the in-place
+            # median_of_runs refresh modifies the committed canonical,
+            # so ??-only would re-open the loophole on the very next
+            # run after a rerun) — artifacts cannot change what the
+            # bench measures, tracked or not.
+            if artifact.fullmatch(os.path.basename(path)):
                 artifact_dirt = True
             else:
                 real_dirt = True
@@ -381,9 +385,22 @@ def main() -> None:
         # sf1 totals into one "median" and refreshed that mix into the
         # canonical headline — caught live in r16.
         fam = re.compile(rf"BENCHFULL_r{this_round:02d}(_rerun\d+)?\.json$")
-        base_sha = payload["commit"].split("-")[0]
-        if base_sha == "unknown" or not fam.fullmatch(
-            os.path.basename(full_path)
+
+        def _same_code(stamp: str) -> bool:
+            # Same CODE means same base sha and no `-dirty` suffix on
+            # either side (r16 self-review: split('-')[0] alone let a
+            # modified-code run join the family and refresh the clean
+            # canonical's median). `-clean-except-bench-artifacts`
+            # has identical code to the bare sha by construction.
+            return (
+                stamp.split("-")[0] == payload["commit"].split("-")[0]
+                and not stamp.endswith("-dirty")
+            )
+
+        if (
+            payload["commit"].split("-")[0] == "unknown"
+            or payload["commit"].endswith("-dirty")
+            or not fam.fullmatch(os.path.basename(full_path))
         ):
             return {}
         runs = {os.path.basename(full_path): total} if not errors else {}
@@ -396,14 +413,16 @@ def main() -> None:
                 continue
             try:
                 d = json.load(open(f))
+                if (
+                    _same_code(str(d.get("commit", "")))
+                    and d.get("comparable")
+                    and d.get("sf") == payload["sf"]
+                ):
+                    runs[os.path.basename(f)] = float(d["value"])
             except Exception:
+                # one malformed sibling artifact must not lose this
+                # run's payload after the full sweep (r16 self-review)
                 continue
-            if (
-                str(d.get("commit", "")).split("-")[0] == base_sha
-                and d.get("comparable")
-                and d.get("sf") == payload["sf"]
-            ):
-                runs[os.path.basename(f)] = float(d["value"])
         return runs
 
     import statistics
@@ -425,9 +444,15 @@ def main() -> None:
     if runs and os.path.abspath(full_path) != os.path.abspath(canonical):
         try:
             head = json.load(open(canonical))
+            # same code AND same scale (r16 self-review: a same-round
+            # rerun at another sf must not overwrite the canonical's
+            # median with an other-scale value — the relocated form of
+            # the family-mixing bug fixed above)
             if (
                 str(head.get("commit", "")).split("-")[0]
                 == payload["commit"].split("-")[0]
+                and not str(head.get("commit", "")).endswith("-dirty")
+                and head.get("sf") == payload["sf"]
             ):
                 head["median_of_runs"] = payload["median_of_runs"]
                 with open(canonical, "w") as fh:

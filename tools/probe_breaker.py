@@ -50,11 +50,15 @@ CHUNK = 1_000_000
 
 
 def gen_documents_chunked(path: str, n_docs: int) -> None:
-    """scale_probe.gen_documents' exact per-doc logic (spans pool,
-    0.2% exact dups against full history, 30% planted 6-token spans,
-    40-68 tokens over the 31-word vocab), streamed through a
-    ParquetWriter in 1M-doc chunks so no single Arrow string array
-    crosses the 2 GB offset limit."""
+    """scale_probe.gen_documents' per-doc logic (spans pool, 0.2%
+    exact dups against full history, 30% planted 6-token spans, 40-68
+    tokens over the 31-word vocab), streamed through a ParquetWriter
+    in 1M-doc chunks so no single Arrow string array crosses the 2 GB
+    offset limit. SAME-DISTRIBUTION, not same-stream: the per-chunk
+    lang/source draws interleave with the text draws, so from chunk 2
+    onward the rng stream diverges from what gen_documents(seed)
+    would produce — do not expect byte-identical prefixes against an
+    unchunked run (r16 self-review)."""
     rng = np.random.default_rng(_GEN_SEED)
     spans = [
         list(rng.choice(VOCAB, size=6)) for _ in range(max(20, n_docs // 250))
@@ -204,10 +208,29 @@ def main() -> None:
     # Footprint while the persisted explode + signatures are still
     # resident — the arming path's disk high-water mark (modulo
     # already-cleaned intermediate shuffles), measured BEFORE release.
+    # Scratch roots resolved like scale_probe (r16 self-review: a
+    # hardcoded /tmp reads 0 bytes under a nondefault spark.local.dir
+    # and silently weakens the disk-math evidence this entry carries).
     import glob as _glob
+    import tempfile as _tempfile
 
+    roots = [
+        p for p in os.environ.get("SPARK_LOCAL_DIRS", "").split(",")
+        if p.strip()
+    ]
+    try:
+        roots.append(spark.conf.get("spark.local.dir"))
+    except Exception:
+        pass
+    roots = [r.strip() for r in roots if r and r.strip()] or [
+        _tempfile.gettempdir()
+    ]
     peak = 0
-    for d in _glob.glob("/tmp/blockmgr-*"):
+    for d in (
+        g
+        for root_dir in dict.fromkeys(roots)
+        for g in _glob.glob(os.path.join(root_dir, "blockmgr-*"))
+    ):
         for root, _dirs, files in os.walk(d):
             for f in files:
                 try:
