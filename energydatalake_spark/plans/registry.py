@@ -2080,16 +2080,77 @@ _register(
 DRIVER_WINDOW = 50
 
 _DRIVER_WINDOW_FIRST = [
-    # r16 rotation (VERDICT r15 #2): outer_join FIRST (the
-    # designated r16 holdout per r15.2 slot arithmetic — r13
-    # driver row + r14 judge re-run + r15 judge mirror re-run),
-    # then the r15-parked set (r14 driver rows: multimodal,
-    # simhash/similarity families, corpus prep/sampling,
-    # streaming, CC clusters, semantic_dedup). Slot arithmetic
-    # repeats (50 candidates, 49 post-flagship slots): the r17
-    # holdout is json_extract — r14 driver row, r15 judge
-    # independent oracle re-run OK, trivially-shaped from_json
-    # projection. It leads the r17 rotation.
+    # r17 rotation (VERDICT r16 #3): json_extract FIRST (the
+    # designated r17 holdout per r16.1 slot arithmetic — r14
+    # driver row + r15 judge oracle re-run + r16 judge re-run,
+    # all OK), then the r16-parked set restored (r15 driver
+    # rows: minhash/ngram/line dedup tiers, §2 relational core,
+    # text-analysis, embedding dedup). Slot arithmetic repeats
+    # (50 parked candidates, 49 post-flagship slots): the r18
+    # holdout is asof_join — r13 driver row + r16 judge
+    # independent oracle re-run OK + pandas-parity pytest — it
+    # stays parked one extra round and leads the r18 rotation.
+    "json_extract",
+    "minhash_pairs",
+    "ngram_jaccard",
+    "boilerplate_filter",
+    "line_dedup",
+    "lm_buckets",
+    "source_cap",
+    "ann_recall",
+    "quality_probe",
+    "ivf_recall",
+    "streaming_quality",
+    "curation_funnel",
+    "skew_join",
+    "text_stats",
+    "token_count",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "moving_avg",
+    "cumulative_revenue",
+    "rollup_revenue",
+    "pivot_revenue",
+    "quantiles",
+    "forecast_vs_actual",
+    "pearson_corr",
+    "multikey_avg",
+    "band_join",
+    "mix_percentage",
+    "decimal_cast",
+    "timestamp_parse",
+    "tz_convert",
+    "union_all",
+    "drop_nulls",
+    "dedup_rows",
+    "group_count",
+    "topk_per_group",
+    "normalize_names",
+    "avg_by_hour",
+    "dedup_latest",
+    "null_profile",
+    "trend_fit",
+    "approx_distinct",
+    "approx_quantiles",
+    "resample_hourly",
+    "data_profile",
+    "asof_forward",
+    "revenue_by_nation",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+]
+
+_DRIVER_WINDOW_PARKED = [
+    # Parked in r17: every one of these earned a fresh
+    # driver-green row in CORRECTNESS_r16 (the r16 window:
+    # outer_join lead, multimodal, simhash/similarity families,
+    # corpus prep/sampling, streaming, CC clusters), plus
+    # asof_join — the r18 slot-arithmetic holdout (r13 driver
+    # row + r16 judge re-run; FIRST in the r18 rotation). All
+    # stay covered by pytest and by tools/oracle_check.py
+    # (MIRROR_r{N}.json). Rotate back in r18+.
+    "asof_join",
     "outer_join",
     "semantic_dedup",
     "avg_by_month",
@@ -2139,67 +2200,6 @@ _DRIVER_WINDOW_FIRST = [
     "cohort_retention",
     "join_skew_profile",
     "decile_stats",
-]
-
-_DRIVER_WINDOW_PARKED = [
-    # Parked in r16: every one of these earned a fresh
-    # driver-green row in CORRECTNESS_r15 (the r15 window:
-    # minhash/ngram/line dedup tiers, §2 relational core,
-    # text-analysis, embedding dedup), except json_extract —
-    # the r17 slot-arithmetic holdout (r14 driver row + r15
-    # judge re-run; FIRST in the r17 rotation). All stay
-    # covered by pytest and by tools/oracle_check.py
-    # (MIRROR_r{N}.json). Rotate back in r17+.
-    "minhash_pairs",
-    "ngram_jaccard",
-    "boilerplate_filter",
-    "line_dedup",
-    "lm_buckets",
-    "source_cap",
-    "ann_recall",
-    "quality_probe",
-    "ivf_recall",
-    "streaming_quality",
-    "curation_funnel",
-    "skew_join",
-    "asof_join",
-    "text_stats",
-    "token_count",
-    "lang_id",
-    "doc_fingerprint",
-    "dedup_exact",
-    "moving_avg",
-    "cumulative_revenue",
-    "rollup_revenue",
-    "pivot_revenue",
-    "quantiles",
-    "forecast_vs_actual",
-    "pearson_corr",
-    "multikey_avg",
-    "band_join",
-    "mix_percentage",
-    "decimal_cast",
-    "timestamp_parse",
-    "tz_convert",
-    "union_all",
-    "drop_nulls",
-    "dedup_rows",
-    "group_count",
-    "topk_per_group",
-    "normalize_names",
-    "avg_by_hour",
-    "dedup_latest",
-    "null_profile",
-    "trend_fit",
-    "approx_distinct",
-    "approx_quantiles",
-    "resample_hourly",
-    "data_profile",
-    "asof_forward",
-    "revenue_by_nation",
-    "dedup_embedding",
-    "dedup_embedding_lsh",
-    "json_extract",
 ]
 
 
