@@ -69,6 +69,39 @@ def _code_state(repo_dir: str) -> str:
         return "unknown"
 
 
+def _artifact_matches_committed_blob(path: str, repo_dir: str) -> bool:
+    """True if ``path`` is untracked / tracked-unmodified, or differs
+    from its committed blob SOLELY in the derived ``median_of_runs``
+    field — the one field the in-place median refresh legitimately
+    rewrites. A tracked-MODIFIED sibling may have been hand-edited:
+    artifact-dirt stamping deliberately ignores tracked artifact
+    modifications for the commit stamp, so without this gate an edited
+    ``value`` would join the median family (ADVICE r16)."""
+    import subprocess
+
+    rel = os.path.relpath(path, repo_dir)
+    try:
+        st = subprocess.run(
+            ["git", "status", "--porcelain", "--", rel],
+            cwd=repo_dir, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not st or st.startswith("??"):
+            return True
+        blob = subprocess.run(
+            ["git", "show", f"HEAD:{rel}"],
+            cwd=repo_dir, capture_output=True, text=True, timeout=10,
+        )
+        if blob.returncode != 0:
+            return False
+        a = json.load(open(path))
+        b = json.loads(blob.stdout)
+        a.pop("median_of_runs", None)
+        b.pop("median_of_runs", None)
+        return a == b
+    except Exception:
+        return False
+
+
 def main() -> None:
     import argparse
 
@@ -401,6 +434,13 @@ def main() -> None:
             payload["commit"].split("-")[0] == "unknown"
             or payload["commit"].endswith("-dirty")
             or not fam.fullmatch(os.path.basename(full_path))
+            # Family members must live in the repo root (ADVICE r16):
+            # an --out path ELSEWHERE whose basename matches the
+            # family pattern would collide with the same-named repo
+            # file in the basename-keyed runs dict, silently dropping
+            # one measurement. An outside-the-repo run is a capture/
+            # diagnostic run and gets no median family.
+            or os.path.dirname(os.path.abspath(full_path)) != repo_dir
         ):
             return {}
         runs = {os.path.basename(full_path): total} if not errors else {}
@@ -417,6 +457,7 @@ def main() -> None:
                     _same_code(str(d.get("commit", "")))
                     and d.get("comparable")
                     and d.get("sf") == payload["sf"]
+                    and _artifact_matches_committed_blob(f, repo_dir)
                 ):
                     runs[os.path.basename(f)] = float(d["value"])
             except Exception:
@@ -453,6 +494,9 @@ def main() -> None:
                 == payload["commit"].split("-")[0]
                 and not str(head.get("commit", "")).endswith("-dirty")
                 and head.get("sf") == payload["sf"]
+                # never refresh INTO a hand-edited canonical either
+                # (same gate as family membership, ADVICE r16)
+                and _artifact_matches_committed_blob(canonical, repo_dir)
             ):
                 head["median_of_runs"] = payload["median_of_runs"]
                 with open(canonical, "w") as fh:

@@ -231,3 +231,74 @@ def test_scale_probe_manifest_gates_reuse(tmp_path):
     os.remove(mpath)
     _gen_dir(base, 1)
     assert os.path.exists(mpath)
+
+
+# ---------------------------------------------------------------- bench.py
+# Median-family membership gates (ADVICE r16): a hand-edited tracked
+# artifact must not join median_of_runs, and a legitimately
+# median-refreshed canonical (which differs from its blob ONLY in that
+# derived field) must.
+
+
+@pytest.fixture()
+def git_repo(tmp_path):
+    import json
+    import os
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+    env = dict(
+        os.environ,
+        GIT_AUTHOR_NAME="t", GIT_AUTHOR_EMAIL="t@t",
+        GIT_COMMITTER_NAME="t", GIT_COMMITTER_EMAIL="t@t",
+    )
+
+    def git(*a):
+        subprocess.run(
+            ["git", *a], cwd=repo, check=True, capture_output=True, env=env
+        )
+
+    git("init", "-q")
+    art = repo / "BENCHFULL_r99.json"
+    art.write_text(
+        json.dumps({"value": 100.0, "sf": 0.1, "commit": "abc1234"}) + "\n"
+    )
+    git("add", "BENCHFULL_r99.json")
+    git("commit", "-qm", "seed")
+    return repo, art
+
+
+def test_bench_blob_gate_accepts_unmodified_and_untracked(git_repo):
+    import json
+
+    import bench
+
+    repo, art = git_repo
+    assert bench._artifact_matches_committed_blob(str(art), str(repo))
+    new = repo / "BENCHFULL_r99_rerun1.json"
+    new.write_text(json.dumps({"value": 90.0, "sf": 0.1}) + "\n")
+    assert bench._artifact_matches_committed_blob(str(new), str(repo))
+
+
+def test_bench_blob_gate_accepts_median_only_refresh(git_repo):
+    import json
+
+    import bench
+
+    repo, art = git_repo
+    d = json.loads(art.read_text())
+    d["median_of_runs"] = {"n_runs": 2, "value": 95.0}
+    art.write_text(json.dumps(d) + "\n")
+    assert bench._artifact_matches_committed_blob(str(art), str(repo))
+
+
+def test_bench_blob_gate_rejects_edited_measurement(git_repo):
+    import json
+
+    import bench
+
+    repo, art = git_repo
+    d = json.loads(art.read_text())
+    d["value"] = 10.0  # hand-edited headline
+    art.write_text(json.dumps(d) + "\n")
+    assert not bench._artifact_matches_committed_blob(str(art), str(repo))

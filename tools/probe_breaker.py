@@ -58,8 +58,20 @@ def gen_documents_chunked(path: str, n_docs: int) -> None:
     lang/source draws interleave with the text draws, so from chunk 2
     onward the rng stream diverges from what gen_documents(seed)
     would produce — do not expect byte-identical prefixes against an
-    unchunked run (r16 self-review)."""
+    unchunked run (r16 self-review).
+
+    Driver RSS is bounded (ADVICE r16): the 0.2% exact-dup draws
+    sample from a 200k-text reservoir (Algorithm R over the full
+    history), not from a full in-memory history list — keeping every
+    generated text for 15M docs is ~5+ GB of Python strings and can
+    OOM hosts smaller than the 64g assumption. A uniform reservoir is
+    statistically equivalent for the breaker's purpose (it preserves
+    the 0.2% dup MASS and the uniform-over-history draw law; dup
+    chains still occur because dup copies re-enter the reservoir).
+    The r16 breaker_x3000 artifact was generated with the full-history
+    variant — same distribution, different rng consumption."""
     rng = np.random.default_rng(_GEN_SEED)
+    RESERVOIR = 200_000
     spans = [
         list(rng.choice(VOCAB, size=6)) for _ in range(max(20, n_docs // 250))
     ]
@@ -72,23 +84,36 @@ def gen_documents_chunked(path: str, n_docs: int) -> None:
             ("n_chars", pa.int64()),
         ]
     )
-    texts: list[str] = []
+    reservoir: list[str] = []
+    seen = 0
     writer = pq.ParquetWriter(path, schema)
     t0 = time.time()
     try:
         for start in range(0, n_docs, CHUNK):
             stop = min(start + CHUNK, n_docs)
+            chunk_texts: list[str] = []
             for _ in range(start, stop):
-                if texts and rng.random() < 0.002:
-                    texts.append(texts[rng.integers(0, len(texts))])
-                    continue
-                toks = list(rng.choice(VOCAB, size=int(rng.integers(40, 69))))
-                if rng.random() < 0.3:
-                    span = spans[rng.integers(0, len(spans))]
-                    pos = int(rng.integers(0, max(1, len(toks) - 6)))
-                    toks[pos : pos + 6] = span
-                texts.append(" ".join(toks))
-            chunk_texts = texts[start:stop]
+                if reservoir and rng.random() < 0.002:
+                    text = reservoir[rng.integers(0, len(reservoir))]
+                else:
+                    toks = list(
+                        rng.choice(VOCAB, size=int(rng.integers(40, 69)))
+                    )
+                    if rng.random() < 0.3:
+                        span = spans[rng.integers(0, len(spans))]
+                        pos = int(rng.integers(0, max(1, len(toks) - 6)))
+                        toks[pos : pos + 6] = span
+                    text = " ".join(toks)
+                chunk_texts.append(text)
+                # Algorithm R: every doc (dups included, preserving dup
+                # chains) is reservoir-eligible with probability R/seen.
+                seen += 1
+                if len(reservoir) < RESERVOIR:
+                    reservoir.append(text)
+                else:
+                    j = int(rng.integers(0, seen))
+                    if j < RESERVOIR:
+                        reservoir[j] = text
             langs = rng.choice(
                 ["en", "de", "fr", "es", "pt"], size=stop - start
             )

@@ -504,8 +504,13 @@ def _run(queries: list[str], dirs: dict[int, str], mults: tuple[int, ...],
             **{f"t_x{m}": round(t[m], 4) for m in mults},
             **{k: round(a, 3) for k, a in zip(akeys, alphas)},
             # fourth-decade entries are measured under zstd (ENOSPC
-            # mitigation) — not directly comparable to lz4 wall times
-            **({"codec": "zstd"} if big else {}),
+            # mitigation) — not directly comparable to lz4 wall times.
+            # scratch_sampled (ADVICE r16): the timed leg carries the
+            # 5 s blockmgr os.walk sampler's I/O, which earlier rounds'
+            # big-tier wall times did not — disclose it in the entry,
+            # not just the docstring, so round-over-round readers see
+            # the comparability caveat next to the number.
+            **({"codec": "zstd", "scratch_sampled": True} if big else {}),
             # timed-leg blockmgr disk peak (5 s sampling floor): the
             # scratch evidence a fourth-decade entry must carry
             **(
