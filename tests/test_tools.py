@@ -302,3 +302,76 @@ def test_bench_blob_gate_rejects_edited_measurement(git_repo):
     d["value"] = 10.0  # hand-edited headline
     art.write_text(json.dumps(d) + "\n")
     assert not bench._artifact_matches_committed_blob(str(art), str(repo))
+
+
+# ------------------------------------------------- streaming/maintenance gen
+# The scale probes' backlog/warehouse generators are numpy-only; their
+# structural invariants (row counts, dup rate, manifest-gated reuse,
+# pristine-root gate) are pinned here at toy scale without a Spark
+# session.
+
+
+def test_probe_streaming_backlog_gen(tmp_path, monkeypatch):
+    import collections
+    import json
+    import os
+
+    import tools.probe_streaming as ps
+
+    monkeypatch.setattr(ps, "BASE", str(tmp_path))
+    monkeypatch.setattr(ps, "BACKLOG", str(tmp_path / "backlog"))
+    monkeypatch.setattr(ps, "N_FILES", 8)
+    monkeypatch.setattr(ps, "ROWS_PER_FILE", 1500)
+    m = ps.gen_backlog()
+    assert m["n_rows"] == 8 * 1500
+    files = sorted(os.listdir(tmp_path / "backlog"))
+    assert len(files) == 8 and files == sorted(files)
+    keys = []
+    ts_max_prev = None
+    for f in files:
+        t = pq.read_table(tmp_path / "backlog" / f)
+        keys += t.column("k").to_pylist()
+        lo = min(t.column("ts").to_pylist())
+        # files follow event time (batches must advance the watermark)
+        if ts_max_prev is not None:
+            assert lo >= ts_max_prev
+        ts_max_prev = max(t.column("ts").to_pylist())
+    c = collections.Counter(keys)
+    assert len(c) == m["n_unique"]
+    dup_rows = sum(v - 1 for v in c.values())
+    # file 0 has no dup pool; files 1-7 each carry DUP_RATE dups
+    assert dup_rows == 7 * int(1500 * ps.DUP_RATE)
+    # manifest-gated reuse: second call is a no-op
+    mtime = os.path.getmtime(tmp_path / "backlog" / files[0])
+    assert ps.gen_backlog()["n_unique"] == m["n_unique"]
+    assert os.path.getmtime(tmp_path / "backlog" / files[0]) == mtime
+    # param change invalidates
+    monkeypatch.setattr(ps, "ROWS_PER_FILE", 1000)
+    m2 = ps.gen_backlog()
+    assert m2["n_rows"] == 8 * 1000
+
+
+def test_probe_maintenance_root_gen_pristine_gate(tmp_path, monkeypatch):
+    import os
+    import shutil
+
+    import tools.probe_maintenance as pm
+
+    monkeypatch.setattr(pm, "BASE", str(tmp_path))
+    monkeypatch.setattr(pm, "ROOT", str(tmp_path / "warehouse"))
+    monkeypatch.setattr(pm, "N_PARTS", 3)
+    monkeypatch.setattr(pm, "FILES_PER_PART", 4)
+    monkeypatch.setattr(pm, "ROWS_PER_FILE", 100)
+    pm.gen_root()
+    assert pm._count_files(pm.ROOT) == 12
+    parts = sorted(os.listdir(pm.ROOT))
+    assert parts == ["dt=2026-01-01", "dt=2026-01-02", "dt=2026-01-03"]
+    # reuse: no rewrite when pristine
+    f0 = os.path.join(pm.ROOT, parts[0], "part-00000.parquet")
+    mtime = os.path.getmtime(f0)
+    pm.gen_root()
+    assert os.path.getmtime(f0) == mtime
+    # post-run mutation (a compaction/expire) fails the pristine gate
+    shutil.rmtree(os.path.join(pm.ROOT, parts[2]))
+    pm.gen_root()
+    assert pm._count_files(pm.ROOT) == 12

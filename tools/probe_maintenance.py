@@ -157,9 +157,9 @@ def run() -> dict:
 
     def scan_agg() -> tuple[float, int]:
         # the query class small files hurt: full-root filtered aggregate
-        t0 = time.perf_counter()
         from pyspark.sql import functions as F
 
+        t0 = time.perf_counter()
         n = (
             spark.read.parquet(ROOT)
             .where(F.col("category") == "c07")
@@ -170,9 +170,35 @@ def run() -> dict:
         return round(time.perf_counter() - t0, 2), n
 
     out: dict = {"files_before": _count_files(ROOT)}
-    # warm the session (footer cache cold vs cold is what we measure on
-    # the BEFORE scan, so scan once on an unrelated tiny frame only)
-    spark.range(10).count()
+    # Warm the parquet-scan + agg codegen on a tiny UNRELATED layout so
+    # the BEFORE number measures the small-file penalty (listing +
+    # footers + per-file task overhead on 6,000 files) and not one-time
+    # session bring-up — otherwise the before/after speedup overstates
+    # (r17 self-review). The 6,000-file listing itself stays cold:
+    # that IS the thing being measured.
+    warm_dir = os.path.join(BASE, "__scan_warm")
+    if not os.path.exists(warm_dir):
+        os.makedirs(os.path.join(warm_dir, "dt=1970-01-01"), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2], pa.int64()),
+                    "user_id": pa.array([1, 2], pa.int64()),
+                    "value": pa.array([0.1, 0.2]),
+                    "category": pa.array(["c07", "c01"]),
+                }
+            ),
+            os.path.join(warm_dir, "dt=1970-01-01", "part-00000.parquet"),
+        )
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(warm_dir)
+        .where(F.col("category") == "c07")
+        .groupBy("dt")
+        .agg(F.sum("value").alias("s"), F.count("*").alias("n"))
+        .count()
+    )
 
     out["scan_before_sec"], out["scan_groups"] = scan_agg()
 
