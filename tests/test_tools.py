@@ -375,3 +375,28 @@ def test_probe_maintenance_root_gen_pristine_gate(tmp_path, monkeypatch):
     shutil.rmtree(os.path.join(pm.ROOT, parts[2]))
     pm.gen_root()
     assert pm._count_files(pm.ROOT) == 12
+
+
+def test_probe_upsert_tick_frame_accounting():
+    """The MERGE probe's re-delivery math: tick 0 is all-fresh; later
+    ticks re-deliver exactly REDELIVER_RATE of rows as previous-day
+    keys with previous-day timestamps, so warehouse-unique counting
+    (sum of n_new) is exact."""
+    import numpy as np
+
+    import tools.probe_upsert as pu
+
+    rng = np.random.default_rng(0)
+    k0, ts0, _v0, n0 = pu._tick_frame(0, rng)
+    assert n0 == len(k0) == pu.ROWS_PER_FILE
+    assert len(set(k0.tolist())) == pu.ROWS_PER_FILE  # all fresh
+    k1, ts1, _v1, n1 = pu._tick_frame(1, rng)
+    n_dup = int(pu.ROWS_PER_FILE * pu.REDELIVER_RATE)
+    assert n1 == pu.ROWS_PER_FILE - n_dup
+    dup_mask = np.isin(k1, k0)
+    assert dup_mask.sum() == n_dup  # every dup is a tick-0 key
+    day = 86_400
+    # re-delivered rows carry PREVIOUS-day timestamps (so the
+    # partitioned variant's read-back must include that partition)
+    assert ((ts1[dup_mask] - pu.T0_EPOCH) // day == 0).all()
+    assert ((ts1[~dup_mask] - pu.T0_EPOCH) // day == 1).all()

@@ -214,9 +214,12 @@ def run_variant(variant: str) -> dict:
             "state_mb": round(so.get("memoryUsedBytes", 0) / 2**20, 1),
             "backlog_files_left": manifest["n_files"] - done,
         }
-        sst = (so.get("customMetrics") or {}).get("rocksdbTotalSstFilesBytes")
-        if sst is not None:
-            row["rocksdb_sst_mb"] = round(sst / 2**20, 1)
+        # keep provider-specific metrics verbatim (RocksDB SST/memtable
+        # sizes etc.) — the r17 run showed hand-picking one key captures
+        # nothing when the provider names it differently
+        cm = so.get("customMetrics") or {}
+        if cm:
+            row["custom_metrics"] = cm
         batches.append(row)
     shutil.rmtree(ckpt, ignore_errors=True)
     return {
