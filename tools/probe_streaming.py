@@ -233,6 +233,124 @@ def run_variant(variant: str) -> dict:
     }
 
 
+LISTING_FILES = 24_000
+LISTING_ROWS = 100
+LISTING_PER_TRIGGER = 800  # -> 30 batches
+
+
+def run_listing() -> dict:
+    """File-SOURCE overhead isolated at a 24,000-file backlog (r17.5
+    follow-up: the dedup probe only reached 2,400 files, and 'listing
+    is noise' deserves a 10× harder test). Tiny 100-row files make
+    data cost ~0, a stateless passthrough removes state-store work, so
+    per-batch time is listing + seen-files-log + task dispatch. The
+    trigger breakdown (latestOffset/getBatch = source side, addBatch =
+    execution) is logged per batch: the known 100 TB risk is that the
+    source re-lists the FULL directory every trigger and replays a
+    growing seen-files map, so source-side time should GROW with
+    files-processed even as per-batch data stays constant — this probe
+    measures the slope of that growth."""
+    import numpy as np
+
+    from energydatalake_spark.session import get_spark
+
+    base = os.path.join(BASE, "listing")
+    backlog = os.path.join(base, "backlog")
+    mpath = os.path.join(base, "manifest.json")
+    want = {
+        "n_files": LISTING_FILES,
+        "rows_per_file": LISTING_ROWS,
+        "seed": _GEN_SEED,
+        "gen_version": 1,
+    }
+    have = None
+    if os.path.exists(mpath):
+        try:
+            have = json.load(open(mpath))
+        except Exception:
+            pass
+    if have != want:
+        shutil.rmtree(backlog, ignore_errors=True)
+        os.makedirs(backlog, exist_ok=True)
+        rng = np.random.default_rng(_GEN_SEED)
+        tmpl = pa.table(
+            {
+                "k": pa.array(np.arange(LISTING_ROWS, dtype=np.int64)),
+                "v": pa.array(rng.random(LISTING_ROWS)),
+            }
+        )
+        t0 = time.time()
+        for i in range(LISTING_FILES):
+            pq.write_table(tmpl, os.path.join(backlog, f"f{i:06d}.parquet"))
+            if (i + 1) % 8000 == 0:
+                print(
+                    f"# listing gen: {i + 1}/{LISTING_FILES} "
+                    f"({time.time() - t0:.0f}s)",
+                    file=sys.stderr,
+                )
+        os.makedirs(base, exist_ok=True)
+        with open(mpath, "w") as fh:
+            json.dump(want, fh, indent=1)
+
+    spark = get_spark("probe_listing")
+    reader = (
+        spark.readStream.schema("k bigint, v double")
+        .option("maxFilesPerTrigger", str(LISTING_PER_TRIGGER))
+        .parquet(backlog)
+    )
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    rows = []
+
+    def sink(batch_df, _epoch) -> None:
+        rows.append(batch_df.count())
+
+    t0 = time.perf_counter()
+    q = (
+        reader.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = round(time.perf_counter() - t0, 2)
+    batches = []
+    for p in q.recentProgress:
+        if not p:
+            continue
+        dm = p.get("durationMs", {})
+        batches.append(
+            {
+                "batch": p.get("batchId"),
+                "input_rows": p.get("numInputRows"),
+                "batch_sec": round(dm.get("triggerExecution", 0) / 1000.0, 3),
+                "source_sec": round(
+                    (dm.get("latestOffset", 0) + dm.get("getBatch", 0))
+                    / 1000.0,
+                    3,
+                ),
+                "exec_sec": round(dm.get("addBatch", 0) / 1000.0, 3),
+            }
+        )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    done = [b for b in batches if b["input_rows"]]
+    import numpy as np  # slope of per-batch total vs batch index
+
+    y = np.array([b["batch_sec"] for b in done])
+    x = np.arange(len(y), dtype=float)
+    slope = float(np.polyfit(x, y, 1)[0]) if len(y) > 2 else 0.0
+    return {
+        "variant": "source_listing_24k",
+        "wall_sec": wall,
+        "n_batches": len(rows),
+        "rows_emitted": int(sum(rows)),
+        "rows_expected": LISTING_FILES * LISTING_ROWS,
+        "batch_sec_slope_per_batch": round(slope, 4),
+        "manifest": want,
+        "batches": batches,
+    }
+
+
 def merge(result: dict, manifest: dict) -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(repo, "BENCHHEAVY_sf10.json")
@@ -258,6 +376,24 @@ def merge(result: dict, manifest: dict) -> None:
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--listing" in sys.argv:
+        out = run_listing()
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(repo, "BENCHHEAVY_sf10.json")
+        prior = json.load(open(path)) if os.path.exists(path) else {}
+        sect = prior.setdefault("streaming_x100", {})
+        sect["source_listing_24k"] = {
+            k: v for k, v in out.items() if k != "variant"
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(prior, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        os.replace(tmp, path)
+        print(
+            json.dumps({k: v for k, v in out.items() if k != "batches"})
+        )
+        return
     if "--variant" in sys.argv:
         variant = sys.argv[sys.argv.index("--variant") + 1]
         out = run_variant(variant)
