@@ -5,6 +5,14 @@
 Each query is timed end-to-end (plan build + execution + collect of the
 result — results here are small aggregates / bounded projections, so
 collect measures engine work, not driver serialization).
+
+Iteration order is registry.BENCH_ORDER — FROZEN at the r17 registry
+order (VERDICT r17 what's-wrong #1) — NOT the live registry order, so
+the driver-window rotation can never again move a query's suite
+position between rounds. Position effects (codegen/JIT absorbed by an
+earlier similar query, cache/GC state) were worth ~31 s (7%) at sf1
+per rotation and burned a re-adjudication A/B cycle every round; with
+the order pinned, a per-query move between rounds is a real signal.
 """
 
 from __future__ import annotations
@@ -122,7 +130,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    from energydatalake_spark.plans.registry import QUERIES
+    from energydatalake_spark.plans.registry import QUERIES, bench_order
     from energydatalake_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -290,7 +298,8 @@ def main() -> None:
     # going; the JSON line is ALWAYS emitted.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, q in QUERIES.items():
+    for name in bench_order():
+        q = QUERIES[name]
         t0 = time.perf_counter()
         try:
             df = q.build(spark, sf_dir)

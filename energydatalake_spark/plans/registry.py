@@ -2079,17 +2079,137 @@ _register(
 
 DRIVER_WINDOW = 50
 
+#: FROZEN measurement order (r18, VERDICT r17 what's-wrong #1). The
+#: window rotation exists for the driver's CORRECTNESS gate, but until
+#: r18 it also reordered every MEASUREMENT consumer (bench.py,
+#: plan_audit.py) because both iterated ``QUERIES`` directly — so each
+#: rotation moved every query's suite position, re-creating a ~31 s
+#: (7%) sf1 "position tax" that each round then spent fresh-session
+#: A/Bs re-proving was not a regression, and flipping session-state-
+#: dependent plan-audit rows (the r17/ADVICE ngram_jaccard case: its
+#: shingle sub-frame audits as InMemoryRelation when built early in a
+#: session and as raw codegen'd scans when ~50 earlier builds hold the
+#: cache slots — reproduced deterministically by replaying the r16
+#: audit prefix). This tuple pins the measurement order at the r17
+#: registry order PERMANENTLY: correctness rotation and measurement
+#: position are now independent axes. Queries registered later are
+#: appended at the end by ``bench_order()`` (never inserted), so
+#: existing positions keep their cross-round meaning.
+BENCH_ORDER: tuple[str, ...] = (
+    "pricing_summary", "json_extract", "minhash_pairs", "ngram_jaccard",
+    "boilerplate_filter", "line_dedup", "lm_buckets", "source_cap",
+    "ann_recall", "quality_probe", "ivf_recall", "streaming_quality",
+    "curation_funnel", "skew_join", "text_stats", "token_count",
+    "lang_id", "doc_fingerprint", "dedup_exact", "moving_avg",
+    "cumulative_revenue", "rollup_revenue", "pivot_revenue", "quantiles",
+    "forecast_vs_actual", "pearson_corr", "multikey_avg", "band_join",
+    "mix_percentage", "decimal_cast", "timestamp_parse", "tz_convert",
+    "union_all", "drop_nulls", "dedup_rows", "group_count",
+    "topk_per_group", "normalize_names", "avg_by_hour", "dedup_latest",
+    "null_profile", "trend_fit", "approx_distinct", "approx_quantiles",
+    "resample_hourly", "data_profile", "asof_forward", "revenue_by_nation",
+    "dedup_embedding", "dedup_embedding_lsh", "asof_join", "outer_join",
+    "semantic_dedup", "avg_by_month", "corpus_increment_batch", "multimodal_decode",
+    "multimodal_resize", "multimodal_frames", "multimodal_embed", "simhash",
+    "simhash_pairs", "similarity_topk", "streaming_dedup", "similarity_lsh",
+    "similarity_ivf", "similarity_ivf_kmeans", "corpus_prep", "train_split",
+    "stratified_sample", "doc_chunks", "text_normalize", "pack_chunks",
+    "corpus_prep_full", "streaming_hourly", "sessionize", "streaming_enrich",
+    "streaming_asof", "doc_repetition", "contamination", "corpus_mix",
+    "dedup_clusters", "vocab_topk", "shuffle_shards", "tfidf_topk",
+    "lm_score", "embedding_clusters", "doc_outliers", "source_profile",
+    "corpus_increment", "snapshot_diff", "corpus_funnel", "embedding_clusters_kmeans",
+    "substring_dedup", "hashed_tfidf", "vocab_coverage", "dedup_recall",
+    "quantized_recall", "cohort_retention", "join_skew_profile", "decile_stats",
+)
+
+
+def bench_order() -> list[str]:
+    """Measurement iteration order: the frozen ``BENCH_ORDER`` plus any
+    later-registered queries appended at the end (sorted for
+    determinism). Raises if the frozen list names a query that no
+    longer exists — renames must edit the frozen list consciously, not
+    silently drop a measurement."""
+    missing = [n for n in BENCH_ORDER if n not in QUERIES]
+    if missing:
+        raise KeyError(f"BENCH_ORDER names unknown queries: {missing}")
+    frozen = set(BENCH_ORDER)
+    return list(BENCH_ORDER) + sorted(n for n in QUERIES if n not in frozen)
+
+
 _DRIVER_WINDOW_FIRST = [
-    # r17 rotation (VERDICT r16 #3): json_extract FIRST (the
-    # designated r17 holdout per r16.1 slot arithmetic — r14
-    # driver row + r15 judge oracle re-run + r16 judge re-run,
-    # all OK), then the r16-parked set restored (r15 driver
-    # rows: minhash/ngram/line dedup tiers, §2 relational core,
-    # text-analysis, embedding dedup). Slot arithmetic repeats
-    # (50 parked candidates, 49 post-flagship slots): the r18
-    # holdout is asof_join — r13 driver row + r16 judge
-    # independent oracle re-run OK + pandas-parity pytest — it
-    # stays parked one extra round and leads the r18 rotation.
+    # r18 rotation (VERDICT r17 #1): asof_join FIRST (the designated
+    # holdout per r17.1 slot arithmetic — r13 driver row + r16 AND r17
+    # judge independent oracle re-runs OK + pandas-parity pytest),
+    # then the r17-parked set restored (r16 driver rows: multimodal,
+    # simhash/similarity families, corpus prep/sampling, streaming,
+    # CC clusters). Slot arithmetic repeats (50 parked candidates, 49
+    # post-flagship slots): the r19 holdout is outer_join — the
+    # freshest evidence of the set (r16 driver row as the r16 window
+    # LEAD + r17 judge independent re-run OK) — it stays parked one
+    # extra round and leads the r19 rotation.
+    "asof_join",
+    "semantic_dedup",
+    "avg_by_month",
+    "corpus_increment_batch",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_embed",
+    "simhash",
+    "simhash_pairs",
+    "similarity_topk",
+    "streaming_dedup",
+    "similarity_lsh",
+    "similarity_ivf",
+    "similarity_ivf_kmeans",
+    "corpus_prep",
+    "train_split",
+    "stratified_sample",
+    "doc_chunks",
+    "text_normalize",
+    "pack_chunks",
+    "corpus_prep_full",
+    "streaming_hourly",
+    "sessionize",
+    "streaming_enrich",
+    "streaming_asof",
+    "doc_repetition",
+    "contamination",
+    "corpus_mix",
+    "dedup_clusters",
+    "vocab_topk",
+    "shuffle_shards",
+    "tfidf_topk",
+    "lm_score",
+    "embedding_clusters",
+    "doc_outliers",
+    "source_profile",
+    "corpus_increment",
+    "snapshot_diff",
+    "corpus_funnel",
+    "embedding_clusters_kmeans",
+    "substring_dedup",
+    "hashed_tfidf",
+    "vocab_coverage",
+    "dedup_recall",
+    "quantized_recall",
+    "cohort_retention",
+    "join_skew_profile",
+    "decile_stats",
+]
+
+_DRIVER_WINDOW_PARKED = [
+    # Parked in r18: outer_join first — the r19 slot-arithmetic
+    # holdout (r16 driver row as window lead + r17 judge re-run;
+    # FIRST in the r19 rotation) — then the r17 window (every entry
+    # below earned a fresh driver-green row in CORRECTNESS_r17:
+    # json_extract lead, dedup tiers, §2 relational core,
+    # text-analysis, embedding dedup). All stay covered by pytest and
+    # by tools/oracle_check.py (MIRROR_r{N}.json). Rotate back in
+    # r19+. NOTE: parking no longer moves a query's bench/plan-audit
+    # position — measurement order is frozen in ``BENCH_ORDER``.
+    "outer_join",
     "json_extract",
     "minhash_pairs",
     "ngram_jaccard",
@@ -2139,67 +2259,6 @@ _DRIVER_WINDOW_FIRST = [
     "revenue_by_nation",
     "dedup_embedding",
     "dedup_embedding_lsh",
-]
-
-_DRIVER_WINDOW_PARKED = [
-    # Parked in r17: every one of these earned a fresh
-    # driver-green row in CORRECTNESS_r16 (the r16 window:
-    # outer_join lead, multimodal, simhash/similarity families,
-    # corpus prep/sampling, streaming, CC clusters), plus
-    # asof_join — the r18 slot-arithmetic holdout (r13 driver
-    # row + r16 judge re-run; FIRST in the r18 rotation). All
-    # stay covered by pytest and by tools/oracle_check.py
-    # (MIRROR_r{N}.json). Rotate back in r18+.
-    "asof_join",
-    "outer_join",
-    "semantic_dedup",
-    "avg_by_month",
-    "corpus_increment_batch",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_embed",
-    "simhash",
-    "simhash_pairs",
-    "similarity_topk",
-    "streaming_dedup",
-    "similarity_lsh",
-    "similarity_ivf",
-    "similarity_ivf_kmeans",
-    "corpus_prep",
-    "train_split",
-    "stratified_sample",
-    "doc_chunks",
-    "text_normalize",
-    "pack_chunks",
-    "corpus_prep_full",
-    "streaming_hourly",
-    "sessionize",
-    "streaming_enrich",
-    "streaming_asof",
-    "doc_repetition",
-    "contamination",
-    "corpus_mix",
-    "dedup_clusters",
-    "vocab_topk",
-    "shuffle_shards",
-    "tfidf_topk",
-    "lm_score",
-    "embedding_clusters",
-    "doc_outliers",
-    "source_profile",
-    "corpus_increment",
-    "snapshot_diff",
-    "corpus_funnel",
-    "embedding_clusters_kmeans",
-    "substring_dedup",
-    "hashed_tfidf",
-    "vocab_coverage",
-    "dedup_recall",
-    "quantized_recall",
-    "cohort_retention",
-    "join_skew_profile",
-    "decile_stats",
 ]
 
 

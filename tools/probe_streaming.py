@@ -400,6 +400,17 @@ def main() -> None:
         with open(os.path.join(BASE, f"result_{variant}.json"), "w") as fh:
             json.dump(out, fh, indent=1)
         print(json.dumps({k: v for k, v in out.items() if k != "batches"}))
+        # The docstring's correctness crosscheck must have teeth
+        # (ADVICE r17): a variant that emits the wrong distinct-key
+        # count exits nonzero so the parent skips the merge instead of
+        # landing an invalid measurement in BENCHHEAVY_sf10.json.
+        if not out.get("emitted_matches_unique", False):
+            print(
+                f"{variant}: emitted rows != manifest distinct keys — "
+                "exiting nonzero so the parent skips the merge",
+                file=sys.stderr,
+            )
+            sys.exit(3)
         return
     manifest = gen_backlog()
     # 16g: big enough for the ~38M-key unbounded map to complete, small

@@ -6,8 +6,9 @@ per-tick cost tracks batch size (healthy) or warehouse size (a
 quadratic-total scale-killer over the feed's lifetime).
 
 Scenario: ``PASSES`` cron ticks; each tick lands one ``ROWS_PER_FILE``
-CSV file (10% of rows re-deliver the previous day's keys with their
-ORIGINAL timestamps — the racing-cron/producer-retry shape the MERGE
+CSV file (10% of rows re-deliver the previous day's keys with
+previous-day timestamps — same dt partition as the originals, freshly
+sampled within day i-1; the racing-cron/producer-retry shape the MERGE
 exists for) and runs one ``stream_folder_upsert`` AvailableNow pass
 against the same checkpoint. Two sinks measured over identical input:
 
@@ -53,8 +54,9 @@ VARIANTS = ("partitioned", "flat")
 
 def _tick_frame(i: int, rng: np.random.Generator):
     """Rows for tick ``i``: fresh keys on day i, plus re-delivered rows
-    copying the previous day's keys with their original (day i-1)
-    timestamps."""
+    copying the previous day's keys with previous-day timestamps
+    (uniform within day i-1 — same dt partition as the originals, not
+    the original rows' exact ts values)."""
     n_dup = int(ROWS_PER_FILE * REDELIVER_RATE) if i > 0 else 0
     n_new = ROWS_PER_FILE - n_dup
     base = i * 10_000_000
@@ -142,9 +144,10 @@ def run_variant(variant: str) -> dict:
             {
                 "tick": i,
                 "wall_sec": wall,
-                "warehouse_mrows": round((i + 1) * ROWS_PER_FILE * 0.9 / 1e6, 2)
-                if i
-                else round(ROWS_PER_FILE / 1e6, 2),
+                # the TRUE accumulated unique-row count (ADVICE r17):
+                # n_unique already includes this tick's n_new, and the
+                # warehouse holds exactly the unique keys after dedup
+                "warehouse_mrows": round(n_unique / 1e6, 2),
             }
         )
         print(f"# {variant} tick {i}: {wall}s", file=sys.stderr)
@@ -156,8 +159,11 @@ def run_variant(variant: str) -> dict:
         .filter(F.col("count") > 1)
         .count()
     )
-    # slope of wall vs accumulated M-rows: the number that extrapolates
-    x = np.array([(i + 1) * ROWS_PER_FILE / 1e6 for i in range(PASSES)])
+    # slope of wall vs accumulated UNIQUE M-rows — the rows the
+    # warehouse actually holds (ADVICE r17: fitting against gross input
+    # (i+1)*ROWS_PER_FILE biased the slope ~10% low) — the number that
+    # extrapolates: lifetime cost lives at the slope, not the intercept
+    x = np.array([t["warehouse_mrows"] for t in ticks])
     y = np.array([t["wall_sec"] for t in ticks])
     slope, intercept = np.polyfit(x, y, 1)
     return {
