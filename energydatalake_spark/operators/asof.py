@@ -183,6 +183,7 @@ def asof_join(
     right_ts_alias: str | None = None,
     time_buckets: int = 64,
     direction: str = "backward",
+    bucket_by_time: bool = False,
 ) -> DataFrame:
     """As-of join: for each left row, the matching right row within the
     same ``by`` key (if given) —
@@ -200,6 +201,20 @@ def asof_join(
     resolve deterministically (max payload backward, min forward) —
     pd.merge_asof's "last in input order" is not definable for
     distributed input.
+
+    ``bucket_by_time``: set True when ``by`` is LOW-cardinality (the
+    reference's real shape is 4 ERCOT zones, merge:59-79 /
+    spp:54-59). The plain keyed path windows by ``by`` alone, so 4
+    distinct keys means 4 window partitions — each zone's whole
+    timeline sorts and fills through ONE task no matter how many
+    executors exist (AQE cannot split a window partition). With
+    ``bucket_by_time`` the keyless tier's range-bucketing runs per
+    (key, time-bucket): parallelism becomes n_keys × ``time_buckets``
+    and the edge-carry seam stays model-sized (n_keys ×
+    ``time_buckets`` rows). Identical results to the keyed window path
+    (property-tested against pd.merge_asof for all directions +
+    tolerance). Ignored when ``by`` is empty — keyless input always
+    takes the bucketed tier.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
@@ -209,7 +224,7 @@ def asof_join(
     if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
     unioned, _ = _tagged_union(left, right, on, by, rvals)
-    if by:
+    if by and not bucket_by_time:
         return _fill_and_project(
             unioned,
             left.columns,
@@ -229,6 +244,7 @@ def asof_join(
         right_ts_alias,
         time_buckets,
         direction,
+        by,
     )
 
 
@@ -241,25 +257,34 @@ def _global_asof(
     right_ts_alias: str | None,
     time_buckets: int,
     direction: str = "backward",
+    by: Sequence[str] = (),
 ) -> DataFrame:
-    """Keyless as-of without serializing into one window partition.
+    """Keyless (or low-cardinality-keyed) as-of without serializing
+    into one window partition per key.
 
     Buckets come from fixed-width division of the epoch range into
     ``time_buckets`` slices between min and max (two passes: one tiny
     min/max agg, then the fill). Each bucket fills locally; rows whose
     matching right row lives in a DIFFERENT bucket are fixed by joining
     against a per-bucket edge-payload table (tiny: ``time_buckets``
-    rows, broadcast), made cumulative with a running fill over bucket
-    index — so correctness holds even when some buckets contain no
-    right rows. Directional symmetry: backward carries each bucket's
-    LAST right payload forward to later buckets (seed sorts before the
-    bucket's own rows, since earlier-bucket timestamps are strictly
-    smaller); forward carries each bucket's FIRST right payload back to
-    earlier buckets (seed sorts after); nearest seeds both — the seeds
-    cannot cross-contaminate because a backward seed precedes every row
-    in its bucket and therefore never appears in any row's FOLLOWING
-    frame, and vice versa.
+    rows — × n_distinct(by) keys in the keyed variant, still
+    model-sized since the caller opts in only for low-cardinality
+    keys), made cumulative with a running fill over bucket index — so
+    correctness holds even when some buckets contain no right rows.
+    With ``by`` keys every piece partitions by (key, bucket) and the
+    carry fill runs per key; the bucket GRID stays global (one min/max
+    over all keys) — per-key time-density skew only changes how full
+    each (key, bucket) cell is, never correctness. Directional
+    symmetry: backward carries each bucket's LAST right payload forward
+    to later buckets (seed sorts before the bucket's own rows, since
+    earlier-bucket timestamps are strictly smaller); forward carries
+    each bucket's FIRST right payload back to earlier buckets (seed
+    sorts after); nearest seeds both — the seeds cannot
+    cross-contaminate because a backward seed precedes every row in its
+    bucket and therefore never appears in any row's FOLLOWING frame,
+    and vice versa.
     """
+    by = list(by)
     stats = unioned.agg(
         F.min(_axis_double(unioned, F.col(on), on)).alias("lo"),
         F.max(_axis_double(unioned, F.col(on), on)).alias("hi"),
@@ -281,23 +306,33 @@ def _global_asof(
             ),
         )
     # Per-bucket edge payload(s), then cumulative over bucket index so
-    # empty buckets inherit from their neighbours. time_buckets rows →
-    # tiny. Struct-over-(ts, payload) keeps ties deterministic (same
-    # rule as the keyed window's trailing payload sort key).
+    # empty buckets inherit from their neighbours. time_buckets rows
+    # (× n_keys when ``by`` is set) → tiny. Struct-over-(ts, payload)
+    # keeps ties deterministic (same rule as the keyed window's
+    # trailing payload sort key).
     spark = unioned.sparkSession
-    all_buckets = spark.range(time_buckets).select(
+    rights = bucketed.filter(F.col(_SIDE) == 0)
+    bucket_ids = spark.range(time_buckets).select(
         F.col("id").cast("int").alias(_BUCKET)
     )
-    rights = bucketed.filter(F.col(_SIDE) == 0)
+    if by:
+        # Keys that exist on the RIGHT side only — a left key with no
+        # right rows anywhere has nothing to carry (its fills are null
+        # with or without seeds). Model-sized by the caller's opt-in.
+        all_buckets = rights.select(*by).distinct().crossJoin(bucket_ids)
+    else:
+        all_buckets = bucket_ids
     edge_struct = F.struct(F.col(on).alias("o"), F.col(_PAYLOAD).alias("p"))
     left_types = {f.name: f.dataType for f in bucketed.schema.fields}
 
     def _seed(agg_fn, fill_fn, frame) -> DataFrame:
-        per_bucket = rights.groupBy(_BUCKET).agg(
+        per_bucket = rights.groupBy(*by, _BUCKET).agg(
             agg_fn(edge_struct)["p"].alias("__edge")
         )
-        w_buckets = Window.orderBy(_BUCKET).rowsBetween(*frame)
-        carry = all_buckets.join(per_bucket, _BUCKET, "left").select(
+        w_base = Window.partitionBy(*by) if by else Window
+        w_buckets = w_base.orderBy(_BUCKET).rowsBetween(*frame)
+        carry = all_buckets.join(per_bucket, [*by, _BUCKET], "left").select(
+            *[F.col(c) for c in by],
             F.col(_BUCKET),
             fill_fn("__edge", ignorenulls=True).over(w_buckets).alias("__carry"),
         )
@@ -307,7 +342,7 @@ def _global_asof(
             F.lit(0).alias(_SIDE),
             F.col(f"__carry.{on}").alias(on),
             *[
-                F.lit(None).cast(left_types[c]).alias(c)
+                F.col(c) if c in by else F.lit(None).cast(left_types[c]).alias(c)
                 for c in left_cols
                 if c != on
             ],
@@ -332,7 +367,7 @@ def _global_asof(
         left_cols,
         on,
         rvals,
-        [_BUCKET],
+        [*by, _BUCKET],
         tolerance_seconds,
         right_ts_alias,
         direction,

@@ -162,6 +162,49 @@ def test_keyed_asof_directions_match_merge_asof(spark, left, right):
 
 
 @given(
+    left=st.lists(st.tuples(KEY, TS), min_size=1, max_size=20),
+    right=st.lists(st.tuples(KEY, TS, st.integers(0, 100)), max_size=20),
+    tol=st.sampled_from([None, 0, 7, 60]),
+)
+@_prop_settings
+def test_keyed_bucketed_asof_matches_merge_asof(spark, left, right, tol):
+    """The low-cardinality-key tier (bucket_by_time=True: per-(key,
+    time-bucket) fill + per-key carry seam) must equal pd.merge_asof
+    for ANY input and every direction/tolerance — including keys with
+    no right rows, empty buckets mid-carry, and cross-bucket matches.
+    time_buckets=4 on ts<=500 forces real bucket seams."""
+    ldf = spark.createDataFrame(left, "k string, ts bigint")
+    rdf = (
+        spark.createDataFrame(right, "k string, ts bigint, rv bigint")
+        if right
+        else spark.createDataFrame([], "k string, ts bigint, rv bigint")
+    ).groupBy("k", "ts").agg(F.max("rv").alias("rv"))
+    for direction in ("backward", "forward", "nearest"):
+        got = sorted(
+            (r.k, r.ts, r.rv)
+            for r in asof_join(
+                ldf,
+                rdf,
+                on="ts",
+                by=["k"],
+                time_buckets=4,
+                direction=direction,
+                tolerance_seconds=tol,
+                bucket_by_time=True,
+            ).collect()
+        )
+        expect = []
+        for k in {k for k, _ in left}:
+            lts = [t for kk, t in left if kk == k]
+            rrows = [(t, v) for kk, t, v in right if kk == k]
+            expect += [
+                (k, t, v)
+                for t, v in _pandas_asof_dir(lts, rrows, direction, tolerance=tol)
+            ]
+        assert got == sorted(expect), (direction, tol)
+
+
+@given(
     left=st.lists(TS, min_size=1, max_size=20),
     right=st.lists(st.tuples(TS, st.integers(0, 100)), max_size=20),
     tol=st.integers(0, 60),
