@@ -477,6 +477,25 @@ def main() -> None:
 
     import statistics
 
+    # ONE canonical home for the round's cross-round number (VERDICT
+    # r17 #5: BENCH_r17's n=1 median and BENCHFULL_r17's n=2 median
+    # answered "what is this round's number" differently). The
+    # canonical home is BENCHFULL_r{N}.json's median_of_runs — the
+    # committed artifact whose median the in-place refresh keeps
+    # current across same-code reruns. The stdout line (the driver's
+    # BENCH_r{N}.json tail) and every rerun artifact carry this
+    # pointer instead of competing for the title.
+    canonical_name = f"BENCHFULL_r{this_round:02d}.json"
+    payload["canonical_artifact"] = canonical_name
+    payload["is_canonical_artifact"] = (
+        os.path.basename(full_path) == canonical_name
+        and os.path.dirname(os.path.abspath(full_path)) == repo_dir
+    )
+    payload["round_number_home"] = (
+        f"median_of_runs.value inside {canonical_name} is THE round "
+        "number; any median_of_runs in a rerun/stdout payload is that "
+        "run's own family view, kept only for transparency"
+    )
     runs = _same_code_runs()
     if runs:
         payload["median_of_runs"] = {

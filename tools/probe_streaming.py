@@ -237,8 +237,26 @@ LISTING_FILES = 24_000
 LISTING_ROWS = 100
 LISTING_PER_TRIGGER = 800  # -> 30 batches
 
+#: The three listing runs (VERDICT r17 #3): the r17.14 baseline named
+#: its mitigations without measuring them. `archive` re-runs the same
+#: 24k-file stateless drain with cleanSource=archive so the listed
+#: directory SHRINKS as the drain progresses (per-batch source cost
+#: should FALL); `mft2400` is the maxFilesPerTrigger sensitivity point
+#: (10 triggers instead of 30 over the same static listing). Each runs
+#: in a fresh JVM; the archive variant drains a hardlink CLONE of the
+#: backlog so the shared corpus survives.
+LISTING_VARIANTS = {
+    "source_listing_24k": {"clean_source": None, "per_trigger": 800},
+    "source_listing_24k_archive": {"clean_source": "archive", "per_trigger": 800},
+    "source_listing_24k_mft2400": {"clean_source": None, "per_trigger": 2400},
+}
 
-def run_listing() -> dict:
+
+def run_listing(
+    clean_source: str | None = None,
+    per_trigger: int = LISTING_PER_TRIGGER,
+    variant: str = "source_listing_24k",
+) -> dict:
     """File-SOURCE overhead isolated at a 24,000-file backlog (r17.5
     follow-up: the dedup probe only reached 2,400 files, and 'listing
     is noise' deserves a 10× harder test). Tiny 100-row files make
@@ -249,7 +267,11 @@ def run_listing() -> dict:
     source re-lists the FULL directory every trigger and replays a
     growing seen-files map, so source-side time should GROW with
     files-processed even as per-batch data stays constant — this probe
-    measures the slope of that growth."""
+    measures the slope of that growth, and (r18) the ``archive``
+    variant measures the engine's own mitigation: with
+    ``cleanSource=archive`` (the io/file_queue.py default) the drained
+    directory shrinks batch-over-batch, recorded per batch in
+    ``files_left`` alongside the falling source-side cost."""
     import numpy as np
 
     from energydatalake_spark.session import get_spark
@@ -292,18 +314,39 @@ def run_listing() -> dict:
         with open(mpath, "w") as fh:
             json.dump(want, fh, indent=1)
 
-    spark = get_spark("probe_listing")
-    reader = (
-        spark.readStream.schema("k bigint, v double")
-        .option("maxFilesPerTrigger", str(LISTING_PER_TRIGGER))
-        .parquet(backlog)
+    src_dir = backlog
+    archive_dir = None
+    if clean_source:
+        # Drain a hardlink CLONE so archiving (which MOVES each
+        # processed file out of the source directory) cannot destroy
+        # the shared corpus for later runs. 24k hardlinks ≈ 1 s.
+        src_dir = os.path.join(base, f"work_{variant}")
+        archive_dir = os.path.join(base, f"archived_{variant}")
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(archive_dir, ignore_errors=True)
+        os.makedirs(src_dir)
+        for f in os.listdir(backlog):
+            os.link(os.path.join(backlog, f), os.path.join(src_dir, f))
+
+    spark = get_spark(f"probe_{variant}")
+    reader = spark.readStream.schema("k bigint, v double").option(
+        "maxFilesPerTrigger", str(per_trigger)
     )
-    ckpt = os.path.join(base, "ckpt")
+    if clean_source:
+        reader = reader.option("cleanSource", clean_source).option(
+            "sourceArchiveDir", archive_dir
+        )
+    reader = reader.parquet(src_dir)
+    ckpt = os.path.join(base, f"ckpt_{variant}")
     shutil.rmtree(ckpt, ignore_errors=True)
     rows = []
+    files_left = []
 
     def sink(batch_df, _epoch) -> None:
         rows.append(batch_df.count())
+        # directory size as the drain progresses (driver-side; the
+        # whole point of cleanSource=archive is that this FALLS)
+        files_left.append(len(os.listdir(src_dir)))
 
     t0 = time.perf_counter()
     q = (
@@ -315,40 +358,55 @@ def run_listing() -> dict:
     q.awaitTermination()
     wall = round(time.perf_counter() - t0, 2)
     batches = []
-    for p in q.recentProgress:
+    for i, p in enumerate(q.recentProgress):
         if not p:
             continue
         dm = p.get("durationMs", {})
-        batches.append(
-            {
-                "batch": p.get("batchId"),
-                "input_rows": p.get("numInputRows"),
-                "batch_sec": round(dm.get("triggerExecution", 0) / 1000.0, 3),
-                "source_sec": round(
-                    (dm.get("latestOffset", 0) + dm.get("getBatch", 0))
-                    / 1000.0,
-                    3,
-                ),
-                "exec_sec": round(dm.get("addBatch", 0) / 1000.0, 3),
-            }
-        )
+        row = {
+            "batch": p.get("batchId"),
+            "input_rows": p.get("numInputRows"),
+            "batch_sec": round(dm.get("triggerExecution", 0) / 1000.0, 3),
+            "source_sec": round(
+                (dm.get("latestOffset", 0) + dm.get("getBatch", 0))
+                / 1000.0,
+                3,
+            ),
+            "exec_sec": round(dm.get("addBatch", 0) / 1000.0, 3),
+        }
+        if clean_source and i < len(files_left):
+            row["files_left"] = files_left[i]
+        batches.append(row)
     shutil.rmtree(ckpt, ignore_errors=True)
+    if clean_source:
+        n_archived = len(os.listdir(archive_dir)) if os.path.isdir(
+            archive_dir
+        ) else 0
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(archive_dir, ignore_errors=True)
     done = [b for b in batches if b["input_rows"]]
-    import numpy as np  # slope of per-batch total vs batch index
+    import numpy as np  # slopes of per-batch cost vs batch index
 
     y = np.array([b["batch_sec"] for b in done])
     x = np.arange(len(y), dtype=float)
     slope = float(np.polyfit(x, y, 1)[0]) if len(y) > 2 else 0.0
-    return {
-        "variant": "source_listing_24k",
+    ys = np.array([b["source_sec"] for b in done])
+    src_slope = float(np.polyfit(x, ys, 1)[0]) if len(ys) > 2 else 0.0
+    out = {
+        "variant": variant,
+        "clean_source": clean_source,
+        "max_files_per_trigger": per_trigger,
         "wall_sec": wall,
         "n_batches": len(rows),
         "rows_emitted": int(sum(rows)),
         "rows_expected": LISTING_FILES * LISTING_ROWS,
         "batch_sec_slope_per_batch": round(slope, 4),
+        "source_sec_slope_per_batch": round(src_slope, 4),
         "manifest": want,
         "batches": batches,
     }
+    if clean_source:
+        out["files_archived"] = n_archived
+    return out
 
 
 def merge(result: dict, manifest: dict) -> None:
@@ -376,23 +434,49 @@ def merge(result: dict, manifest: dict) -> None:
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--listing-child" in sys.argv:
+        variant = sys.argv[sys.argv.index("--listing-child") + 1]
+        cfg = LISTING_VARIANTS[variant]
+        out = run_listing(variant=variant, **cfg)
+        with open(os.path.join(BASE, f"result_{variant}.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(json.dumps({k: v for k, v in out.items() if k != "batches"}))
+        if out["rows_emitted"] != out["rows_expected"]:
+            print(
+                f"{variant}: emitted {out['rows_emitted']} != expected "
+                f"{out['rows_expected']} — exiting nonzero so the parent "
+                "skips the merge",
+                file=sys.stderr,
+            )
+            sys.exit(3)
+        return
     if "--listing" in sys.argv:
-        out = run_listing()
+        names = [a for a in sys.argv[1:] if not a.startswith("-")]
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         path = os.path.join(repo, "BENCHHEAVY_sf10.json")
-        prior = json.load(open(path)) if os.path.exists(path) else {}
-        sect = prior.setdefault("streaming_x100", {})
-        sect["source_listing_24k"] = {
-            k: v for k, v in out.items() if k != "variant"
-        }
-        tmp = path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(prior, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-        os.replace(tmp, path)
-        print(
-            json.dumps({k: v for k, v in out.items() if k != "batches"})
-        )
+        for variant in names or LISTING_VARIANTS:
+            print(f"== {variant}", file=sys.stderr)
+            rc = subprocess.call(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--listing-child",
+                    variant,
+                ]
+            )
+            if rc != 0:
+                print(f"{variant} exited {rc}; skipping merge", file=sys.stderr)
+                continue
+            out = json.load(open(os.path.join(BASE, f"result_{variant}.json")))
+            prior = json.load(open(path)) if os.path.exists(path) else {}
+            sect = prior.setdefault("streaming_x100", {})
+            sect[variant] = {k: v for k, v in out.items() if k != "variant"}
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(prior, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+            os.replace(tmp, path)
+            print(f"merged {variant}", file=sys.stderr)
         return
     if "--variant" in sys.argv:
         variant = sys.argv[sys.argv.index("--variant") + 1]
