@@ -1035,6 +1035,71 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_lowcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1, low-cardinality-key tier (engine extension, r18): the
+    reference's REAL as-of key shape is 4 ERCOT zones (merge:59-79
+    runs zone-series through one driver-side merge_asof). Modeled here
+    with a 4-value segment key (user_id mod 4): for each click, the
+    most recent purchase in the same segment. Exercises
+    ``bucket_by_time=True`` — per-(key, time-bucket) fill + model-sized
+    edge-carry seam — instead of the 4-partition keyed window that
+    would serialize each segment through one task. The right side is
+    deduped to one row per (segment, ts) (max value) so tie semantics
+    cannot differ from the DuckDB ASOF JOIN oracle."""
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(4)).alias("segment"),
+        "ts",
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.pmod(F.col("user_id"), F.lit(4)).alias("segment"),
+            "ts",
+            "value",
+        )
+        .groupBy("segment", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by=["segment"],
+        right_ts_alias="purchase_ts",
+        time_buckets=32,
+        bucket_by_time=True,
+    )
+    return joined.select(
+        "event_id",
+        "segment",
+        _ms(F.col("ts")).alias("click_ts_ms"),
+        F.col("purchase_value"),
+        _ms(F.col("purchase_ts")).alias("purchase_ts_ms"),
+    )
+
+
+SQL_ASOF_LOWCARD = """
+WITH c AS (
+  SELECT event_id, user_id % 4 AS segment, ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id % 4 AS segment, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT c.event_id,
+       c.segment,
+       CAST(epoch_ms(c.ts) AS BIGINT) AS click_ts_ms,
+       p.purchase_value,
+       CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ts_ms
+FROM c
+ASOF LEFT JOIN p
+  ON c.segment = p.segment AND c.ts >= p.ts
+"""
+
+
 SQL_ASOF_FORWARD = """
 SELECT c.event_id,
        c.user_id,
@@ -1386,6 +1451,7 @@ _register("union_all", q_union_all, SQL_UNION_ALL, "Set1")
 _register("band_join", q_band_join, SQL_BAND_JOIN, "J2")
 _register("asof_join", q_asof_join, SQL_ASOF_JOIN, "J1")
 _register("asof_forward", q_asof_forward, SQL_ASOF_FORWARD, "J1-forward")
+_register("asof_lowcard", q_asof_lowcard, SQL_ASOF_LOWCARD, "J1-lowcard-bucketed")
 _register(
     "forecast_vs_actual",
     q_forecast_vs_actual,

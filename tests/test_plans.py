@@ -348,3 +348,22 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_bench_order_frozen_and_appends():
+    """The measurement order is FROZEN (r18): BENCH_ORDER leads
+    verbatim, later-registered queries append at the END sorted —
+    never insert — so every pre-r18 query keeps its bench/plan-audit
+    position across driver-window rotations."""
+    from energydatalake_spark.plans.registry import (
+        BENCH_ORDER,
+        QUERIES,
+        bench_order,
+    )
+
+    bo = bench_order()
+    assert bo[: len(BENCH_ORDER)] == list(BENCH_ORDER)
+    assert set(bo) == set(QUERIES) and len(bo) == len(QUERIES)
+    extras = bo[len(BENCH_ORDER):]
+    assert extras == sorted(extras)
+    assert "asof_lowcard" in extras  # the r18 addition appends, not inserts
