@@ -378,9 +378,11 @@ def run_listing(
         batches.append(row)
     shutil.rmtree(ckpt, ignore_errors=True)
     if clean_source:
-        n_archived = len(os.listdir(archive_dir)) if os.path.isdir(
-            archive_dir
-        ) else 0
+        # archived files keep their ORIGINAL path nested under
+        # sourceArchiveDir — count recursively, not the top level
+        n_archived = sum(
+            len(fs) for _, _, fs in os.walk(archive_dir)
+        ) if os.path.isdir(archive_dir) else 0
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(archive_dir, ignore_errors=True)
     done = [b for b in batches if b["input_rows"]]
