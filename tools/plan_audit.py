@@ -49,6 +49,16 @@ SCALAR_CROSS = {
     "decile_stats",  # 1-row exact-percentile cutpoint re-attach
 }
 
+#: Queries whose nested-loop is the bucketed as-of tier's carry-grid
+#: construction: distinct right keys × spark.range(time_buckets) — a
+#: model-sized cross (≤ n_keys × time_buckets rows, 4 × 32 here) that
+#: exists precisely so the DATA-sized work can partition by (key,
+#: bucket). Bounded by the caller's low-cardinality opt-in; annotated,
+#: not flagged.
+GRID_CROSS = {
+    "asof_lowcard",
+}
+
 #: Streaming queries execute during build (memory sink) — their plan is
 #: the post-hoc memory-table scan, so mark them instead of mis-auditing.
 STREAMING = {"streaming_hourly", "streaming_dedup", "streaming_enrich"}
@@ -100,6 +110,12 @@ def main() -> None:
         elif name in SCALAR_CROSS:
             a["flags"] = [
                 f"{f} (intended: 1-row scalar broadcast)" for f in a["flags"]
+            ]
+            a["intended"] = True
+        elif name in GRID_CROSS:
+            a["flags"] = [
+                f"{f} (intended: model-sized keys×buckets carry grid)"
+                for f in a["flags"]
             ]
             a["intended"] = True
         rows.append((name, a))
