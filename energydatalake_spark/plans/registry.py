@@ -1081,11 +1081,14 @@ def q_asof_lowcard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ASOF_LOWCARD = """
+-- ((x % 4) + 4) % 4 mirrors Spark's pmod (non-negative) exactly;
+-- DuckDB's bare % is sign-of-dividend, which would diverge if the
+-- generator ever ships negative ids
 WITH c AS (
-  SELECT event_id, user_id % 4 AS segment, ts
+  SELECT event_id, ((user_id % 4) + 4) % 4 AS segment, ts
   FROM events WHERE event_type = 'click'
 ), p AS (
-  SELECT user_id % 4 AS segment, ts, MAX(value) AS purchase_value
+  SELECT ((user_id % 4) + 4) % 4 AS segment, ts, MAX(value) AS purchase_value
   FROM events WHERE event_type = 'purchase'
   GROUP BY 1, 2
 )
