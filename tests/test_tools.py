@@ -400,3 +400,57 @@ def test_probe_upsert_tick_frame_accounting():
     # partitioned variant's read-back must include that partition)
     assert ((ts1[dup_mask] - pu.T0_EPOCH) // day == 0).all()
     assert ((ts1[~dup_mask] - pu.T0_EPOCH) // day == 1).all()
+
+
+def test_probe_joins_generators(tmp_path, monkeypatch):
+    """Structural pins for the temporal-join probe corpus (r17
+    precedent: probe generators get toy-scale tests): SPP tiles must
+    tile time exactly (contiguous, inclusive-end, no double-match
+    possible), windows are one 1-day interval per uid, fact timestamps
+    stay inside the declared range, and the manifest gate reuses a
+    matching corpus instead of regenerating."""
+    import pyarrow.dataset as ds
+
+    import tools.probe_joins as pj
+
+    monkeypatch.setattr(pj, "BASE", str(tmp_path))
+    d = pj.gen_dir(1)
+    s = pj._sizes(1)
+
+    tiles = ds.dataset(f"{d}/tiles").to_table().to_pandas()
+    assert len(tiles) == 4 * s["n_tiles_per_zone"]
+    t0 = pj.T0_US
+    for zone, g in tiles.groupby("zone"):
+        g = g.sort_values("i_start")
+        starts = g["i_start"].astype("int64").to_numpy()
+        ends = g["i_end"].astype("int64").to_numpy()
+        assert starts[0] == t0
+        assert (ends - starts == 900_000_000 - 1).all()  # inclusive end
+        assert (starts[1:] == ends[:-1] + 1).all()  # contiguous, no overlap
+        assert ends[-1] == t0 + s["range_sec"] * 1_000_000 - 1  # full cover
+    assert set(tiles["zone"]) == set(pj.ZONES)
+
+    win = ds.dataset(f"{d}/windows").to_table().to_pandas()
+    assert len(win) == s["n_uids"]
+    assert sorted(win["uid"]) == list(range(s["n_uids"]))  # one per uid
+    dur = win["w_end"].astype("int64") - win["w_start"].astype("int64")
+    assert (dur == 86_400_000_000).all()
+
+    left = ds.dataset(f"{d}/left").to_table().to_pandas()
+    assert len(left) == s["n_left"]
+    ts = left["ts"].astype("int64")
+    assert ts.min() >= t0 and ts.max() < t0 + s["range_sec"] * 1_000_000
+    assert left["uid"].between(0, s["n_uids"] - 1).all()
+    assert set(left["zone"]) == set(pj.ZONES)
+
+    # manifest gate: second call must REUSE (mtime unchanged), a
+    # version bump must regenerate
+    import os
+
+    probe_file = os.path.join(d, "left", "part0000.parquet")
+    mtime = os.path.getmtime(probe_file)
+    assert pj.gen_dir(1) == d
+    assert os.path.getmtime(probe_file) == mtime
+    monkeypatch.setattr(pj, "_GEN_VERSION", pj._GEN_VERSION + 1)
+    pj.gen_dir(1)
+    assert os.path.getmtime(probe_file) != mtime
