@@ -349,6 +349,13 @@ def run_child(variant: str, mult: int, buckets: int, out_path: str) -> None:
 
 
 def _merge(section: dict) -> None:
+    """Deep-merge into BENCHHEAVY joins_x100: per-scale manifests merge
+    by key (a LATER run at a new scale extends the section; only a
+    CHANGED manifest for an overlapping scale drops stale variants),
+    and per-variant dicts merge field-wise so an x3000 extension run
+    adds runs_x3000/t_x3000 beside the existing x100/x1000 fields.
+    Cross-decade alphas are (re)computed from whatever medians exist
+    after the merge."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(repo, "BENCHHEAVY_sf10.json")
     prior = {}
@@ -358,10 +365,33 @@ def _merge(section: dict) -> None:
         except Exception:
             prior = {}
     prev = prior.get("joins_x100", {})
-    if prev.get("manifest") != section["manifest"]:
-        prev = {"manifest": section["manifest"]}  # corpus changed
+    pm = prev.get("manifest", {})
+    nm = section["manifest"]
+    if any(k in pm and pm[k] != nm[k] for k in nm):
+        prev, pm = {}, {}  # corpus changed at an overlapping scale
+    prev["manifest"] = {**pm, **nm}
     for k, v in section.items():
-        prev[k] = v
+        if k == "manifest":
+            continue
+        if isinstance(v, dict) and isinstance(prev.get(k), dict):
+            old_scales = prev[k].get("scales")
+            prev[k] = {**prev[k], **v}
+            if old_scales and v.get("scales"):
+                prev[k]["scales"] = sorted(set(old_scales) | set(v["scales"]))
+        else:
+            prev[k] = v
+    for v in prev.values():
+        if not isinstance(v, dict) or "reps" not in v:
+            continue
+        for lo, hi in ((100, 1000), (1000, 3000)):
+            if f"t_x{lo}" in v and f"t_x{hi}" in v:
+                v[f"alpha_x{lo}_x{hi}"] = round(
+                    float(
+                        np.log10(v[f"t_x{hi}"] / v[f"t_x{lo}"])
+                        / np.log10(hi / lo)
+                    ),
+                    3,
+                )
     prior["joins_x100"] = prev
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
@@ -387,6 +417,24 @@ def main() -> None:
     unknown = [v for v in only if v not in VARIANTS]
     if unknown:
         raise SystemExit(f"unknown variants: {unknown} (have {list(VARIANTS)})")
+    if "--fifth" in sys.argv:
+        # Fifth-decade extension: x3000 (300M left + 60M right) for the
+        # SCALE paths only — the degenerates' x3000 cost is exactly the
+        # extrapolation their x100/x1000 numbers exist to justify
+        # (4-zone plain window ≈ 3.1× its 243 s; plain band SMJ ~hours).
+        # Results deep-merge beside the existing x100/x1000 fields.
+        variants = {
+            v: (3000,)
+            for v in variants
+            if v
+            in (
+                "asof_keyed_highcard",
+                "asof_keyed_4zone_bucketed",
+                "asof_keyless",
+                "band_highcard",
+                "band_4zone_bucketed",
+            )
+        }
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     gen_dir(1)  # warm-up corpus
@@ -455,7 +503,7 @@ def main() -> None:
     # a different bucket count — results must be identical
     grid_checks = {}
     if "asof_keyless" in results:
-        for mult in VARIANTS["asof_keyless"]:
+        for mult in variants["asof_keyless"]:
             key = f"agg_x{mult}"
             if key not in results["asof_keyless"]:
                 continue
@@ -500,7 +548,7 @@ def main() -> None:
         "asof_keyed_4zone_bucketed",
         "asof_keyless",
     ):
-        for mult in VARIANTS.get(v, ()):
+        for mult in variants.get(v, ()):
             a = results.get(v, {}).get(f"agg_x{mult}")
             if a is not None:
                 checks[f"{v}_left_preserved_x{mult}"] = (
