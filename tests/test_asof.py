@@ -137,3 +137,35 @@ def test_global_asof_on_events(spark):
         )
     )
     assert global_out == keyed_out
+
+
+def test_keyed_bucketed_ntz_axis_matches_keyed_window(spark, tiny):
+    """The r18 low-cardinality tier on a TIMESTAMP_NTZ axis (the r4+
+    testdata shape raw reads yield) must equal the plain keyed window
+    path — the bucket arithmetic routes NTZ through session-tz cast
+    before the double cast, same as the keyless tier."""
+    left, right = tiny
+    l_ntz = left.withColumn("t", F.col("t").cast("timestamp_ntz"))
+    r_ntz = right.withColumn("t", F.col("t").cast("timestamp_ntz"))
+    assert l_ntz.schema["t"].dataType.typeName() == "timestamp_ntz"
+    plain = {
+        r.id: (r.v, r.rts)
+        for r in asof_join(
+            l_ntz, r_ntz, on="t", by=["k"], right_ts_alias="rts"
+        ).collect()
+    }
+    bucketed = {
+        r.id: (r.v, r.rts)
+        for r in asof_join(
+            l_ntz,
+            r_ntz,
+            on="t",
+            by=["k"],
+            right_ts_alias="rts",
+            time_buckets=3,
+            bucket_by_time=True,
+        ).collect()
+    }
+    assert plain == bucketed
+    assert bucketed[1] == (100.0, ts(10.0))  # inclusive backward match
+    assert bucketed[4][0] is None  # key 2: only later right rows -> null
