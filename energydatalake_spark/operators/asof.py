@@ -315,26 +315,54 @@ def _global_asof(
     bucket_ids = spark.range(time_buckets).select(
         F.col("id").cast("int").alias(_BUCKET)
     )
-    if by:
-        # Keys that exist on the RIGHT side only — a left key with no
-        # right rows anywhere has nothing to carry (its fills are null
-        # with or without seeds). Model-sized by the caller's opt-in.
-        all_buckets = rights.select(*by).distinct().crossJoin(bucket_ids)
-    else:
-        all_buckets = bucket_ids
     edge_struct = F.struct(F.col(on).alias("o"), F.col(_PAYLOAD).alias("p"))
     left_types = {f.name: f.dataType for f in bucketed.schema.fields}
 
-    def _seed(agg_fn, fill_fn, frame) -> DataFrame:
-        per_bucket = rights.groupBy(*by, _BUCKET).agg(
-            agg_fn(edge_struct)["p"].alias("__edge")
+    # ONE data-sized pass builds every edge the direction needs (max
+    # and min together for nearest — previously each seed re-scanned
+    # the right side for its own agg, and the keyed grid added another
+    # full scan for distinct keys).
+    edge_aggs = []
+    if direction in ("backward", "nearest"):
+        edge_aggs.append(F.max(edge_struct)["p"].alias("__edge_b"))
+    if direction in ("forward", "nearest"):
+        edge_aggs.append(F.min(edge_struct)["p"].alias("__edge_f"))
+    per_bucket = rights.groupBy(*by, _BUCKET).agg(*edge_aggs)
+    if by:
+        # Key set for the carry grid, derived from the (model-sized)
+        # per-bucket output — keys that exist on the RIGHT side only: a
+        # left key with no right rows anywhere has nothing to carry
+        # (its fills are null with or without seeds). NULL is a real
+        # key here — the window fill's partitionBy groups NULLs — so
+        # the grid join below must be null-safe, not a bare equi-join
+        # (a NULL-key match used to survive only when both rows landed
+        # in the SAME bucket).
+        grid = (
+            per_bucket.select(*by).distinct().crossJoin(bucket_ids).alias("__g")
         )
+        pb = per_bucket.alias("__pb")
+        cond = [
+            F.col(f"__g.{c}").eqNullSafe(F.col(f"__pb.{c}")) for c in by
+        ] + [F.col(f"__g.{_BUCKET}") == F.col(f"__pb.{_BUCKET}")]
+        cells = grid.join(pb, cond, "left").select(
+            *[F.col(f"__g.{c}") for c in by],
+            F.col(f"__g.{_BUCKET}"),
+            *[
+                F.col(f"__pb.{name}")
+                for name in per_bucket.columns
+                if name.startswith("__edge")
+            ],
+        )
+    else:
+        cells = bucket_ids.join(per_bucket, [_BUCKET], "left")
+
+    def _seed(edge_col: str, fill_fn, frame) -> DataFrame:
         w_base = Window.partitionBy(*by) if by else Window
         w_buckets = w_base.orderBy(_BUCKET).rowsBetween(*frame)
-        carry = all_buckets.join(per_bucket, [*by, _BUCKET], "left").select(
+        carry = cells.select(
             *[F.col(c) for c in by],
             F.col(_BUCKET),
-            fill_fn("__edge", ignorenulls=True).over(w_buckets).alias("__carry"),
+            fill_fn(edge_col, ignorenulls=True).over(w_buckets).alias("__carry"),
         )
         return carry.filter(F.col("__carry").isNotNull()).select(
             F.col(_BUCKET),
@@ -352,12 +380,12 @@ def _global_asof(
     if direction in ("backward", "nearest"):
         # latest earlier right payload, carried into later buckets
         seeds.append(
-            _seed(F.max, F.last, (Window.unboundedPreceding, -1))
+            _seed("__edge_b", F.last, (Window.unboundedPreceding, -1))
         )
     if direction in ("forward", "nearest"):
         # earliest later right payload, carried into earlier buckets
         seeds.append(
-            _seed(F.min, F.first, (1, Window.unboundedFollowing))
+            _seed("__edge_f", F.first, (1, Window.unboundedFollowing))
         )
     union_seeded = bucketed
     for s in seeds:

@@ -1411,8 +1411,15 @@ ORDER BY event_type
 QUERIES: dict[str, Query] = {}
 
 
+#: Names in _register() call order — rotation-independent, unlike
+#: QUERIES (whose dict order _apply_driver_window rewrites). The
+#: frozen bench order appends post-freeze queries from THIS list.
+_REGISTRATION_ORDER: list[str] = []
+
+
 def _register(name: str, build, oracle: str | None, survey_ops: str) -> None:
     QUERIES[name] = Query(name=name, build=build, oracle=oracle, survey_ops=survey_ops)
+    _REGISTRATION_ORDER.append(name)
 
 
 _register("pricing_summary", q_pricing_summary, SQL_PRICING_SUMMARY, "S1 P4 P8 A1 O2")
@@ -2195,15 +2202,23 @@ BENCH_ORDER: tuple[str, ...] = (
 
 def bench_order() -> list[str]:
     """Measurement iteration order: the frozen ``BENCH_ORDER`` plus any
-    later-registered queries appended at the end (sorted for
-    determinism). Raises if the frozen list names a query that no
-    longer exists — renames must edit the frozen list consciously, not
-    silently drop a measurement."""
+    later-registered queries appended at the end in REGISTRATION order
+    (r18 review: sorted-order appends would let a future query whose
+    name sorts earlier shift an existing appended query's position —
+    the exact instability the freeze exists to prevent; registration
+    order is deterministic and insertion-stable). Each round's close
+    should fold that round's extras into ``BENCH_ORDER`` verbatim so
+    the frozen list stays the single source of position truth. Raises
+    if the frozen list names a query that no longer exists — renames
+    must edit the frozen list consciously, not silently drop a
+    measurement."""
     missing = [n for n in BENCH_ORDER if n not in QUERIES]
     if missing:
         raise KeyError(f"BENCH_ORDER names unknown queries: {missing}")
     frozen = set(BENCH_ORDER)
-    return list(BENCH_ORDER) + sorted(n for n in QUERIES if n not in frozen)
+    return list(BENCH_ORDER) + [
+        n for n in _REGISTRATION_ORDER if n not in frozen
+    ]
 
 
 _DRIVER_WINDOW_FIRST = [

@@ -169,3 +169,34 @@ def test_keyed_bucketed_ntz_axis_matches_keyed_window(spark, tiny):
     assert plain == bucketed
     assert bucketed[1] == (100.0, ts(10.0))  # inclusive backward match
     assert bucketed[4][0] is None  # key 2: only later right rows -> null
+
+
+def test_keyed_bucketed_null_key_cross_bucket(spark):
+    """r18 review finding (confirmed live pre-fix): a NULL by-key match
+    whose right row lives in an EARLIER time bucket was dropped by the
+    bucketed tier, because the carry-grid equi-join was not null-safe —
+    while the same match in the SAME bucket survived (window
+    partitionBy groups NULLs). Both must match the plain keyed path."""
+    left = spark.createDataFrame(
+        [(1, None, 100), (2, "a", 100)], "id int, k string, t bigint"
+    )
+    right = spark.createDataFrame(
+        [(None, 10, 7), ("a", 10, 8)], "k string, t bigint, rv int"
+    )
+    for buckets in (1, 4, 16):  # 16 forces (10, 100) into distant buckets
+        got = {
+            r.id: r.rv
+            for r in asof_join(
+                left,
+                right,
+                on="t",
+                by=["k"],
+                time_buckets=buckets,
+                bucket_by_time=True,
+            ).collect()
+        }
+        plain = {
+            r.id: r.rv
+            for r in asof_join(left, right, on="t", by=["k"]).collect()
+        }
+        assert got == plain == {1: 7, 2: 8}, buckets

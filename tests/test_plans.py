@@ -352,10 +352,13 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
 
 def test_bench_order_frozen_and_appends():
     """The measurement order is FROZEN (r18): BENCH_ORDER leads
-    verbatim, later-registered queries append at the END sorted —
-    never insert — so every pre-r18 query keeps its bench/plan-audit
-    position across driver-window rotations."""
+    verbatim, later-registered queries append at the END in
+    registration order — never insert, never re-sort (a sorted append
+    would shift an existing extra when a lexically-earlier name
+    arrives) — so every measured query keeps its bench/plan-audit
+    position across driver-window rotations AND future registrations."""
     from energydatalake_spark.plans.registry import (
+        _REGISTRATION_ORDER,
         BENCH_ORDER,
         QUERIES,
         bench_order,
@@ -365,5 +368,6 @@ def test_bench_order_frozen_and_appends():
     assert bo[: len(BENCH_ORDER)] == list(BENCH_ORDER)
     assert set(bo) == set(QUERIES) and len(bo) == len(QUERIES)
     extras = bo[len(BENCH_ORDER):]
-    assert extras == sorted(extras)
+    frozen = set(BENCH_ORDER)
+    assert extras == [n for n in _REGISTRATION_ORDER if n not in frozen]
     assert "asof_lowcard" in extras  # the r18 addition appends, not inserts

@@ -161,17 +161,29 @@ def test_keyed_asof_directions_match_merge_asof(spark, left, right):
         assert got == sorted(expect), direction
 
 
+KEYN = st.sampled_from(["a", "b", None])  # NULL is a real by-key
+
+
+def _nullsafe_sort(rows):
+    return sorted(
+        rows,
+        key=lambda t: tuple((x is None, x if x is not None else 0) for x in t),
+    )
+
+
 @given(
-    left=st.lists(st.tuples(KEY, TS), min_size=1, max_size=20),
-    right=st.lists(st.tuples(KEY, TS, st.integers(0, 100)), max_size=20),
+    left=st.lists(st.tuples(KEYN, TS), min_size=1, max_size=20),
+    right=st.lists(st.tuples(KEYN, TS, st.integers(0, 100)), max_size=20),
     tol=st.sampled_from([None, 0, 7, 60]),
 )
 @_prop_settings
 def test_keyed_bucketed_asof_matches_merge_asof(spark, left, right, tol):
     """The low-cardinality-key tier (bucket_by_time=True: per-(key,
     time-bucket) fill + per-key carry seam) must equal pd.merge_asof
-    for ANY input and every direction/tolerance — including keys with
-    no right rows, empty buckets mid-carry, and cross-bucket matches.
+    for ANY input and every direction/tolerance — including NULL keys
+    (the window fill groups NULLs, so the carry grid must be
+    null-safe: the r18 review's confirmed bug), keys with no right
+    rows, empty buckets mid-carry, and cross-bucket matches.
     time_buckets=4 on ts<=500 forces real bucket seams."""
     ldf = spark.createDataFrame(left, "k string, ts bigint")
     rdf = (
@@ -180,7 +192,7 @@ def test_keyed_bucketed_asof_matches_merge_asof(spark, left, right, tol):
         else spark.createDataFrame([], "k string, ts bigint, rv bigint")
     ).groupBy("k", "ts").agg(F.max("rv").alias("rv"))
     for direction in ("backward", "forward", "nearest"):
-        got = sorted(
+        got = _nullsafe_sort(
             (r.k, r.ts, r.rv)
             for r in asof_join(
                 ldf,
@@ -201,7 +213,7 @@ def test_keyed_bucketed_asof_matches_merge_asof(spark, left, right, tol):
                 (k, t, v)
                 for t, v in _pandas_asof_dir(lts, rrows, direction, tolerance=tol)
             ]
-        assert got == sorted(expect), (direction, tol)
+        assert got == _nullsafe_sort(expect), (direction, tol)
 
 
 @given(

@@ -328,10 +328,14 @@ def run_child(variant: str, mult: int, buckets: int, out_path: str) -> None:
     t0 = time.perf_counter()
     row = _build(spark, d, variant, buckets).collect()[0]
     wall = round(time.perf_counter() - t0, 3)
+    # record the EFFECTIVE bucket count (r18 review: the serial variant
+    # runs at 1 regardless of the CLI arg — the artifact must document
+    # the measured configuration, not the dispatcher's default)
+    eff_buckets = 1 if variant.endswith("serial") else buckets
     result = {
         "variant": variant,
         "mult": mult,
-        "time_buckets": buckets,
+        "time_buckets": eff_buckets,
         "wall_sec": wall,
         "agg": {
             "n": row["n"],
@@ -443,8 +447,13 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for variant, scales in variants.items():
-        entry: dict = {"scales": list(scales), "reps": REPS,
-                       "time_buckets": DEFAULT_BUCKETS}
+        entry: dict = {
+            "scales": list(scales),
+            "reps": REPS,
+            "time_buckets": 1
+            if variant.endswith("serial")
+            else DEFAULT_BUCKETS,
+        }
         for mult in scales:
             walls, aggs, seams = [], [], []
             for rep in range(REPS):
@@ -555,8 +564,12 @@ def main() -> None:
                     a["n"] == _sizes(mult)["n_left"]
                 )
 
+    ran_scales = sorted({m for s in variants.values() for m in s})
     section = {
-        "manifest": {str(m): _manifest(m) for m in (1, *SCALES)},
+        # the scales THIS run generated/used (r18 review: --fifth runs
+        # at x3000 but (1, *SCALES) recorded only 1/100/1000, leaving
+        # 300M-row timings with no recorded corpus manifest)
+        "manifest": {str(m): _manifest(m) for m in (1, *ran_scales)},
         "protocol": (
             f"{REPS} fresh-JVM reps per (variant, scale), warm-then-timed "
             f"(same plan at x1 untimed first), medians reported; exact "
