@@ -2197,6 +2197,10 @@ BENCH_ORDER: tuple[str, ...] = (
     "corpus_increment", "snapshot_diff", "corpus_funnel", "embedding_clusters_kmeans",
     "substring_dedup", "hashed_tfidf", "vocab_coverage", "dedup_recall",
     "quantized_recall", "cohort_retention", "join_skew_profile", "decile_stats",
+    # r18 close: this round's extras folded in verbatim at their
+    # appended positions (the per-round fold step bench_order()
+    # documents — the frozen list stays the single source of truth)
+    "asof_lowcard",
 )
 
 

@@ -370,4 +370,6 @@ def test_bench_order_frozen_and_appends():
     extras = bo[len(BENCH_ORDER):]
     frozen = set(BENCH_ORDER)
     assert extras == [n for n in _REGISTRATION_ORDER if n not in frozen]
-    assert "asof_lowcard" in extras  # the r18 addition appends, not inserts
+    # the r18 addition was appended (position 100), then folded into
+    # the frozen list verbatim at round close — same position forever
+    assert bo.index("asof_lowcard") == 100
