@@ -352,6 +352,52 @@ def run_child(variant: str, mult: int, buckets: int, out_path: str) -> None:
     print(json.dumps(result))
 
 
+def run_spill_check(variant: str, mult: int, buckets: int) -> dict:
+    """Diagnostic (NOT part of the timed family — the UI adds ~1-2 %
+    overhead): run one variant once with the Spark UI enabled and sum
+    the completed stages' spill/shuffle bytes from the REST API, to
+    turn the r18.10 'x3000 crosses the 16 g heap so it spills' claim
+    from arithmetic into an observed number. The tiny x1 warm run's
+    stages are included in the sums (negligible by construction)."""
+    import urllib.request
+
+    from energydatalake_spark.session import get_spark
+
+    spark = get_spark(
+        f"spill_{variant}_x{mult}", extra_conf={"spark.ui.enabled": "true"}
+    )
+    _build(spark, os.path.join(BASE, "x1"), variant, buckets).collect()
+    t0 = time.perf_counter()
+    _build(spark, os.path.join(BASE, f"x{mult}"), variant, buckets).collect()
+    wall = round(time.perf_counter() - t0, 3)
+    base = spark.sparkContext.uiWebUrl
+    apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=COMPLETE"
+        )
+    )
+    gib = 1024.0**3
+    out = {
+        "variant": variant,
+        "mult": mult,
+        "wall_sec_ui_on": wall,
+        "n_stages": len(stages),
+        "memory_spilled_gib": round(
+            sum(s.get("memoryBytesSpilled", 0) for s in stages) / gib, 2
+        ),
+        "disk_spilled_gib": round(
+            sum(s.get("diskBytesSpilled", 0) for s in stages) / gib, 2
+        ),
+        "shuffle_write_gib": round(
+            sum(s.get("shuffleWriteBytes", 0) for s in stages) / gib, 2
+        ),
+    }
+    print(json.dumps(out))
+    return out
+
+
 def _merge(section: dict) -> None:
     """Deep-merge into BENCHHEAVY joins_x100: per-scale manifests merge
     by key (a LATER run at a new scale extends the section; only a
@@ -405,6 +451,24 @@ def _merge(section: dict) -> None:
 
 
 def main() -> None:
+    if "--spill-check" in sys.argv:
+        i = sys.argv.index("--spill-check")
+        variant, mult = sys.argv[i + 1], int(sys.argv[i + 2])
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+        out = run_spill_check(variant, mult, DEFAULT_BUCKETS)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(repo, "BENCHHEAVY_sf10.json")
+        prior = json.load(open(path)) if os.path.exists(path) else {}
+        sect = prior.setdefault("joins_x100", {}).setdefault(variant, {})
+        sect[f"spill_x{mult}"] = {
+            k: v for k, v in out.items() if k not in ("variant", "mult")
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(prior, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        os.replace(tmp, path)
+        return
     if "--child" in sys.argv:
         i = sys.argv.index("--child")
         variant, mult, buckets, out = (
