@@ -1418,6 +1418,10 @@ _REGISTRATION_ORDER: list[str] = []
 
 
 def _register(name: str, build, oracle: str | None, survey_ops: str) -> None:
+    if name in QUERIES:
+        # re-registration would also double the name in
+        # _REGISTRATION_ORDER and make bench_order() measure it twice
+        raise ValueError(f"duplicate query registration: {name}")
     QUERIES[name] = Query(name=name, build=build, oracle=oracle, survey_ops=survey_ops)
     _REGISTRATION_ORDER.append(name)
 

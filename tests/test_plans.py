@@ -373,3 +373,29 @@ def test_bench_order_frozen_and_appends():
     # the r18 addition was appended (position 100), then folded into
     # the frozen list verbatim at round close — same position forever
     assert bo.index("asof_lowcard") == 100
+
+
+def test_bench_order_extras_keep_registration_order():
+    """Non-vacuous pin for the append rule (r18 review round 2 #4: with
+    all extras folded, the previous assertion was [] == [], and a
+    sorted-append regression would pass it). Register two synthetic
+    names in NON-lexical order: bench_order() must return them in
+    registration order — a sorted append would flip them and a
+    duplicate registration must be refused outright."""
+    import pytest
+
+    from energydatalake_spark.plans import registry as reg
+
+    dummy = lambda spark, sf_dir: None  # noqa: E731 — never built
+    try:
+        reg._register("zz_order_probe", dummy, None, "test-only")
+        reg._register("aa_order_probe", dummy, None, "test-only")
+        extras = reg.bench_order()[len(reg.BENCH_ORDER):]
+        assert extras == ["zz_order_probe", "aa_order_probe"]  # not sorted
+        with pytest.raises(ValueError, match="duplicate"):
+            reg._register("zz_order_probe", dummy, None, "test-only")
+    finally:
+        for n in ("zz_order_probe", "aa_order_probe"):
+            reg.QUERIES.pop(n, None)
+            if n in reg._REGISTRATION_ORDER:
+                reg._REGISTRATION_ORDER.remove(n)

@@ -208,6 +208,21 @@ def gen_dir(mult: int) -> str:
     return d
 
 
+def _effective_buckets(variant: str, buckets: int) -> int | None:
+    """The time_buckets value the measured plan ACTUALLY uses: None for
+    variants whose plan ignores the knob entirely (plain keyed window,
+    band joins — band_4zone_bucketed's real knob is bucket='hour'), 1
+    for the serial keyless variant, the CLI value for the bucketed
+    tiers. Single source of truth so the artifact can never again
+    document a configuration the plan never used (r18 review rounds 1
+    finding #3 and 2 finding #3)."""
+    if variant in ("asof_keyless", "asof_keyed_4zone_bucketed"):
+        return buckets
+    if variant == "asof_keyless_serial":
+        return 1
+    return None
+
+
 def _build(spark, d: str, variant: str, buckets: int):
     """The plan under test + its exact-aggregate consumer."""
     from pyspark.sql import functions as F
@@ -328,14 +343,10 @@ def run_child(variant: str, mult: int, buckets: int, out_path: str) -> None:
     t0 = time.perf_counter()
     row = _build(spark, d, variant, buckets).collect()[0]
     wall = round(time.perf_counter() - t0, 3)
-    # record the EFFECTIVE bucket count (r18 review: the serial variant
-    # runs at 1 regardless of the CLI arg — the artifact must document
-    # the measured configuration, not the dispatcher's default)
-    eff_buckets = 1 if variant.endswith("serial") else buckets
     result = {
         "variant": variant,
         "mult": mult,
-        "time_buckets": eff_buckets,
+        "time_buckets": _effective_buckets(variant, buckets),
         "wall_sec": wall,
         "agg": {
             "n": row["n"],
@@ -455,10 +466,24 @@ def main() -> None:
         i = sys.argv.index("--spill-check")
         variant, mult = sys.argv[i + 1], int(sys.argv[i + 2])
         os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
-        out = run_spill_check(variant, mult, DEFAULT_BUCKETS)
+        # same manifest-gated corpus guarantee as the timed path (r18
+        # review round 2 #1: reading whatever is on disk would crash on
+        # a clean machine or silently measure a stale corpus)
+        gen_dir(1)
+        gen_dir(mult)
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         path = os.path.join(repo, "BENCHHEAVY_sf10.json")
         prior = json.load(open(path)) if os.path.exists(path) else {}
+        recorded = (
+            prior.get("joins_x100", {}).get("manifest", {}).get(str(mult))
+        )
+        if recorded is not None and recorded != _manifest(mult):
+            raise SystemExit(
+                f"joins_x100 manifest for x{mult} is stale vs the current "
+                "generator — re-run the timed protocol before recording "
+                "spill diagnostics beside it"
+            )
+        out = run_spill_check(variant, mult, DEFAULT_BUCKETS)
         sect = prior.setdefault("joins_x100", {}).setdefault(variant, {})
         sect[f"spill_x{mult}"] = {
             k: v for k, v in out.items() if k not in ("variant", "mult")
@@ -514,9 +539,7 @@ def main() -> None:
         entry: dict = {
             "scales": list(scales),
             "reps": REPS,
-            "time_buckets": 1
-            if variant.endswith("serial")
-            else DEFAULT_BUCKETS,
+            "time_buckets": _effective_buckets(variant, DEFAULT_BUCKETS),
         }
         for mult in scales:
             walls, aggs, seams = [], [], []
