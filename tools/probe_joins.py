@@ -511,22 +511,25 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown variants: {unknown} (have {list(VARIANTS)})")
     if "--fifth" in sys.argv:
-        # Fifth-decade extension: x3000 (300M left + 60M right) for the
-        # SCALE paths only — the degenerates' x3000 cost is exactly the
-        # extrapolation their x100/x1000 numbers exist to justify
-        # (4-zone plain window ≈ 3.1× its 243 s; plain band SMJ ~hours).
-        # Results deep-merge beside the existing x100/x1000 fields.
+        # Fifth-decade extension: x3000 (300M left + 60M right). The
+        # no-args default covers the SCALE paths only — the
+        # degenerates' x3000 cost is the extrapolation their
+        # x100/x1000 numbers justify skipping (plain band SMJ ~hours).
+        # EXPLICITLY named variants run regardless (e.g. paying ~40 min
+        # to replace the 4-zone plain window's ~750 s extrapolation
+        # with a measurement). Results deep-merge beside the existing
+        # x100/x1000 fields.
+        default_fifth = (
+            "asof_keyed_highcard",
+            "asof_keyed_4zone_bucketed",
+            "asof_keyless",
+            "band_highcard",
+            "band_4zone_bucketed",
+        )
         variants = {
             v: (3000,)
             for v in variants
-            if v
-            in (
-                "asof_keyed_highcard",
-                "asof_keyed_4zone_bucketed",
-                "asof_keyless",
-                "band_highcard",
-                "band_4zone_bucketed",
-            )
+            if (v in only) or (not only and v in default_fifth)
         }
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
