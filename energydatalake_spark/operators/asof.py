@@ -39,6 +39,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from energydatalake_spark.operators.dispatch import (
+    ASOF_AUTO_CONF,
+    keys_below_threshold,
+)
+
 _PAYLOAD = "__asof_payload"
 _SIDE = "__asof_is_left"
 _BUCKET = "__asof_bucket"
@@ -183,7 +188,7 @@ def asof_join(
     right_ts_alias: str | None = None,
     time_buckets: int = 64,
     direction: str = "backward",
-    bucket_by_time: bool = False,
+    bucket_by_time: bool | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the matching right row within the
     same ``by`` key (if given) —
@@ -202,19 +207,32 @@ def asof_join(
     pd.merge_asof's "last in input order" is not definable for
     distributed input.
 
-    ``bucket_by_time``: set True when ``by`` is LOW-cardinality (the
-    reference's real shape is 4 ERCOT zones, merge:59-79 /
-    spp:54-59). The plain keyed path windows by ``by`` alone, so 4
-    distinct keys means 4 window partitions — each zone's whole
-    timeline sorts and fills through ONE task no matter how many
-    executors exist (AQE cannot split a window partition). With
-    ``bucket_by_time`` the keyless tier's range-bucketing runs per
-    (key, time-bucket): parallelism becomes n_keys × ``time_buckets``
-    and the edge-carry seam stays model-sized (n_keys ×
-    ``time_buckets`` rows). Identical results to the keyed window path
-    (property-tested against pd.merge_asof for all directions +
-    tolerance). Ignored when ``by`` is empty — keyless input always
-    takes the bucketed tier.
+    ``bucket_by_time``: the per-(key, time-bucket) tier for
+    LOW-cardinality ``by`` keys (the reference's real shape is 4 ERCOT
+    zones, merge:59-79 / spp:54-59). The plain keyed path windows by
+    ``by`` alone, so 4 distinct keys means 4 window partitions — each
+    zone's whole timeline sorts and fills through ONE task no matter
+    how many executors exist (AQE cannot split a window partition;
+    measured α 1.08 superlinear, 242.6 s at x1000 — r18 join probe).
+    With ``bucket_by_time`` the keyless tier's range-bucketing runs
+    per (key, time-bucket): parallelism becomes n_keys ×
+    ``time_buckets`` and the edge-carry seam stays model-sized
+    (n_keys × ``time_buckets`` rows). Identical results to the keyed
+    window path (property-tested against pd.merge_asof for all
+    directions + tolerance; measured equal aggregates on 100M-row
+    probes), and the measured 3.5×/9.7× win at x100/x1000.
+
+    Default ``None`` = SELF-DISPATCH (r19, VERDICT r18 #2): one
+    model-sized ``approx_count_distinct`` probe of the right side's
+    keys picks the tier — below ``spark.graft.asof.autoBucketMaxKeys``
+    (default: ``spark.sql.shuffle.partitions``, the session's target
+    parallelism; ``0`` disables auto) the bucketed tier runs. An
+    explicit True/False always wins and skips the probe; streaming
+    inputs skip it too (aggregate jobs are illegal on unstarted
+    streams) and take the plain path unless told otherwise. The probe
+    is a pure performance decision — both tiers are result-identical —
+    so its ±5 % HLL error cannot affect correctness. Ignored when
+    ``by`` is empty — keyless input always takes the bucketed tier.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
@@ -223,6 +241,8 @@ def asof_join(
     overlap = set(rvals) & set(left.columns)
     if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+    if by and bucket_by_time is None:
+        bucket_by_time = keys_below_threshold(left, right, by, ASOF_AUTO_CONF)
     unioned, _ = _tagged_union(left, right, on, by, rvals)
     if by and not bucket_by_time:
         return _fill_and_project(

@@ -1,0 +1,81 @@
+"""Shared plan-dispatch probes for the temporal joins — SURVEY.md §2.4.
+
+The r18 join probe measured that the DEFAULT plans of both temporal
+joins degenerate on exactly the reference's real key shape (4 ERCOT
+zones, ``Cloud Functions/open_weather_live_data.py:16-21``): the keyed
+as-of window serializes each key's timeline through one task (α 1.08
+superlinear, 242.6 s at x1000) and the plain band SMJ funnels all data
+through 4 streams (143× the bucketed cost at x100). Both operators
+ship measured, result-identical mitigations — but until r19 they were
+OPT-IN kwargs, so the engine picked the scale-killer plan unless the
+caller knew better.
+
+This module is the fix: a model-sized key-cardinality probe that lets
+each operator self-dispatch. ``approx_count_distinct`` over the key
+column(s) of the RIGHT side (the smaller feed in both reference
+pipelines — weather observations / load series) is one column-pruned
+aggregate job: at 100 TB the scan reads only the key column's pages
+and returns a single row, so the probe costs a scan-fraction of the
+join it protects. The decision is a pure performance heuristic —
+both tiers are property-tested result-identical — so the ±5 % HLL
+error cannot affect correctness, only which (correct) plan runs.
+
+The threshold defaults to ``spark.sql.shuffle.partitions`` — the
+engine's own notion of target parallelism: a key count below it means
+the keyed shuffle cannot fill the cluster, which is precisely when the
+time-bucketed tiers win. Override per operator via
+``spark.graft.asof.autoBucketMaxKeys`` /
+``spark.graft.band.autoBucketMaxKeys`` (0 disables auto-bucketing).
+
+Streaming inputs cannot run the probe (an aggregate job on an
+unstarted stream is illegal), so auto mode degrades to the plain plan
+there — streaming callers pass the tier explicitly, as
+streaming/asof.py's incremental design does by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASOF_AUTO_CONF = "spark.graft.asof.autoBucketMaxKeys"
+BAND_AUTO_CONF = "spark.graft.band.autoBucketMaxKeys"
+
+
+def auto_key_threshold(spark, conf_key: str) -> int:
+    """The key-cardinality boundary below which the bucketed tier is
+    auto-selected: the operator's conf if set, else the session's
+    ``spark.sql.shuffle.partitions`` (target parallelism). ``<= 0``
+    disables auto-dispatch."""
+    v = spark.conf.get(conf_key, None)
+    if v is None:
+        v = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    return int(v)
+
+
+def key_count_estimate(df: DataFrame, keys: Sequence[str]) -> int:
+    """Approximate distinct count of the key tuple — ONE column-pruned
+    aggregate job, model-sized result. NULL keys count as one value
+    (they form a real window/join group downstream, so they deserve a
+    parallelism slot like any other key)."""
+    keys = list(keys)
+    col = F.struct(*[F.col(k) for k in keys]) if len(keys) > 1 else F.col(keys[0])
+    row = df.agg(F.approx_count_distinct(col).alias("n")).first()
+    return int(row["n"] or 0)
+
+
+def keys_below_threshold(
+    left: DataFrame, right: DataFrame, keys: Sequence[str], conf_key: str
+) -> bool:
+    """True when the probed key cardinality is under the auto-dispatch
+    threshold — the low-cardinality regime where the time-bucketed
+    tiers are the measured win. False for streaming inputs (probe
+    illegal) and when the threshold conf disables auto (``<= 0``)."""
+    if left.isStreaming or right.isStreaming:
+        return False
+    threshold = auto_key_threshold(right.sparkSession, conf_key)
+    if threshold <= 0:
+        return False
+    return key_count_estimate(right, keys) < threshold

@@ -172,8 +172,10 @@ def spp_weather_merge(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
     Join condition (spp:54-59): same Location AND weather.Date BETWEEN
     Interval_Start AND Interval_End, then the typed 12-column projection
     (spp:62-75) and dedup. The 4-zone equi key is low-cardinality, so
-    ``band_join`` adds an hourly time bucket to the shuffle key — at
-    100 TB that's the difference between 4 streams and 4×N_hours.
+    ``band_join``'s auto dispatch (r19) probes it and adds a time
+    bucket to the shuffle key — at 100 TB that's the difference
+    between 4 streams and 4×N_buckets (a pipeline test pins that this
+    shape derives the hourly unit the pipeline used to hard-code).
     """
     spp_raw = read_csv_folder(spark, cfg.source_dir)
     w_raw = read_csv_folder(spark, cfg.source2_dir)
@@ -190,7 +192,6 @@ def spp_weather_merge(spark: SparkSession, cfg: PipelineConfig) -> dict | None:
         right_start="interval_start",
         right_end="interval_end",
         on=["location"],
-        bucket="hour",
     )
     # Typed projection, spp:62-75 (12 output columns).
     out = joined.select(

@@ -197,6 +197,58 @@ def test_keyed_bucketed_null_key_cross_bucket(spark):
         }
         plain = {
             r.id: r.rv
-            for r in asof_join(left, right, on="t", by=["k"]).collect()
+            for r in asof_join(
+                left, right, on="t", by=["k"], bucket_by_time=False
+            ).collect()
         }
         assert got == plain == {1: 7, 2: 8}, buckets
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_auto_dispatch_boundary(spark, tiny):
+    """r19 (VERDICT r18 #2): the low-cardinality tier self-dispatches.
+    The probe counts right-side keys; below the conf threshold the
+    bucketed plan (its ``__asof_bucket`` partition column) runs,
+    at-or-above it the plain keyed window does. Pinned at the exact
+    boundary: 2 distinct right keys vs thresholds 3 and 2."""
+    left, right = tiny  # right has keys {1, 2}
+    try:
+        spark.conf.set("spark.graft.asof.autoBucketMaxKeys", "3")
+        assert "__asof_bucket" in _plan(asof_join(left, right, on="t", by=["k"]))
+        spark.conf.set("spark.graft.asof.autoBucketMaxKeys", "2")
+        assert "__asof_bucket" not in _plan(asof_join(left, right, on="t", by=["k"]))
+        # An explicit argument always wins over the probe verdict.
+        spark.conf.set("spark.graft.asof.autoBucketMaxKeys", "3")
+        assert "__asof_bucket" not in _plan(
+            asof_join(left, right, on="t", by=["k"], bucket_by_time=False)
+        )
+        spark.conf.set("spark.graft.asof.autoBucketMaxKeys", "0")  # 0 = auto off
+        assert "__asof_bucket" not in _plan(asof_join(left, right, on="t", by=["k"]))
+        assert "__asof_bucket" in _plan(
+            asof_join(left, right, on="t", by=["k"], bucket_by_time=True)
+        )
+    finally:
+        spark.conf.unset("spark.graft.asof.autoBucketMaxKeys")
+
+
+def test_auto_dispatch_default_threshold_and_streaming_guard(spark, tiny):
+    """Default threshold = the session's shuffle partitions (its own
+    notion of target parallelism); streaming inputs skip the probe (an
+    aggregate job on an unstarted stream is illegal) and take the
+    plain path."""
+    from energydatalake_spark.operators.dispatch import (
+        ASOF_AUTO_CONF,
+        auto_key_threshold,
+        keys_below_threshold,
+    )
+
+    assert auto_key_threshold(spark, ASOF_AUTO_CONF) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    left, right = tiny
+    stream = spark.readStream.format("rate").load()
+    assert keys_below_threshold(stream, right, ["k"], ASOF_AUTO_CONF) is False
+    assert keys_below_threshold(left, stream, ["value"], ASOF_AUTO_CONF) is False

@@ -113,11 +113,58 @@ def test_band_join_bucketed_equals_plain(spark):
         ],
         "zone string, start timestamp, end timestamp, price double",
     )
-    plain = band_join(obs, iv, "t", "start", "end", on=["zone"]).collect()
+    # bucket=None pins the plain plan (the r19 "auto" default would
+    # bucket this 1-zone shape itself — that's the point of the test's
+    # other arm).
+    plain = band_join(obs, iv, "t", "start", "end", on=["zone"], bucket=None).collect()
     bucketed = band_join(obs, iv, "t", "start", "end", on=["zone"], bucket="hour").collect()
     key = lambda r: (r.zone, r.t, r.price)  # noqa: E731
     assert sorted(map(key, plain)) == sorted(map(key, bucketed))
     assert len(plain) == 5  # 0:30-1:30 covers 0:40,1:00,1:20 ; 2:00-2:20 covers 2:00,2:20
+
+
+def test_band_join_auto_dispatch(spark):
+    """r19 (VERDICT r18 #2): the default bucket="auto" probes the right
+    side's key cardinality + interval widths and self-dispatches. On
+    the reference's shape (few zones, 15-min intervals) it derives
+    exactly the hourly unit the spp pipeline used to hard-code; above
+    the threshold it resolves to the plain equi-key plan."""
+    from energydatalake_spark.operators.band import _auto_bucket_unit, _pick_unit
+
+    obs = spark.createDataFrame(
+        [("z%d" % (i % 4), dt.datetime(2024, 1, 1, 0, 15 * (i % 4))) for i in range(16)],
+        "zone string, t timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            ("z%d" % z, dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 0, 15), 1.0)
+            for z in range(4)
+        ],
+        "zone string, start timestamp, end timestamp, price double",
+    )
+    # The spp shape (4 zones, 15-min intervals) derives "hour".
+    assert _auto_bucket_unit(obs, iv, "t", "start", "end", ["zone"], "inner", False) == "hour"
+    plan = band_join(obs, iv, "t", "start", "end", on=["zone"])._jdf.queryExecution().optimizedPlan().toString()
+    assert "__band_bucket" in plan
+    try:
+        # 4 keys >= threshold 4 → plain plan, no probe-forced bucket.
+        spark.conf.set("spark.graft.band.autoBucketMaxKeys", "4")
+        plan = band_join(obs, iv, "t", "start", "end", on=["zone"])._jdf.queryExecution().optimizedPlan().toString()
+        assert "__band_bucket" not in plan
+    finally:
+        spark.conf.unset("spark.graft.band.autoBucketMaxKeys")
+    # auto resolves to None (no raise) where bucket mode is illegal or
+    # useless: outer joins, broadcast right, no equi keys, non-time axes.
+    full = band_join(obs, iv.withColumnRenamed("price", "p2"), "t", "start", "end", on=["zone"], how="full")
+    assert "__band_bucket" not in full._jdf.queryExecution().optimizedPlan().toString()
+    bc = band_join(obs, iv, "t", "start", "end", on=["zone"], broadcast_right=True)
+    assert "__band_bucket" not in bc._jdf.queryExecution().optimizedPlan().toString()
+    # unit ladder arithmetic: typical width picks the enclosing unit;
+    # an outlier max width walks up until the explosion bound fits.
+    assert _pick_unit(900.0, 900.0) == "hour"
+    assert _pick_unit(59.0, 59.0) == "minute"
+    assert _pick_unit(100000.0, 100000.0) == "week"
+    assert _pick_unit(60.0, 1e8) == "week"
 
 
 def test_band_join_ambiguous_raises(spark):

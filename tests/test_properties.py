@@ -80,9 +80,14 @@ def test_keyed_asof_matches_merge_asof(spark, left, right):
     else:
         rdf = spark.createDataFrame([], "k string, ts bigint, rv bigint")
     rdf = rdf.groupBy("k", "ts").agg(F.max("rv").alias("rv"))
+    # bucket_by_time=False pins the PLAIN keyed window path (r19 auto
+    # dispatch would route these few-key strategies to the bucketed
+    # tier, which has its own dedicated property test below).
     got = sorted(
         (r.k, r.ts, r.rv)
-        for r in asof_join(ldf, rdf, on="ts", by=["k"]).collect()
+        for r in asof_join(
+            ldf, rdf, on="ts", by=["k"], bucket_by_time=False
+        ).collect()
     )
     expect = []
     for k in {k for k, _ in left}:
@@ -150,7 +155,8 @@ def test_keyed_asof_directions_match_merge_asof(spark, left, right):
         got = sorted(
             (r.k, r.ts, r.rv)
             for r in asof_join(
-                ldf, rdf, on="ts", by=["k"], direction=direction
+                ldf, rdf, on="ts", by=["k"], direction=direction,
+                bucket_by_time=False,  # pin the plain keyed path (see above)
             ).collect()
         )
         expect = []

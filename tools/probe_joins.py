@@ -297,8 +297,13 @@ def _seam_cells(spark, d: str, variant: str, buckets: int) -> dict | None:
     """Count the distinct (key, time-bucket) cells that feed the
     edge-carry seam — the operator's only cross-bucket state. Uses the
     operator's own bucket arithmetic (global min/max over the union
-    axis, fixed-width division). Model-sized claim: cells ≤ n_keys ×
-    time_buckets no matter how many rows the inputs grow to."""
+    axis via the operator's ``_axis_double``, fixed-width division) —
+    ADVICE r18: the axis expression is imported, not re-implemented,
+    so if the operator's axis handling ever changes (e.g.
+    TIMESTAMP_NTZ routing through a session-tz cast) this diagnostic
+    counts the SAME grid the plan uses. Model-sized claim: cells ≤
+    n_keys × time_buckets no matter how many rows the inputs grow
+    to."""
     if variant not in (
         "asof_keyed_4zone_bucketed",
         "asof_keyless",
@@ -307,9 +312,11 @@ def _seam_cells(spark, d: str, variant: str, buckets: int) -> dict | None:
         return None
     from pyspark.sql import functions as F
 
+    from energydatalake_spark.operators.asof import _axis_double
+
     left = spark.read.parquet(os.path.join(d, "left"))
     right = spark.read.parquet(os.path.join(d, "right"))
-    axis = F.col("ts").cast("double")
+    axis = _axis_double(right, F.col("ts"), "ts")
     lo, hi = (
         left.select("ts")
         .unionByName(right.select("ts"))

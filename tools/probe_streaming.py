@@ -340,13 +340,19 @@ def run_listing(
     ckpt = os.path.join(base, f"ckpt_{variant}")
     shutil.rmtree(ckpt, ignore_errors=True)
     rows = []
-    files_left = []
+    files_left = {}
 
-    def sink(batch_df, _epoch) -> None:
+    def sink(batch_df, epoch_id) -> None:
         rows.append(batch_df.count())
-        # directory size as the drain progresses (driver-side; the
-        # whole point of cleanSource=archive is that this FALLS)
-        files_left.append(len(os.listdir(src_dir)))
+        # Directory size as the drain progresses, keyed by batchId
+        # (ADVICE r18: recentProgress is a capped ring buffer — default
+        # 100 entries — so a positional pairing would silently misalign
+        # any variant with >100 batches; the batchId join below cannot).
+        # NOTE the reading LAGS the drain by roughly one batch: this
+        # listdir runs inside foreachBatch BEFORE the source commits /
+        # archives the batch's own files, so batch i's value reflects
+        # the archive state after batch i-1.
+        files_left[epoch_id] = len(os.listdir(src_dir))
 
     t0 = time.perf_counter()
     q = (
@@ -358,7 +364,7 @@ def run_listing(
     q.awaitTermination()
     wall = round(time.perf_counter() - t0, 2)
     batches = []
-    for i, p in enumerate(q.recentProgress):
+    for p in q.recentProgress:
         if not p:
             continue
         dm = p.get("durationMs", {})
@@ -373,8 +379,8 @@ def run_listing(
             ),
             "exec_sec": round(dm.get("addBatch", 0) / 1000.0, 3),
         }
-        if clean_source and i < len(files_left):
-            row["files_left"] = files_left[i]
+        if clean_source and p.get("batchId") in files_left:
+            row["files_left"] = files_left[p.get("batchId")]
         batches.append(row)
     shutil.rmtree(ckpt, ignore_errors=True)
     if clean_source:
