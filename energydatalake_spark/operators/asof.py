@@ -41,6 +41,7 @@ from pyspark.sql import types as T
 
 from energydatalake_spark.operators.dispatch import (
     ASOF_AUTO_CONF,
+    axis_double,
     keys_below_threshold,
 )
 
@@ -48,18 +49,12 @@ _PAYLOAD = "__asof_payload"
 _SIDE = "__asof_is_left"
 _BUCKET = "__asof_bucket"
 
-
-def _axis_double(df: DataFrame, col, on: str):
-    """The time axis as a double (bucket math / tolerance arithmetic).
-
-    ``cast("double")`` is illegal on TIMESTAMP_NTZ (the timezone-naive
-    parquet shape the r4 testdata ships); route it through session-tz
-    TIMESTAMP first — the session pins UTC, so the instant is unchanged.
-    Numeric and LTZ axes cast directly, as before.
-    """
-    if isinstance(df.schema[on].dataType, T.TimestampNTZType):
-        col = col.cast("timestamp")
-    return col.cast("double")
+#: The time axis as a double (bucket math / tolerance arithmetic) —
+#: the shared definition lives in operators.dispatch (r19 review:
+#: one axis rule for the operator, the band probe, and the
+#: probe_joins diagnostic). Kept under its historical name: tests
+#: and tools import it from here.
+_axis_double = axis_double
 
 
 def _right_payload_fields(right: DataFrame, on: str, by: Sequence[str]) -> list[str]:

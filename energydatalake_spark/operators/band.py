@@ -34,6 +34,8 @@ from pyspark.sql import types as T
 from energydatalake_spark.operators.dispatch import (
     BAND_AUTO_CONF,
     auto_key_threshold,
+    axis_double,
+    key_tuple,
 )
 
 _B = "__band_bucket"
@@ -58,22 +60,15 @@ _UNIT_LADDER: tuple[tuple[str, float], ...] = (
 _MAX_EXPLODE = 1024
 
 
-def _time_secs(df: DataFrame, name: str):
-    """A date/timestamp column as epoch seconds (width arithmetic).
-    DATE and TIMESTAMP_NTZ route through session-tz TIMESTAMP (a DATE
-    cannot cast to double directly; the session pins UTC so the
-    instant is unchanged — same rule as asof's ``_axis_double``)."""
-    col = F.col(name)
-    if isinstance(df.schema[name].dataType, (T.DateType, T.TimestampNTZType)):
-        col = col.cast("timestamp")
-    return col.cast("double")
-
-
-def _pick_unit(avg_width_s: float, max_width_s: float) -> str:
+def _pick_unit(avg_width_s: float, max_width_s: float) -> str | None:
     """Smallest ladder unit ≥ the typical interval width (so a typical
     interval overlaps ≤2 buckets), walked up until the worst-case
-    explosion (``max_width / unit + 1``) fits ``_MAX_EXPLODE``. Pure
-    arithmetic — unit-tested directly."""
+    explosion (``max_width / unit + 1``) fits ``_MAX_EXPLODE``. None
+    when even the top rung cannot honor the bound (r19 review: a
+    far-future sentinel end date — max_width millennia wide — must
+    make auto DECLINE to bucket, not silently explode each sentinel
+    interval into thousands of rows). Pure arithmetic — unit-tested
+    directly."""
     idx = 0
     while idx < len(_UNIT_LADDER) - 1 and _UNIT_LADDER[idx][1] < avg_width_s:
         idx += 1
@@ -82,6 +77,8 @@ def _pick_unit(avg_width_s: float, max_width_s: float) -> str:
         and max_width_s / _UNIT_LADDER[idx][1] + 1 > _MAX_EXPLODE
     ):
         idx += 1
+    if max_width_s / _UNIT_LADDER[idx][1] + 1 > _MAX_EXPLODE:
+        return None
     return _UNIT_LADDER[idx][0]
 
 
@@ -126,11 +123,11 @@ def _auto_bucket_unit(
     threshold = auto_key_threshold(right.sparkSession, BAND_AUTO_CONF)
     if threshold <= 0:
         return None
-    keys = list(on)
-    key = F.struct(*[F.col(k) for k in keys]) if len(keys) > 1 else F.col(keys[0])
-    width = _time_secs(right, right_end) - _time_secs(right, right_start)
+    width = axis_double(right, F.col(right_end), right_end) - axis_double(
+        right, F.col(right_start), right_start
+    )
     stats = right.agg(
-        F.approx_count_distinct(key).alias("n_keys"),
+        F.approx_count_distinct(key_tuple(on)).alias("n_keys"),
         F.avg(width).alias("avg_w"),
         F.max(width).alias("max_w"),
     ).first()
@@ -182,14 +179,23 @@ def band_join(
     join_keys = list(on)
     if bucket is not None:
         l = l.withColumn(_B, F.date_trunc(bucket, F.col(left_ts)))
-        # Explode each interval into every bucket it overlaps.
+        # Explode each interval into every bucket it overlaps. An
+        # INVERTED interval (end < start — malformed feed row) would
+        # make F.sequence throw mid-job (r19 review, reproduced); it
+        # can never satisfy the BETWEEN predicate, and inner/left
+        # (bucket mode's only hows) drop unmatched right rows anyway —
+        # so the when() maps it to NULL and explode drops it: exactly
+        # the plain plan's match-nothing semantics, not a crash.
         r = r.withColumn(
             _B,
             F.explode(
-                F.sequence(
-                    F.date_trunc(bucket, F.col(right_start)),
-                    F.date_trunc(bucket, F.col(right_end)),
-                    F.expr(f"INTERVAL 1 {bucket}"),
+                F.when(
+                    F.col(right_start) <= F.col(right_end),
+                    F.sequence(
+                        F.date_trunc(bucket, F.col(right_start)),
+                        F.date_trunc(bucket, F.col(right_end)),
+                        F.expr(f"INTERVAL 1 {bucket}"),
+                    ),
                 )
             ),
         )

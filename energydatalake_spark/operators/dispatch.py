@@ -39,6 +39,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 ASOF_AUTO_CONF = "spark.graft.asof.autoBucketMaxKeys"
 BAND_AUTO_CONF = "spark.graft.band.autoBucketMaxKeys"
@@ -48,11 +49,39 @@ def auto_key_threshold(spark, conf_key: str) -> int:
     """The key-cardinality boundary below which the bucketed tier is
     auto-selected: the operator's conf if set, else the session's
     ``spark.sql.shuffle.partitions`` (target parallelism). ``<= 0``
-    disables auto-dispatch."""
+    disables auto-dispatch. A non-numeric operator conf fails loudly
+    (it is OUR knob — garbage is a misconfiguration); a non-numeric
+    shuffle-partitions value (some platforms manage it as ``"auto"``
+    under AQE) falls back to Spark's stock default of 200 rather than
+    breaking every default-dispatched join."""
     v = spark.conf.get(conf_key, None)
-    if v is None:
-        v = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    return int(v)
+    if v is not None:
+        return int(v)
+    sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return int(sp)
+    except ValueError:
+        return 200
+
+
+def axis_double(df: DataFrame, col, name: str):
+    """A time/numeric axis column as a double (bucket math, width
+    arithmetic). DATE and TIMESTAMP_NTZ cannot cast to double
+    directly; route them through session-tz TIMESTAMP — the session
+    pins UTC, so the instant is unchanged. Numeric and LTZ axes cast
+    directly. The SINGLE definition shared by asof's bucket grid,
+    band's width probe, and the join-probe diagnostics (r19 review:
+    two parallel axis helpers could drift independently)."""
+    if isinstance(df.schema[name].dataType, (T.DateType, T.TimestampNTZType)):
+        col = col.cast("timestamp")
+    return col.cast("double")
+
+
+def key_tuple(keys: Sequence[str]):
+    """The key tuple as ONE column (struct for composites) — shared by
+    every cardinality probe so multi-key handling cannot diverge."""
+    keys = list(keys)
+    return F.struct(*[F.col(k) for k in keys]) if len(keys) > 1 else F.col(keys[0])
 
 
 def key_count_estimate(df: DataFrame, keys: Sequence[str]) -> int:
@@ -60,9 +89,7 @@ def key_count_estimate(df: DataFrame, keys: Sequence[str]) -> int:
     aggregate job, model-sized result. NULL keys count as one value
     (they form a real window/join group downstream, so they deserve a
     parallelism slot like any other key)."""
-    keys = list(keys)
-    col = F.struct(*[F.col(k) for k in keys]) if len(keys) > 1 else F.col(keys[0])
-    row = df.agg(F.approx_count_distinct(col).alias("n")).first()
+    row = df.agg(F.approx_count_distinct(key_tuple(keys)).alias("n")).first()
     return int(row["n"] or 0)
 
 

@@ -2216,6 +2216,8 @@ BENCH_ORDER: tuple[str, ...] = (
     # appended positions (the per-round fold step bench_order()
     # documents — the frozen list stays the single source of truth)
     "asof_lowcard",
+    # r19 close: same fold for this round's one new query
+    "semantic_recall",
 )
 
 

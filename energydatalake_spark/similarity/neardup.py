@@ -587,8 +587,10 @@ def embedding_semantic_dedup(
     in the TAIL-PAIR regime (loose cosine-0.4..0.5 pairs, whose cell
     assignment is inherently arbitrary — the test corpus's max pair
     cosine is only ≈0.6) the cell-local closure catches 19–23 % of
-    true pairs at 16 cells (miss rate 77–81 %, vs ~6 % co-location
-    for random directions). Callers deduping for loose semantic
+    true ≥0.4 pairs at 16 cells (miss rate 77–81 % at that threshold;
+    70–100 % across the tighter 0.45/0.5 tail tiers, vs ~6 %
+    co-location for random directions). Callers deduping for loose
+    semantic
     SIMILARITY rather than duplication should use the pair tiers
     (``embedding_near_dup_lsh``) instead.
 

@@ -165,6 +165,64 @@ def test_band_join_auto_dispatch(spark):
     assert _pick_unit(59.0, 59.0) == "minute"
     assert _pick_unit(100000.0, 100000.0) == "week"
     assert _pick_unit(60.0, 1e8) == "week"
+    # r19 review: a sentinel-wide max (millennia) breaks the explosion
+    # bound at EVERY rung — auto must decline to bucket, not explode.
+    assert _pick_unit(900.0, 2.5e11) is None
+
+
+def test_band_join_inverted_interval_matches_nothing(spark):
+    """r19 review (reproduced pre-fix): an inverted interval
+    (end < start) made F.sequence throw mid-job under bucket mode —
+    under the new auto default that crash would have replaced the old
+    plain plan's silent no-match. Now the malformed row is dropped
+    before the explode in ALL bucket modes (it can never satisfy the
+    BETWEEN predicate, and inner/left drop unmatched right rows), so
+    bucketed results equal the plain plan's."""
+    obs = spark.createDataFrame(
+        [("z1", dt.datetime(2024, 1, 1, 0, 10))], "zone string, t timestamp"
+    )
+    iv = spark.createDataFrame(
+        [
+            ("z1", dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 0, 15), 1.0),
+            # inverted: end a day BEFORE start, crossing bucket bounds
+            ("z1", dt.datetime(2024, 1, 2, 0, 0), dt.datetime(2024, 1, 1, 0, 5), 2.0),
+        ],
+        "zone string, start timestamp, end timestamp, price double",
+    )
+    for kw in ({"bucket": None}, {"bucket": "hour"}, {}):  # {} = auto
+        got = sorted(
+            r.price
+            for r in band_join(obs, iv, "t", "start", "end", on=["zone"], **kw).collect()
+        )
+        assert got == [1.0], kw
+
+
+def test_auto_threshold_non_numeric_shuffle_partitions(spark):
+    """r19 review: platforms that manage spark.sql.shuffle.partitions
+    as a non-numeric token (e.g. 'auto' under managed AQE) must not
+    break the default dispatch — the threshold falls back to Spark's
+    stock 200. The operator's own conf stays strict (garbage raises)."""
+    from energydatalake_spark.operators.dispatch import (
+        BAND_AUTO_CONF,
+        auto_key_threshold,
+    )
+
+    # Stock Spark validates conf.set("spark.sql.shuffle.partitions")
+    # as int, so the managed-platform preset can only be modeled with
+    # a stub conf — the fallback logic is what's under test.
+    class _FakeSpark:
+        class conf:  # noqa: N801 — mimics SparkSession.conf.get
+            @staticmethod
+            def get(key, default=None):
+                return {"spark.sql.shuffle.partitions": "auto"}.get(key, default)
+
+    assert auto_key_threshold(_FakeSpark(), BAND_AUTO_CONF) == 200
+    try:
+        spark.conf.set(BAND_AUTO_CONF, "not-a-number")
+        with pytest.raises(ValueError):
+            auto_key_threshold(spark, BAND_AUTO_CONF)
+    finally:
+        spark.conf.unset(BAND_AUTO_CONF)
 
 
 def test_band_join_ambiguous_raises(spark):

@@ -169,26 +169,38 @@ def test_cli_runner_end_to_end(spark, tmp_path, monkeypatch):
 
 def test_cli_query_surface(spark, capsys):
     """`query <name>` and `list-queries` subcommands: every registry
-    entry addressable by name, plan mode prints a physical plan."""
+    entry addressable by name, plan mode prints a physical plan.
+
+    The CLI builds its own tuned session via get_spark() — in-process
+    that is builder.getOrCreate() against the FIXTURE session, and
+    Spark applies the builder's runtime confs to it (r19: this
+    silently flipped the shared session's shuffle partitions 8→32 for
+    every later test file, which the auto-dispatch threshold then
+    surfaced as plan-test failures). Snapshot + restore the confs the
+    CLI's defaults can touch."""
     from energydatalake_spark import __main__ as cli
     from energydatalake_spark.plans.registry import QUERIES
 
-    cli.run_query_cli(["list-queries"])
-    listed = capsys.readouterr().out.strip().splitlines()
-    assert len(listed) == len(QUERIES)
-    assert listed[0].startswith("pricing_summary\t")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        cli.run_query_cli(["list-queries"])
+        listed = capsys.readouterr().out.strip().splitlines()
+        assert len(listed) == len(QUERIES)
+        assert listed[0].startswith("pricing_summary\t")
 
-    from tests.conftest import SF_SMOKE
+        from tests.conftest import SF_SMOKE
 
-    cli.run_query_cli(["query", "group_count", "--sf-dir", SF_SMOKE])
-    out = capsys.readouterr().out
-    assert "event_type" in out and "n_rows" in out
+        cli.run_query_cli(["query", "group_count", "--sf-dir", SF_SMOKE])
+        out = capsys.readouterr().out
+        assert "event_type" in out and "n_rows" in out
 
-    cli.run_query_cli(
-        ["query", "group_count", "--sf-dir", SF_SMOKE, "--explain"]
-    )
-    out = capsys.readouterr().out
-    assert "Physical Plan" in out
+        cli.run_query_cli(
+            ["query", "group_count", "--sf-dir", SF_SMOKE, "--explain"]
+        )
+        out = capsys.readouterr().out
+        assert "Physical Plan" in out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def test_upsert_rerun_is_row_idempotent(spark, env):

@@ -67,8 +67,22 @@ def test_band_join_is_equi_not_cartesian(spark):
     )
 
 
+def _plain_asof_plan(spark, name):
+    """Audit the PLAIN keyed tier regardless of session state: the r19
+    auto-dispatch buckets a keyed as-of whenever right-side key count
+    < the session's shuffle partitions, and the bucketed tier's grid
+    is a bounded model-sized cross (legitimately a BNLJ — audited via
+    asof_lowcard's PLANS.md row). Threshold 1 pins the plain window
+    path, which is what these cartesian checks are about."""
+    spark.conf.set("spark.graft.asof.autoBucketMaxKeys", "1")
+    try:
+        return plan_str(_q(name)(spark, SF_SMOKE))
+    finally:
+        spark.conf.unset("spark.graft.asof.autoBucketMaxKeys")
+
+
 def test_asof_join_no_cartesian(spark):
-    plan = plan_str(_q("asof_join")(spark, SF_SMOKE))
+    plan = _plain_asof_plan(spark, "asof_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -130,7 +144,7 @@ def test_embedding_lsh_bucket_join_not_cartesian(spark):
 
 
 def test_forecast_vs_actual_no_cartesian(spark):
-    plan = plan_str(_q("forecast_vs_actual")(spark, SF_SMOKE))
+    plan = _plain_asof_plan(spark, "forecast_vs_actual")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # vintage selection + per-user agg with map-side partials
