@@ -47,6 +47,7 @@ SCALAR_CROSS = {
     "dedup_recall",  # two 1-row count frames re-attach onto the verdict
     "join_skew_profile",  # 1-row (total_rows, n_keys) summary re-attach
     "decile_stats",  # 1-row exact-percentile cutpoint re-attach
+    "semantic_recall",  # 3-row tier frame (non-equi) + 1-row count re-attach
 }
 
 #: Queries whose nested-loop is the bucketed as-of tier's carry-grid
@@ -86,6 +87,19 @@ def main() -> None:
     from energydatalake_spark.session import get_spark
 
     spark = get_spark("plan-audit")
+    # Audit each query under its DRIVER-SCALE dispatch tier (r19): the
+    # r19 auto-dispatch picks a temporal-join tier from right-side key
+    # cardinality vs spark.sql.shuffle.partitions, and this audit's
+    # corpus (sf0.001) is 10× smaller than the driver's sf0.01 gate —
+    # at the default threshold (32) the smoke corpus's ~15 event users
+    # would flip the user_id-keyed as-ofs to the bucketed tier, making
+    # the audit describe a plan the driver/bench never runs (and
+    # breaking row comparability with ≤r18). Threshold 8 reproduces
+    # the driver-scale outcomes on this corpus: user_id keys (15 here,
+    # 150+ at sf0.01) audit PLAIN; asof_lowcard's 4-value segment
+    # still audits its production BUCKETED grid.
+    spark.conf.set("spark.graft.asof.autoBucketMaxKeys", "8")
+    spark.conf.set("spark.graft.band.autoBucketMaxKeys", "8")
     rows = []
     # FROZEN order (registry.BENCH_ORDER, r18): explain output is
     # session-state-dependent — a shared sub-frame audits as
