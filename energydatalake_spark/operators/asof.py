@@ -52,8 +52,8 @@ _BUCKET = "__asof_bucket"
 #: The time axis as a double (bucket math / tolerance arithmetic) —
 #: the shared definition lives in operators.dispatch (r19 review:
 #: one axis rule for the operator, the band probe, and the
-#: probe_joins diagnostic). Kept under its historical name: tests
-#: and tools import it from here.
+#: probe_joins diagnostic). Kept under its historical name for its
+#: one external importer, tools/probe_joins.py.
 _axis_double = axis_double
 
 

@@ -97,16 +97,24 @@ def _auto_bucket_unit(
     Buckets only when they can help and are legal: an inner/left join
     (bucket mode's exactness contract) on a time axis, equi keys
     present, batch inputs (a probe aggregate is illegal on an
-    unstarted stream). ONE model-sized probe of the right side then
-    returns the key cardinality and interval-width stats together; at
-    or above the threshold (``spark.graft.band.autoBucketMaxKeys``,
-    default ``spark.sql.shuffle.partitions``) the equi key alone
-    distributes fine and the answer is None. Below it, the unit comes
-    from ``_pick_unit`` — for the reference's shape (4 zones, 15-min
-    intervals) that derives exactly the ``"hour"`` the pipeline used
-    to hard-code. The probe is a pure performance decision: bucketing
-    never changes results (explosion covers every overlapped bucket;
-    the BETWEEN filter removes false positives)."""
+    unstarted stream). A model-sized key-cardinality probe of the
+    right side runs first; at or above the threshold
+    (``spark.graft.band.autoBucketMaxKeys``, default
+    ``spark.sql.shuffle.partitions``) the equi key alone distributes
+    fine and the answer is None — the common high-cardinality default
+    path pays exactly ONE probe job. Below it, two more model-result
+    probes size the unit: the left side's time span (column-pruned
+    min/max — only reached in the regime where bucketing wins), then
+    the right side's interval widths CLAMPED to that span (r19 review
+    pass 2: an open-ended sentinel row — end 9999-12-31 — must not
+    skew the stats; only the overlap with where left rows actually
+    exist matters, which also excludes inverted and non-overlapping
+    rows the explode drops anyway). ``_pick_unit`` then derives the
+    unit — for the reference's shape (4 zones, 15-min intervals)
+    exactly the ``"hour"`` the pipeline used to hard-code. The probe
+    is a pure performance decision: bucketing never changes results
+    (explosion covers every overlapped bucket; the BETWEEN filter
+    removes false positives)."""
     if how.replace("_", "") not in ("inner", "left", "leftouter"):
         return None
     if not on or broadcast_right or left.isStreaming or right.isStreaming:
@@ -123,18 +131,25 @@ def _auto_bucket_unit(
     threshold = auto_key_threshold(right.sparkSession, BAND_AUTO_CONF)
     if threshold <= 0:
         return None
-    width = axis_double(right, F.col(right_end), right_end) - axis_double(
-        right, F.col(right_start), right_start
-    )
-    stats = right.agg(
-        F.approx_count_distinct(key_tuple(on)).alias("n_keys"),
-        F.avg(width).alias("avg_w"),
-        F.max(width).alias("max_w"),
-    ).first()
-    if stats["n_keys"] is None or stats["n_keys"] >= threshold:
+    n_keys = right.agg(
+        F.approx_count_distinct(key_tuple(on)).alias("n")
+    ).first()["n"]
+    if n_keys is None or int(n_keys) >= threshold:
         return None
+    ax_l = axis_double(left, F.col(left_ts), left_ts)
+    span = left.agg(F.min(ax_l).alias("lo"), F.max(ax_l).alias("hi")).first()
+    if span["lo"] is None:
+        return None  # empty left — nothing can match anyway
+    lo, hi = float(span["lo"]), float(span["hi"])
+    s = axis_double(right, F.col(right_start), right_start)
+    e = axis_double(right, F.col(right_end), right_end)
+    eff = F.least(e, F.lit(hi)) - F.greatest(s, F.lit(lo))
+    # >= 0 keeps point intervals; negatives are inverted or fully
+    # outside the left span — rows that can never match.
+    eff = F.when(eff >= 0, eff)
+    stats = right.agg(F.avg(eff).alias("avg_w"), F.max(eff).alias("max_w")).first()
     if stats["avg_w"] is None or stats["max_w"] is None:
-        return None  # empty right side — nothing to balance
+        return None  # no matchable intervals — nothing to balance
     return _pick_unit(float(stats["avg_w"]), float(stats["max_w"]))
 
 
@@ -179,23 +194,36 @@ def band_join(
     join_keys = list(on)
     if bucket is not None:
         l = l.withColumn(_B, F.date_trunc(bucket, F.col(left_ts)))
-        # Explode each interval into every bucket it overlaps. An
-        # INVERTED interval (end < start — malformed feed row) would
-        # make F.sequence throw mid-job (r19 review, reproduced); it
-        # can never satisfy the BETWEEN predicate, and inner/left
-        # (bucket mode's only hows) drop unmatched right rows anyway —
-        # so the when() maps it to NULL and explode drops it: exactly
-        # the plain plan's match-nothing semantics, not a crash.
+        # Explode each interval into every bucket it overlaps — CLAMPED
+        # to the left side's observed bucket range via lazy scalar
+        # subqueries (no driver job; one column-pruned min/max subplan
+        # evaluated inside the job). Left rows exist only in
+        # [b_lo, b_hi], so buckets outside can never match: clamping
+        # preserves every inner/left match while bounding an
+        # open-ended sentinel interval (end 9999-12-31) to the data's
+        # span instead of exploding it into millennia of rows (r19
+        # review pass 2). An INVERTED interval (end < start —
+        # malformed feed row) would make F.sequence throw mid-job
+        # (r19 review pass 1, reproduced); it can never satisfy the
+        # BETWEEN predicate, and inner/left (bucket mode's only hows)
+        # drop unmatched right rows anyway — so the when() maps these
+        # to NULL and explode drops them: exactly the plain plan's
+        # match-nothing semantics, not a crash. NOTE F.greatest/least
+        # skip NULLs, so the empty-left case (NULL scalars) is guarded
+        # explicitly — every right row drops, and an inner/left join
+        # with an empty left is empty regardless.
+        b_lo = left.agg(F.min(F.date_trunc(bucket, F.col(left_ts)))).scalar()
+        b_hi = left.agg(F.max(F.date_trunc(bucket, F.col(left_ts)))).scalar()
+        seq_lo = F.greatest(F.date_trunc(bucket, F.col(right_start)), b_lo)
+        seq_hi = F.least(F.date_trunc(bucket, F.col(right_end)), b_hi)
         r = r.withColumn(
             _B,
             F.explode(
                 F.when(
-                    F.col(right_start) <= F.col(right_end),
-                    F.sequence(
-                        F.date_trunc(bucket, F.col(right_start)),
-                        F.date_trunc(bucket, F.col(right_end)),
-                        F.expr(f"INTERVAL 1 {bucket}"),
-                    ),
+                    b_lo.isNotNull()
+                    & (F.col(right_start) <= F.col(right_end))
+                    & (seq_lo <= seq_hi),
+                    F.sequence(seq_lo, seq_hi, F.expr(f"INTERVAL 1 {bucket}")),
                 )
             ),
         )

@@ -78,17 +78,21 @@ def axis_double(df: DataFrame, col, name: str):
 
 
 def key_tuple(keys: Sequence[str]):
-    """The key tuple as ONE column (struct for composites) — shared by
-    every cardinality probe so multi-key handling cannot diverge."""
-    keys = list(keys)
-    return F.struct(*[F.col(k) for k in keys]) if len(keys) > 1 else F.col(keys[0])
+    """The key tuple as ONE column — ALWAYS a struct, even for a single
+    key (r19 review pass 2): ``approx_count_distinct`` over a bare
+    column IGNORES nulls, but NULL is a real key group downstream
+    (the window fill's partitionBy and the null-safe carry grid both
+    group NULLs), so the probe must count it. ``struct(col)`` turns a
+    NULL key into a non-null struct value, counted identically at any
+    key arity."""
+    return F.struct(*[F.col(k) for k in keys])
 
 
 def key_count_estimate(df: DataFrame, keys: Sequence[str]) -> int:
     """Approximate distinct count of the key tuple — ONE column-pruned
     aggregate job, model-sized result. NULL keys count as one value
     (they form a real window/join group downstream, so they deserve a
-    parallelism slot like any other key)."""
+    parallelism slot like any other key — see ``key_tuple``)."""
     row = df.agg(F.approx_count_distinct(key_tuple(keys)).alias("n")).first()
     return int(row["n"] or 0)
 

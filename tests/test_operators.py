@@ -197,6 +197,49 @@ def test_band_join_inverted_interval_matches_nothing(spark):
         assert got == [1.0], kw
 
 
+def test_band_join_sentinel_interval_stays_bucketed(spark):
+    """r19 review pass 2: an open-ended sentinel row (end 9999-12-31)
+    must neither crash nor make auto decline bucketing for the whole
+    join — the probe widths and the explode are both CLAMPED to the
+    left side's observed span, so the sentinel contributes its overlap
+    only. The sentinel row still matches every in-span left row."""
+    from energydatalake_spark.operators.band import _auto_bucket_unit
+
+    obs = spark.createDataFrame(
+        [("z%d" % (i % 4), dt.datetime(2024, 1, 1, 0, 15 * (i % 4))) for i in range(16)],
+        "zone string, t timestamp",
+    )
+    rows = [
+        ("z%d" % z, dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 0, 15), 1.0)
+        for z in range(4)
+    ]
+    rows.append(("z0", dt.datetime(2024, 1, 1, 0, 0), dt.datetime(9999, 12, 31), 99.0))
+    # inverted row: must not skew the probe's width stats either
+    rows.append(("z1", dt.datetime(2024, 1, 2, 0, 0), dt.datetime(2024, 1, 1, 0, 5), 7.0))
+    iv = spark.createDataFrame(
+        rows, "zone string, start timestamp, end timestamp, price double"
+    )
+    assert _auto_bucket_unit(obs, iv, "t", "start", "end", ["zone"], "inner", False) == "hour"
+    auto = band_join(obs, iv, "t", "start", "end", on=["zone"])
+    assert "__band_bucket" in auto._jdf.queryExecution().optimizedPlan().toString()
+    key = lambda r: (r.zone, r.t, r.price)  # noqa: E731
+    plain = band_join(obs, iv, "t", "start", "end", on=["zone"], bucket=None)
+    got, want = sorted(map(key, auto.collect())), sorted(map(key, plain.collect()))
+    assert got == want
+    assert 99.0 in {p for _, _, p in got}  # sentinel matches still present
+
+
+def test_key_count_estimate_counts_null_key(spark):
+    """r19 review pass 2: NULL is a real key group downstream (window
+    partitionBy + null-safe carry grid), so the dispatch probe counts
+    it — identically for single and composite keys (always-struct)."""
+    from energydatalake_spark.operators.dispatch import key_count_estimate
+
+    df = spark.createDataFrame([("a", 1), (None, 2)], "k string, v int")
+    assert key_count_estimate(df, ["k"]) == 2
+    assert key_count_estimate(df, ["k", "v"]) == 2
+
+
 def test_auto_threshold_non_numeric_shuffle_partitions(spark):
     """r19 review: platforms that manage spark.sql.shuffle.partitions
     as a non-numeric token (e.g. 'auto' under managed AQE) must not
