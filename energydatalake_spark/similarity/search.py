@@ -39,16 +39,67 @@ def _py_norm(vec: list[float]) -> float:
     return math.sqrt(acc)
 
 
+def _sql_double(x: float) -> str:
+    """Shortest round-trip SQL double literal. Python ``repr`` emits
+    the shortest decimal that round-trips to the same IEEE double, and
+    the JVM parser is correctly rounded, so the parsed value is
+    bit-identical to what ``F.lit`` would ship."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite literal not supported: {x!r}")
+    return repr(v) + "D"
+
+
+def lit_double_array(xs: list[float]) -> Column:
+    """``array<double>`` literal in ONE py4j round trip (``F.expr``
+    over a rendered SQL array) instead of one JVM call per element:
+    ``F.lit`` on a Python list builds element-wise ``lit`` columns, so
+    a dim-64 codebook costs ~1k driver round trips (~0.5-0.8 s per
+    call, measured this round) while the rendered form parses in
+    single-digit ms. The parsed CreateArray of foldable literals
+    constant-folds to the identical array Literal the element-wise
+    form produces — same values, same plan after optimization."""
+    if not xs:
+        return F.expr("CAST(array() AS array<double>)")
+    return F.expr("array(" + ",".join(_sql_double(x) for x in xs) + ")")
+
+
+def lit_double_matrix(rows: list[list[float]]) -> Column:
+    """``array<array<double>>`` literal, one py4j call (see
+    :func:`lit_double_array`)."""
+    if not rows:
+        return F.expr("CAST(array() AS array<array<double>>)")
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_double(x) for x in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
+def lit_int_array(xs: list[int]) -> Column:
+    """``array<int>`` literal, one py4j call (values above int range
+    coerce the array to bigint — the same inference ``F.lit`` applies
+    element-wise)."""
+    if not xs:
+        return F.expr("CAST(array() AS array<int>)")
+    return F.expr("array(" + ",".join(str(int(x)) for x in xs) + ")")
+
+
 def _codebook_literal(cents: list[tuple[int, list[float]]]) -> Column:
     """The model-sized codebook as an array of (cell_id, cv, cnm)
     structs, ascending cell_id — it rides into the plan like any
     broadcast model. Built from THREE nested-list Literal nodes zipped
     together, not n_cells struct expressions: a per-cell expression
     tree costs the analyzer ~1 s per k-means iteration at n_cells=16,
-    dim=64; three Literals are effectively free."""
-    ids = F.lit([cid for cid, _ in cents])
-    vecs = F.lit([cv for _, cv in cents])
-    norms = F.lit([_py_norm(cv) for _, cv in cents])
+    dim=64; three Literals are effectively free. The literals
+    themselves render through the one-call ``lit_*`` helpers — the
+    element-wise ``F.lit`` form spent ~0.8 s of py4j time per call
+    (r19 optimization round, guide §7.3 driver-side work)."""
+    ids = lit_int_array([cid for cid, _ in cents])
+    vecs = lit_double_matrix([cv for _, cv in cents])
+    norms = lit_double_array([_py_norm(cv) for _, cv in cents])
     return F.zip_with(
         ids,
         F.zip_with(
@@ -539,7 +590,7 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def _bucket(vec: Column, planes: list[list[float]]) -> Column:
     bits = [
-        F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1)).otherwise(
+        F.when(dot(vec, lit_double_array(p)) >= 0, F.lit(1)).otherwise(
             F.lit(0)
         )
         for p in planes
