@@ -159,12 +159,16 @@ def _minhash_sig_cols(k: int) -> list[Column]:
     geometry r measures exactly the signatures the main pipeline
     would build at that r)."""
     perm_a, perm_b = _perm_constants(k)
+    # Rendered as ONE SQL expression per signature component instead of
+    # ~6 element-wise Column calls each: at k=32 the element-wise form
+    # cost ~0.85 s of py4j round trips per minhash_pairs build
+    # (measured r19 optimization round, guide §7.3 driver-side work).
+    # All constants carry the L suffix so the arithmetic is the same
+    # all-BIGINT chain the analyzer produced from the lit() form.
     return [
-        F.min(
-            (F.lit(perm_a[i]) * F.col("h0") + F.lit(perm_b[i])).bitwiseAND(
-                F.lit(PERM_MASK)
-            )
-        ).alias(f"m{i}")
+        F.expr(
+            f"min((({perm_a[i]}L * h0) + {perm_b[i]}L) & {PERM_MASK}L) AS m{i}"
+        )
         for i in range(k)
     ]
 
@@ -172,19 +176,16 @@ def _minhash_sig_cols(k: int) -> list[Column]:
 def _band_hash_structs(bands: int, rows: int) -> list[Column]:
     """One (band, band_hash) struct per band over signature columns
     m0..m{bands*rows-1} — the LSH bucket keys, shared by the main
-    pipeline and the geometry probe."""
+    pipeline and the geometry probe. Rendered SQL (one py4j call per
+    band, not one per field — see _minhash_sig_cols)."""
     return [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{i}").cast("string")
-                        for i in range(b * rows, (b + 1) * rows)
-                    ],
-                )
-            ).alias("band_hash"),
+        F.expr(
+            f"struct({b} AS band, md5(concat_ws(','"
+            + "".join(
+                f", CAST(m{i} AS STRING)"
+                for i in range(b * rows, (b + 1) * rows)
+            )
+            + ")) AS band_hash)"
         )
         for b in range(bands)
     ]
@@ -394,7 +395,7 @@ def minhash_pairs(
     buckets = sig.select(
         F.col(id_col),
         F.col("n_shingles"),
-        F.array(*[F.col(f"m{i}") for i in range(k)]).alias("ms"),
+        F.expr("array(" + ",".join(f"m{i}" for i in range(k)) + ") AS ms"),
         F.explode(F.array(*band_structs)).alias("bh"),
     ).select(
         F.col(id_col),
@@ -599,6 +600,23 @@ def ngram_jaccard_pairs(
     )
 
 
+def _sql_simhash_vote(src: str, j: int) -> str:
+    """One per-bit ±1 vote aggregate as SQL text (the rendered twin of
+    ``sum(when(shiftright(src, j) & 1 == 1, 1).otherwise(-1))``)."""
+    return f"sum(CASE WHEN (shiftright({src}, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
+
+
+def _sql_simhash_fold(prefix: str, bits: int) -> str:
+    """Bit-recombination fold as SQL text: sign of each vote column
+    ``{prefix}{j}`` sets bit j. All-BIGINT arithmetic, same values as
+    the element-wise Column chain it replaces."""
+    terms = " + ".join(
+        f"(CASE WHEN {prefix}{j} > 0 THEN {1 << j}L ELSE 0L END)"
+        for j in range(bits)
+    )
+    return f"CAST(0L + {terms} AS BIGINT)"
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
@@ -641,19 +659,18 @@ def simhash(
             F.col(id_col), F.col("shingle").alias("tok")
         )
     h = toks.select(F.col(id_col), tok_hash(F.md5(F.col("tok"))).alias("hv"))
+    # Vote aggregates and the bit-recombination fold are rendered SQL
+    # (one py4j call per vote column / one per fingerprint) — the
+    # element-wise Column form cost ~0.5 s of driver round trips per
+    # build at bits=60 (r19 optimization round). Same expressions, same
+    # integer arithmetic, same values.
     votes = h.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(bits)
-        ]
+        *[F.expr(_sql_simhash_vote("hv", j) + f" AS v{j}") for j in range(bits)]
     )
-    fp: Column = F.lit(0).cast("bigint")
-    for j in range(bits):
-        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
-    return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+    return votes.select(
+        F.col(id_col),
+        F.expr(_sql_simhash_fold("v", bits) + " AS simhash"),
+    )
 
 
 def simhash_wide(
@@ -717,27 +734,20 @@ def simhash_wide(
         F.conv(F.substring(md, 16, 15), 16, 10).cast("bigint").alias("h2"),
     )
 
-    def vote(src: str, j: int) -> Column:
-        return F.sum(
-            F.when(F.shiftright(F.col(src), j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"{src}v{j}")
-
+    # Rendered SQL votes/folds (see simhash): one py4j call per column
+    # instead of ~6 — at 120 vote columns the element-wise form was
+    # ~1 s of driver round trips per build.
     votes = h.groupBy(id_col).agg(
-        *[vote("h1", j) for j in range(60)],
-        *[vote("h2", j) for j in range(60)],
+        *[
+            F.expr(_sql_simhash_vote(src, j) + f" AS {src}v{j}")
+            for src in ("h1", "h2")
+            for j in range(60)
+        ]
     )
-
-    def fold(src: str) -> Column:
-        fp: Column = F.lit(0).cast("bigint")
-        for j in range(60):
-            fp = fp + F.when(F.col(f"{src}v{j}") > 0, F.lit(1 << j)).otherwise(0)
-        return fp.cast("bigint")
-
     return votes.select(
         F.col(id_col),
-        fold("h1").alias("simhash_lo"),
-        fold("h2").alias("simhash_hi"),
+        F.expr(_sql_simhash_fold("h1v", 60) + " AS simhash_lo"),
+        F.expr(_sql_simhash_fold("h2v", 60) + " AS simhash_hi"),
     )
 
 
@@ -814,17 +824,14 @@ def simhash_pairs(
     mask = (1 << band_bits) - 1
     # Single generator explode (see minhash_pairs: an nb-way union would
     # re-plan the vote aggregation nb times).
-    band_structs = []
-    for wi, (wcol, wbits) in enumerate(words):
-        for b in range(wbits // band_bits):
-            band_structs.append(
-                F.struct(
-                    F.lit(wi * 64 + b).alias("band"),
-                    F.shiftright(F.col(wcol), b * band_bits)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("band_val"),
-                )
-            )
+    band_structs = [
+        F.expr(
+            f"struct({wi * 64 + b} AS band, "
+            f"(shiftright({wcol}, {b * band_bits}) & {mask}L) AS band_val)"
+        )
+        for wi, (wcol, wbits) in enumerate(words)
+        for b in range(wbits // band_bits)
+    ]
     wcols = [wcol for wcol, _ in words]
     bands = fps.select(
         F.col(id_col), *wcols, F.explode(F.array(*band_structs)).alias("bv")
@@ -1097,23 +1104,13 @@ def minhash_signatures(
     shingle explode shuffled as 32-bit hash ints, one
     map-side-combining min-aggregate per permutation."""
     k = bands * rows
-    perm_a, perm_b = _perm_constants(k)
     ex = _exploded_shingles(df, text_col, id_col, n).select(
         F.col(id_col), _hash_long(F.md5(F.col("shingle"))).alias("h0")
     )
-    agg = ex.groupBy(id_col).agg(
-        *[
-            F.min(
-                (F.lit(perm_a[i]) * F.col("h0") + F.lit(perm_b[i])).bitwiseAND(
-                    F.lit(PERM_MASK)
-                )
-            ).alias(f"m{i}")
-            for i in range(k)
-        ]
-    )
+    agg = ex.groupBy(id_col).agg(*_minhash_sig_cols(k))
     return agg.select(
         F.col(id_col),
-        F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"),
+        F.expr("array(" + ",".join(f"m{i}" for i in range(k)) + ") AS sig"),
     )
 
 
@@ -1126,17 +1123,13 @@ def signature_band_buckets(
     buckets from a live batch. Input: ``(id_col, sig array<bigint>)``.
     Output: ``(id_col, band, band_hash)``."""
     band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at("sig", i + 1).cast("string")
-                        for i in range(b * rows, (b + 1) * rows)
-                    ],
-                )
-            ).alias("band_hash"),
+        F.expr(
+            f"struct({b} AS band, md5(concat_ws(','"
+            + "".join(
+                f", CAST(element_at(sig, {i + 1}) AS STRING)"
+                for i in range(b * rows, (b + 1) * rows)
+            )
+            + ")) AS band_hash)"
         )
         for b in range(bands)
     ]
