@@ -730,9 +730,9 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_digits=9,
         train_sample_mod=KMEANS_SAMPLE_MOD,
     )
-    cent_df = spark.createDataFrame(
-        [(cid, vec) for cid, vec in cents], "vec_id int, embedding array<double>"
-    )
+    # cents is already the collected driver-side codebook; pass it
+    # straight through (r19: the createDataFrame+collect round trip
+    # cost ~0.5 s of jobs per consuming query for identical rows).
     queries = emb.filter(F.col("vec_id") < TOPK_NQ).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -742,7 +742,7 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOPK_K,
         n_cells=IVF_CELLS,
         n_probe=IVF_PROBE,
-        centroids=cent_df,
+        centroids=cents,
     )
     return out.select(
         "query_id", "vec_id", _r(F.col("cosine"), 6).alias("cosine"), "rank"
@@ -892,10 +892,10 @@ def q_embedding_clusters_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iter=KMEANS_ITER,
         train_sample_mod=KMEANS_SAMPLE_MOD,
     )
-    cent_df = spark.createDataFrame(
-        [(cid, vec) for cid, vec in cents], "vec_id int, embedding array<double>"
-    )
-    return _cell_profile(assign_cells(emb, centroids=cent_df))
+    # cents is already the collected driver-side codebook; pass it
+    # straight through (r19: the createDataFrame+collect round trip
+    # cost ~0.5 s of jobs per consuming query for identical rows).
+    return _cell_profile(assign_cells(emb, centroids=cents))
 
 
 def _sql_embedding_clusters_kmeans() -> str:
@@ -3361,14 +3361,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_digits=9,
             train_sample_mod=mod,
         )
-    cent_df = spark.createDataFrame(
-        [(cid, vec) for cid, vec in cents], "vec_id int, embedding array<double>"
-    )
+    # cents is already the collected driver-side codebook; pass it
+    # straight through (r19: the createDataFrame+collect round trip
+    # cost ~0.5 s of jobs per consuming query for identical rows).
     return embedding_semantic_dedup(
         emb,
         threshold=ND_THRESHOLD,
         n_cells=n_cells,
-        centroids=cent_df,
+        centroids=cents,
     )
 
 
@@ -3498,14 +3498,14 @@ def q_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_digits=9,
         train_sample_mod=KMEANS_SAMPLE_MOD,
     )
-    cent_df = spark.createDataFrame(
-        [(cid, vec) for cid, vec in cents], "vec_id int, embedding array<double>"
-    )
+    # cents is already the collected driver-side codebook; pass it
+    # straight through (r19: the createDataFrame+collect round trip
+    # cost ~0.5 s of jobs per consuming query for identical rows).
     # Both the verdict frame and the truth pairs feed two consumers
     # (a join + their own count); localCheckpoint so neither replays
     # its construction (the dedup_recall pattern).
     verdict = embedding_semantic_dedup(
-        embw, threshold=ND_THRESHOLD, n_cells=IVF_CELLS, centroids=cent_df
+        embw, threshold=ND_THRESHOLD, n_cells=IVF_CELLS, centroids=cents
     ).localCheckpoint(eager=False)
     truth = (
         embedding_near_dup(embw, threshold=ND_THRESHOLD)

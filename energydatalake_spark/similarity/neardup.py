@@ -563,7 +563,7 @@ def embedding_semantic_dedup(
     df: DataFrame,
     threshold: float = 0.4,
     n_cells: int = 16,
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | list[tuple[int, list[float]]] | None = None,
     labels: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",

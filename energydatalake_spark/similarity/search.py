@@ -200,7 +200,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
     probe each query's n_probe nearest cells, exact-rerank inside them.
@@ -273,7 +273,7 @@ def ivf_topk(
 
 def _collect_codebook_rows(
     corpus: DataFrame,
-    centroids: DataFrame | None,
+    centroids: DataFrame | list[tuple[int, list[float]]] | None,
     n_cells: int,
     vec_col: str,
     id_col: str,
@@ -283,7 +283,19 @@ def _collect_codebook_rows(
     assignment: default centroids = first ``n_cells`` corpus vectors
     by id (deterministic for ANY id space), model-sized collect,
     sorted ascending cell_id. One home so the centroid convention can
-    never desynchronize between consumers."""
+    never desynchronize between consumers.
+
+    ``centroids`` may be the already-collected ``kmeans_centroids``
+    output (a list of (cell_id, vec) tuples): the trainer returns
+    driver-side rows, and shipping them through a createDataFrame +
+    collect round trip just to get the same rows back cost ~0.5 s of
+    jobs per consuming query (r19 optimization round)."""
+    if isinstance(centroids, list):
+        if not centroids:
+            raise ValueError(f"{caller}: empty centroid set")
+        return sorted(
+            (int(cid), [float(x) for x in cv]) for cid, cv in centroids
+        )
     if centroids is None:
         centroids = corpus.orderBy(F.col(id_col)).limit(n_cells)
     cent_rows = centroids.select(
@@ -300,7 +312,7 @@ def _collect_codebook_rows(
 
 def _collect_codebook(
     corpus: DataFrame,
-    centroids: DataFrame | None,
+    centroids: DataFrame | list[tuple[int, list[float]]] | None,
     n_cells: int,
     vec_col: str,
     id_col: str,
@@ -318,7 +330,7 @@ def assign_cells(
     n_cells: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Coarse-quantize every corpus vector to its nearest codebook
     cell — the shared front half of IVF search and of embedding-space
