@@ -285,7 +285,7 @@ def embedding_near_dup_lsh(
             width = spark.sparkContext.defaultParallelism
         base = base.repartition(width)
     bucket_cols = [
-        _bucket(F.col("vec"), _hyperplanes(dim, n_planes, seed=seed + t)).alias(f"b{t}")
+        _bucket("vec", _hyperplanes(dim, n_planes, seed=seed + t)).alias(f"b{t}")
         for t in range(n_tables)
     ]
     base = base.select("id", "vec", "nm", *bucket_cols)

@@ -602,17 +602,26 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def _bucket(vec: Column, planes: list[list[float]]) -> Column:
-    bits = [
-        F.when(dot(vec, lit_double_array(p)) >= 0, F.lit(1)).otherwise(
-            F.lit(0)
+def _bucket(vec: str, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket key over the named vector column, rendered as
+    ONE SQL expression: the Column form spent ~0.3 s of py4j time per
+    call (each higher-order zip_with/aggregate wrapper is several JVM
+    round trips, × n_planes) — same fold, same all-BIGINT bit packing,
+    same values (r19 optimization round)."""
+    col = f"`{vec}`"
+
+    def dot_sql(p: list[float]) -> str:
+        arr = "array(" + ",".join(_sql_double(x) for x in p) + ")"
+        return (
+            f"aggregate(zip_with({col}, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
         )
-        for p in planes
-    ]
-    key: Column = F.lit(0).cast("bigint")
-    for i, b in enumerate(bits):
-        key = key + (b.cast("bigint") * F.lit(1 << i))
-    return key
+
+    terms = " + ".join(
+        f"(CASE WHEN {dot_sql(p)} >= 0 THEN {1 << i}L ELSE 0L END)"
+        for i, p in enumerate(planes)
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
 
 
 def lsh_topk(
@@ -635,13 +644,13 @@ def lsh_topk(
         F.col(id_col),
         F.col(vec_col).alias("c_vec"),
         F.col("c_norm"),
-        _bucket(F.col(vec_col), planes).alias("bucket"),
+        _bucket(vec_col, planes).alias("bucket"),
     )
     q = with_norm(queries, vec_col, "q_norm").select(
         F.col(query_id_col),
         F.col(vec_col).alias("q_vec"),
         F.col("q_norm"),
-        _bucket(F.col(vec_col), planes).alias("q_bucket"),
+        _bucket(vec_col, planes).alias("q_bucket"),
     )
     if multiprobe:
         probes = F.array(
