@@ -608,7 +608,7 @@ def _bucket(vec: str, planes: list[list[float]]) -> Column:
     call (each higher-order zip_with/aggregate wrapper is several JVM
     round trips, × n_planes) — same fold, same all-BIGINT bit packing,
     same values (r19 optimization round)."""
-    col = f"`{vec}`"
+    col = "`" + vec.replace("`", "``") + "`"
 
     def dot_sql(p: list[float]) -> str:
         arr = "array(" + ",".join(_sql_double(x) for x in p) + ")"
