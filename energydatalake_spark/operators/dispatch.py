@@ -88,13 +88,45 @@ def key_tuple(keys: Sequence[str]):
     return F.struct(*[F.col(k) for k in keys])
 
 
+#: Session-scoped probe memo (VERDICT r19 #6): the five asof/band
+#: registry queries probe semantically identical right sides, so the
+#: cardinality job ran five times per suite for one decision. Keyed on
+#: the ANALYZED-PLAN semantic hash + key tuple — equal plans (same
+#: source, same filters/projections) share one probe; a different
+#: filter is a different hash, so the memo can never serve a stale
+#: cardinality for different data lineage. A hash collision could at
+#: worst pick the other (result-identical, property-tested) tier.
+#: Lifecycle: cleared when the owning SparkContext object changes
+#: (the portable.cached_expr guard). Decisions, not results, are
+#: cached — every query still computes from the parquet inputs.
+_PROBE_CACHE: dict[tuple[int, tuple[str, ...]], int] = {}
+_PROBE_CACHE_SC: list = [None]
+
+
 def key_count_estimate(df: DataFrame, keys: Sequence[str]) -> int:
     """Approximate distinct count of the key tuple — ONE column-pruned
-    aggregate job, model-sized result. NULL keys count as one value
+    aggregate job, model-sized result, memoized per (analyzed-plan
+    semantic hash, keys) within a session. NULL keys count as one value
     (they form a real window/join group downstream, so they deserve a
     parallelism slot like any other key — see ``key_tuple``)."""
+    import weakref
+
+    sc = df.sparkSession.sparkContext
+    ref = _PROBE_CACHE_SC[0]
+    if ref is None or ref() is not sc:
+        _PROBE_CACHE.clear()
+        _PROBE_CACHE_SC[0] = weakref.ref(sc)
+    try:
+        memo_key = (df.semanticHash(), tuple(keys))
+    except Exception:
+        memo_key = None
+    if memo_key is not None and memo_key in _PROBE_CACHE:
+        return _PROBE_CACHE[memo_key]
     row = df.agg(F.approx_count_distinct(key_tuple(keys)).alias("n")).first()
-    return int(row["n"] or 0)
+    n = int(row["n"] or 0)
+    if memo_key is not None:
+        _PROBE_CACHE[memo_key] = n
+    return n
 
 
 def keys_below_threshold(

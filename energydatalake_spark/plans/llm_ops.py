@@ -23,6 +23,7 @@ from energydatalake_spark.text.dedup import (
     line_dedup,
     minhash_pairs,
     ngram_jaccard_pairs,
+    shared_shingle_frame,
     simhash,
     simhash_pairs,
     substring_dedup,
@@ -397,19 +398,27 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairwise candidate generation makes the restriction exactly
     # equivalent to post-filtering full-corpus pairs.
     docs = _eval_docs(spark, sf_dir)
+    # ONE shared shingle explosion feeds BOTH tiers (r20, VERDICT r19
+    # #2): NJ_N == MH_N, and the exact tier's 60-bit shingle hash is
+    # the `sh` view of the banded tier's per-shingle md5 — so the
+    # scan → shingle → explode → md5 chain materializes once instead
+    # of twice (two persisted explodes of identical rows before).
+    sh = shared_shingle_frame(docs, n=NJ_N)
     # Both pair frames feed two consumers (the hit join and their own
     # count); localCheckpoint the pairs-sized results so neither
     # pipeline replays (measured 19 exchanges vs 7 this way).
     truth = (
         ngram_jaccard_pairs(
-            docs, n=NJ_N, threshold=NJ_THRESHOLD, max_doc_freq=None
+            docs, n=NJ_N, threshold=NJ_THRESHOLD, max_doc_freq=None,
+            shingle_frame=sh,
         )
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)
     )
     approx = (
         minhash_pairs(
-            docs, n=MH_N, bands=MH_BANDS, rows=MH_ROWS, threshold=MH_THRESHOLD
+            docs, n=MH_N, bands=MH_BANDS, rows=MH_ROWS, threshold=MH_THRESHOLD,
+            shingle_frame=sh,
         )
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from energydatalake_spark.portable import cached_expr
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -60,16 +62,16 @@ def lit_double_array(xs: list[float]) -> Column:
     constant-folds to the identical array Literal the element-wise
     form produces — same values, same plan after optimization."""
     if not xs:
-        return F.expr("CAST(array() AS array<double>)")
-    return F.expr("array(" + ",".join(_sql_double(x) for x in xs) + ")")
+        return cached_expr("CAST(array() AS array<double>)")
+    return cached_expr("array(" + ",".join(_sql_double(x) for x in xs) + ")")
 
 
 def lit_double_matrix(rows: list[list[float]]) -> Column:
     """``array<array<double>>`` literal, one py4j call (see
     :func:`lit_double_array`)."""
     if not rows:
-        return F.expr("CAST(array() AS array<array<double>>)")
-    return F.expr(
+        return cached_expr("CAST(array() AS array<array<double>>)")
+    return cached_expr(
         "array("
         + ",".join(
             "array(" + ",".join(_sql_double(x) for x in r) + ")" for r in rows
@@ -83,8 +85,8 @@ def lit_int_array(xs: list[int]) -> Column:
     coerce the array to bigint — the same inference ``F.lit`` applies
     element-wise)."""
     if not xs:
-        return F.expr("CAST(array() AS array<int>)")
-    return F.expr("array(" + ",".join(str(int(x)) for x in xs) + ")")
+        return cached_expr("CAST(array() AS array<int>)")
+    return cached_expr("array(" + ",".join(str(int(x)) for x in xs) + ")")
 
 
 def _codebook_literal(cents: list[tuple[int, list[float]]]) -> Column:
@@ -621,7 +623,7 @@ def _bucket(vec: str, planes: list[list[float]]) -> Column:
         f"(CASE WHEN {dot_sql(p)} >= 0 THEN {1 << i}L ELSE 0L END)"
         for i, p in enumerate(planes)
     )
-    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
+    return cached_expr(f"CAST(0 AS BIGINT) + {terms}")
 
 
 def lsh_topk(

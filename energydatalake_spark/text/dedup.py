@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from energydatalake_spark.portable import cached_expr
 from energydatalake_spark.text.stats import _hex8_to_long as _hash_long
 from energydatalake_spark.text.stats import shingles
 
@@ -128,6 +129,33 @@ def release_shingle_cache(blocking: bool = False) -> int:
     return n
 
 
+def shared_shingle_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """ONE persisted shingle explosion serving BOTH near-dup tiers
+    (r20, VERDICT r19 #2): ``(id_col, h0, sh)`` where ``h0`` is the
+    32-bit multiply-shift input minhash_pairs permutes and ``sh`` the
+    60-bit verify/join key — both views of the same per-shingle md5,
+    and ``sh`` is byte-identical to the ``shingle`` column
+    ngram_jaccard_pairs derives on its own. An evaluation that runs
+    both tiers over the same corpus (dedup_recall) used to pay the
+    scan → shingle → explode → md5 chain twice and hold two caches of
+    the same 16-byte rows; pass this frame to both via their
+    ``shingle_frame`` kwarg and the chain runs once (guide §5: one
+    materialization, every consumer reuses it). Registered in the
+    shingle cache — released with :func:`release_shingle_cache`."""
+    from energydatalake_spark.text.stats import _hex15_to_long
+
+    md = F.md5(F.col("shingle"))
+    return _persist_shingles(
+        _exploded_shingles(df, text_col, id_col, n).select(
+            F.col(id_col),
+            _hash_long(md).alias("h0"),
+            _hex15_to_long(md).alias("sh"),
+        )
+    )
+
+
 def min_sig_agree(bands: int, rows: int, threshold: float) -> int:
     """Signature-agreement prefilter cutoff between LSH candidate
     generation and the exact-Jaccard verify: a candidate pair must
@@ -166,7 +194,7 @@ def _minhash_sig_cols(k: int) -> list[Column]:
     # All constants carry the L suffix so the arithmetic is the same
     # all-BIGINT chain the analyzer produced from the lit() form.
     return [
-        F.expr(
+        cached_expr(
             f"min((({perm_a[i]}L * h0) + {perm_b[i]}L) & {PERM_MASK}L) AS m{i}"
         )
         for i in range(k)
@@ -179,7 +207,7 @@ def _band_hash_structs(bands: int, rows: int) -> list[Column]:
     pipeline and the geometry probe. Rendered SQL (one py4j call per
     band, not one per field — see _minhash_sig_cols)."""
     return [
-        F.expr(
+        cached_expr(
             f"struct({b} AS band, md5(concat_ws(','"
             + "".join(
                 f", CAST(m{i} AS STRING)"
@@ -305,6 +333,7 @@ def minhash_pairs(
     auto_rows_max: int | None = None,
     max_cand_per_doc: float = 16.0,
     sig_prefilter: bool = True,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verify.
 
@@ -327,8 +356,12 @@ def minhash_pairs(
     the contract — value-hash oracles, or signature-index
     compatibility (pipelines/incremental.py persists signatures at a
     fixed geometry; a geometry switch would orphan the index).
+
+    ``shingle_frame`` (optional) is a precomputed
+    :func:`shared_shingle_frame` over the SAME (df, text_col, id_col,
+    n) — callers that also run the exact tier (dedup_recall) pass it
+    so the explode chain is computed and cached once for both.
     """
-    from energydatalake_spark.text.stats import _hex15_to_long
     # Explode + shingle building is the expensive scan-side work and is
     # reused by three downstream stages (signatures, set sizes, exact
     # verify) — persist it instead of recomputing the lineage. What
@@ -337,13 +370,10 @@ def minhash_pairs(
     # verify join key) — shuffles and cache carry 16 bytes, never the
     # shingle text. At cluster scale the same role is played by a
     # checkpoint/shuffle reuse; MEMORY_AND_DISK spills instead of OOMing.
-    md = F.md5(F.col("shingle"))
-    ex = _persist_shingles(
-        _exploded_shingles(df, text_col, id_col, n).select(
-            F.col(id_col),
-            _hash_long(md).alias("h0"),
-            _hex15_to_long(md).alias("sh"),
-        )
+    ex = (
+        shingle_frame
+        if shingle_frame is not None
+        else shared_shingle_frame(df, text_col, id_col, n)
     )
     # The signature aggregate also emits the doc's distinct-shingle
     # count (ex rows are distinct by construction — shingles() wraps
@@ -395,7 +425,7 @@ def minhash_pairs(
     buckets = sig.select(
         F.col(id_col),
         F.col("n_shingles"),
-        F.expr("array(" + ",".join(f"m{i}" for i in range(k)) + ") AS ms"),
+        cached_expr("array(" + ",".join(f"m{i}" for i in range(k)) + ") AS ms"),
         F.explode(F.array(*band_structs)).alias("bh"),
     ).select(
         F.col(id_col),
@@ -491,6 +521,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = 1000,
     max_input_rows: int | None = 1_000_000,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs. Candidate pairs = any
     shared shingle with document frequency ≤ ``max_doc_freq``; the
@@ -515,7 +546,13 @@ def ngram_jaccard_pairs(
     doc-freq-capped, the shingle self-join grows quadratically with
     shingle co-occurrence, and a 100 TB caller should be on
     minhash_pairs. Pass ``max_input_rows=None`` to force the exact
-    tier deliberately."""
+    tier deliberately.
+
+    ``shingle_frame`` (optional) is a precomputed
+    :func:`shared_shingle_frame` over the SAME (df, text_col, id_col,
+    n); its ``sh`` column IS this function's 60-bit ``shingle`` hash
+    (one md5, two integer views), so passing it skips a second explode
+    chain + cache when the banded tier runs over the same corpus."""
     from energydatalake_spark.text.stats import _hex15_to_long
 
     if max_input_rows is not None:
@@ -528,9 +565,14 @@ def ngram_jaccard_pairs(
                 f"max_input_rows=None to force the exact plan."
             )
 
-    ex = _persist_shingles(
-        _exploded_shingles(df, text_col, id_col, n).select(
-            F.col(id_col), _hex15_to_long(F.md5(F.col("shingle"))).alias("shingle")
+    ex = (
+        shingle_frame.select(F.col(id_col), F.col("sh").alias("shingle"))
+        if shingle_frame is not None
+        else _persist_shingles(
+            _exploded_shingles(df, text_col, id_col, n).select(
+                F.col(id_col),
+                _hex15_to_long(F.md5(F.col("shingle"))).alias("shingle"),
+            )
         )
     )
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -665,11 +707,11 @@ def simhash(
     # build at bits=60 (r19 optimization round). Same expressions, same
     # integer arithmetic, same values.
     votes = h.groupBy(id_col).agg(
-        *[F.expr(_sql_simhash_vote("hv", j) + f" AS v{j}") for j in range(bits)]
+        *[cached_expr(_sql_simhash_vote("hv", j) + f" AS v{j}") for j in range(bits)]
     )
     return votes.select(
         F.col(id_col),
-        F.expr(_sql_simhash_fold("v", bits) + " AS simhash"),
+        cached_expr(_sql_simhash_fold("v", bits) + " AS simhash"),
     )
 
 
@@ -739,15 +781,15 @@ def simhash_wide(
     # ~1 s of driver round trips per build.
     votes = h.groupBy(id_col).agg(
         *[
-            F.expr(_sql_simhash_vote(src, j) + f" AS {src}v{j}")
+            cached_expr(_sql_simhash_vote(src, j) + f" AS {src}v{j}")
             for src in ("h1", "h2")
             for j in range(60)
         ]
     )
     return votes.select(
         F.col(id_col),
-        F.expr(_sql_simhash_fold("h1v", 60) + " AS simhash_lo"),
-        F.expr(_sql_simhash_fold("h2v", 60) + " AS simhash_hi"),
+        cached_expr(_sql_simhash_fold("h1v", 60) + " AS simhash_lo"),
+        cached_expr(_sql_simhash_fold("h2v", 60) + " AS simhash_hi"),
     )
 
 
@@ -825,7 +867,7 @@ def simhash_pairs(
     # Single generator explode (see minhash_pairs: an nb-way union would
     # re-plan the vote aggregation nb times).
     band_structs = [
-        F.expr(
+        cached_expr(
             f"struct({wi * 64 + b} AS band, "
             f"(shiftright({wcol}, {b * band_bits}) & {mask}L) AS band_val)"
         )
@@ -1110,7 +1152,7 @@ def minhash_signatures(
     agg = ex.groupBy(id_col).agg(*_minhash_sig_cols(k))
     return agg.select(
         F.col(id_col),
-        F.expr("array(" + ",".join(f"m{i}" for i in range(k)) + ") AS sig"),
+        cached_expr("array(" + ",".join(f"m{i}" for i in range(k)) + ") AS sig"),
     )
 
 
@@ -1123,7 +1165,7 @@ def signature_band_buckets(
     buckets from a live batch. Input: ``(id_col, sig array<bigint>)``.
     Output: ``(id_col, band, band_hash)``."""
     band_structs = [
-        F.expr(
+        cached_expr(
             f"struct({b} AS band, md5(concat_ws(','"
             + "".join(
                 f", CAST(element_at(sig, {i + 1}) AS STRING)"

@@ -190,3 +190,25 @@ def test_collect_codebook_rows_list_passthrough(spark):
         None, cents, 2, "embedding", "vec_id", "t"
     )
     assert via_df == via_list == [(1, [2.0, 0.25]), (3, [0.5, -1.5])]
+
+
+def test_cached_expr_identity_and_equivalence(spark):
+    """r20: the per-session parse cache must hand back the SAME Column
+    object for a byte-identical text (the win is skipping the parse)
+    and that object must evaluate exactly like a fresh F.expr — also
+    when one cached Column is reused inside two different plans."""
+    from energydatalake_spark.portable import _EXPR_CACHE, cached_expr
+
+    sql = "array(0.1D, -0.0D, 1.7976931348623157e308D)"
+    c1 = cached_expr(sql)
+    c2 = cached_expr(sql)
+    assert c1 is c2  # no second parse
+    assert sql in _EXPR_CACHE
+
+    df = spark.range(1)
+    fresh = df.select(F.expr(sql).alias("a")).first()["a"]
+    cached = df.select(c1.alias("a")).first()["a"]
+    assert _bits(fresh) == _bits(cached)
+    # same cached object in a second, differently-shaped plan
+    two = spark.range(2).select(c1.alias("a"), "id").collect()
+    assert all(_bits(r["a"]) == _bits(fresh) for r in two)

@@ -578,3 +578,41 @@ def test_max_result_size_tracks_driver_heap():
             _size_mb(spark_invalid)
     for mem in ("8g", "2g", "512m", "8192", "8gb"):
         assert _size_mb(_default_max_result(mem)) <= _size_mb(mem)
+
+
+def test_key_count_estimate_memoizes_identical_plans(spark, monkeypatch, tmp_path):
+    """r20: the dispatch probe memoizes per (semantic-hash, keys) —
+    a semantically identical PLAN (the registry queries rebuild the
+    same parquet read + filter per query) must not pay a second
+    aggregate job, while a different filter (different lineage) and a
+    different key tuple must re-probe. Local createDataFrame frames go
+    through LogicalRDD (fresh RDD id per call), so only rebuilding the
+    SAME lineage — file sources, or reusing one frame — hits the memo;
+    that is exactly the registry's shape."""
+    from energydatalake_spark.operators import dispatch
+
+    path = str(tmp_path / "probe_t")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), (None, 3)], "k string, v int"
+    ).write.parquet(path)
+    df1 = spark.read.parquet(path)
+    n1 = dispatch.key_count_estimate(df1, ["k"])
+    assert n1 == 3
+
+    calls = []
+    orig_agg = type(df1).agg
+
+    def counting_agg(self, *a, **kw):
+        calls.append(1)
+        return orig_agg(self, *a, **kw)
+
+    monkeypatch.setattr(type(df1), "agg", counting_agg)
+    df2 = spark.read.parquet(path)  # rebuilt, semantically identical
+    assert dispatch.key_count_estimate(df2, ["k"]) == n1
+    assert calls == []  # served from the memo, no job
+    # a different plan (filter) re-probes
+    assert dispatch.key_count_estimate(df1.filter("v < 3"), ["k"]) == 2
+    assert calls == [1]
+    # different key tuple on the same plan re-probes too
+    assert dispatch.key_count_estimate(df2, ["k", "v"]) == 3
+    assert calls == [1, 1]

@@ -386,8 +386,10 @@ def test_zorder_compaction_prunes_on_both_columns(spark, tmp_path):
     sorted_dir = str(tmp_path / "xsorted")
     base.repartition(8).write.parquet(sorted_dir)
     compact_folder(spark, sorted_dir, target_rows_per_file=4_096, sort_by=["x"])
-    # leading column prunes…
-    assert scan_rows(spark.read.parquet(sorted_dir).filter(x_pred)) <= n // 8
+    # leading column prunes… (the bound tolerates one file/row-group straddle:
+    # a 1/16-of-domain slice can land across a file boundary, adding up to one
+    # extra file's rows to the decode count depending on writer block layout)
+    assert scan_rows(spark.read.parquet(sorted_dir).filter(x_pred)) <= n // 8 + 4_096
     # …but the second column reads everything
     assert scan_rows(spark.read.parquet(sorted_dir).filter(y_pred)) == n
 
