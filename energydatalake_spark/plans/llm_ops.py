@@ -404,45 +404,43 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan → shingle → explode → md5 chain materializes once instead
     # of twice (two persisted explodes of identical rows before).
     sh = shared_shingle_frame(docs, n=NJ_N)
-    # Both pair frames feed two consumers (the hit join and their own
-    # count); localCheckpoint the pairs-sized results so neither
-    # pipeline replays (measured 19 exchanges vs 7 this way).
-    truth = (
-        ngram_jaccard_pairs(
-            docs, n=NJ_N, threshold=NJ_THRESHOLD, max_doc_freq=None,
-            shingle_frame=sh,
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+    # ONE full-outer join computes all three counts (r20, VERDICT r19
+    # #2): both pair frames are unique on (id_a, id_b) by construction
+    # (each ends in a groupBy on the pair), so the join is 1:1 and
+    #   n_truth = rows with a truth side, n_lsh = rows with an LSH
+    #   side, n_hits = rows with both
+    # — the same numbers the old semi-join + three counts produced.
+    # Each pair pipeline now feeds exactly ONE consumer, so the two
+    # pairs-sized localCheckpoints (and their ~1.2 s of per-build
+    # physical planning + codegen — Dataset.checkpoint plans eagerly
+    # even with eager=False) are gone with nothing left to replay.
+    truth = ngram_jaccard_pairs(
+        docs, n=NJ_N, threshold=NJ_THRESHOLD, max_doc_freq=None,
+        shingle_frame=sh,
+    ).select("id_a", "id_b", F.lit(1).alias("__t"))
+    approx = minhash_pairs(
+        docs, n=MH_N, bands=MH_BANDS, rows=MH_ROWS, threshold=MH_THRESHOLD,
+        shingle_frame=sh,
+    ).select("id_a", "id_b", F.lit(1).alias("__a"))
+    both = truth.join(approx, ["id_a", "id_b"], "full_outer")
+    counts = both.agg(
+        F.count("__t").alias("n_truth"),
+        F.count("__a").alias("n_lsh"),
+        F.count(F.when(F.col("__t").isNotNull() & F.col("__a").isNotNull(),
+                       F.lit(1))).alias("n_hits"),
     )
-    approx = (
-        minhash_pairs(
-            docs, n=MH_N, bands=MH_BANDS, rows=MH_ROWS, threshold=MH_THRESHOLD,
-            shingle_frame=sh,
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
-    )
-    hits = truth.join(approx, ["id_a", "id_b"], "left_semi")
-    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    a = approx.agg(F.count(F.lit(1)).alias("n_lsh"))
-    h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
-    return (
-        t.join(F.broadcast(a))
-        .join(F.broadcast(h))
-        .select(
-            "n_truth",
-            "n_lsh",
-            "n_hits",
-            F.when(
-                F.col("n_truth") > 0,
-                _r(F.col("n_hits") / F.col("n_truth"), 6),
-            ).alias("recall"),
-            F.when(
-                F.col("n_lsh") > 0,
-                _r(F.col("n_hits") / F.col("n_lsh"), 6),
-            ).alias("precision"),
-        )
+    return counts.select(
+        "n_truth",
+        "n_lsh",
+        "n_hits",
+        F.when(
+            F.col("n_truth") > 0,
+            _r(F.col("n_hits") / F.col("n_truth"), 6),
+        ).alias("recall"),
+        F.when(
+            F.col("n_lsh") > 0,
+            _r(F.col("n_hits") / F.col("n_lsh"), 6),
+        ).alias("precision"),
     )
 
 
@@ -2612,12 +2610,23 @@ def q_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2·n_boiler ≤ n_shingles), so no float threshold can drift
     cross-engine. Docs with fewer than BOILER_N tokens have no
     shingles and are absent (no signal ≠ bad)."""
+    from energydatalake_spark.text.dedup import _persist_shingles
     from energydatalake_spark.text.stats import _hex15_to_long, shingles
 
     docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles("text", BOILER_N)).alias("s")
-    ).select("doc_id", _hex15_to_long(F.md5(F.col("s"))).alias("sh"))
+    # Persist the 16-byte (doc_id, sh) explode — the minhash_pairs
+    # precedent: BOTH consumers (the df aggregate's build side and the
+    # join's stream side) read the cache, so the corpus tokenize +
+    # shingle + md5 chain runs ONCE. Without it, whenever the df table
+    # broadcasts (always locally, and at any scale where the vocab fits
+    # the threshold) there is no exchange for reuse to latch onto and
+    # the explode runs twice (r20 plan audit: Generate at ops (2) AND
+    # (6)). Released by release_caches() with the other shingle frames.
+    sh = _persist_shingles(
+        docs.select(
+            "doc_id", F.explode(shingles("text", BOILER_N)).alias("s")
+        ).select("doc_id", _hex15_to_long(F.md5(F.col("s"))).alias("sh"))
+    )
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         sh.join(dfreq, "sh")
@@ -3510,16 +3519,19 @@ def q_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cents is already the collected driver-side codebook; pass it
     # straight through (r19: the createDataFrame+collect round trip
     # cost ~0.5 s of jobs per consuming query for identical rows).
-    # Both the verdict frame and the truth pairs feed two consumers
-    # (a join + their own count); localCheckpoint so neither replays
-    # its construction (the dedup_recall pattern).
+    # The verdict frame feeds TWO consumers (the id_a and id_b cluster
+    # joins) — localCheckpoint so the cell pipeline does not replay.
+    # The truth pairs feed exactly ONE consumer (the pairs join), so
+    # they take no checkpoint (r20: Dataset.checkpoint plans+codegens
+    # its subtree eagerly even with eager=False — a ~0.5 s per-build
+    # driver cost that bought nothing here; the r19 comment claiming a
+    # second consumer was wrong, n_truth comes from the per-tier
+    # aggregate downstream of the join, not from a separate count).
     verdict = embedding_semantic_dedup(
         embw, threshold=ND_THRESHOLD, n_cells=IVF_CELLS, centroids=cents
     ).localCheckpoint(eager=False)
-    truth = (
-        embedding_near_dup(embw, threshold=ND_THRESHOLD)
-        .select("id_a", "id_b", _r(F.col("cosine"), 6).alias("cosine"))
-        .localCheckpoint(eager=False)
+    truth = embedding_near_dup(embw, threshold=ND_THRESHOLD).select(
+        "id_a", "id_b", _r(F.col("cosine"), 6).alias("cosine")
     )
     va = verdict.select(F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("__ca"))
     vb = verdict.select(F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("__cb"))

@@ -121,14 +121,26 @@ def bigram_lm_scores(
 
     Determinism: per-bigram log-probs are quantized to bigint
     micro-nats BEFORE the per-doc sum, so the reduction is
-    order-independent; c(w1) is derived from the bigram count table
-    (SUM over c2), which lets Spark reuse the c2 exchange instead of
-    re-aggregating the corpus.
+    order-independent; c(w1) rides the c2 count table as a window sum
+    (one vocab-sized pass, no second corpus aggregation or join).
     """
     bg = bigrams(docs, text_col, id_col)
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    vsz = bg.agg(F.countDistinct("w2").alias("vsz"))
+    # c(w1) as a WINDOW over the c2 count table, not a groupBy+join
+    # branch (r20; the hashed_tfidf norm idiom): a separate c1 frame
+    # re-derives the whole corpus explode for its consumer — column
+    # pruning gives each branch a different canonical subplan, so
+    # exchange reuse never fires (verified in the executed plan: four
+    # independent Generate stages before this change). The window runs
+    # on the vocab-sized c2 rows; a w1 partition is bounded by that
+    # word's distinct continuations (vocab-, not corpus-sized).
+    c2w = c2.withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+    # V from the c2 count table, NOT from bg: the distinct continuation
+    # words in c2's keys ARE the distinct w2 of the raw bigram stream,
+    # and re-deriving from c2 prunes the scan branch to vocab shape —
+    # still one extra explode locally (no exchange reuse), but the
+    # aggregate above it is vocab-sized.
+    vsz = c2.agg(F.countDistinct("w2").alias("vsz"))
     lp_micro = F.floor(
         F.log(
             (F.col("c2") + F.lit(1)).cast("double")
@@ -138,8 +150,7 @@ def bigram_lm_scores(
         + F.lit(0.5)
     ).cast("bigint")
     term = (
-        bg.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+        bg.join(c2w, ["w1", "w2"])
         .join(F.broadcast(vsz))
         .select(F.col(id_col), lp_micro.alias("lp"))
     )
