@@ -1934,6 +1934,11 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from energydatalake_spark.text.stats import tokens
 
     docs = read_table(spark, sf_dir, "documents")
+    # The explode feeds both the vocab top-k branch and the coverage
+    # stream; an r20 persist A/B regressed (0.49 -> 0.78 s at sf0.1:
+    # the cache barrier costs more than this cheap tokenize), so the
+    # second pass stays — unlike the md5-heavy boilerplate/line
+    # explodes, which persist.
     toks = docs.select("source", F.explode(tokens("text")).alias("w"))
     vocab = (
         toks.groupBy("w")
@@ -3211,13 +3216,27 @@ def _sql_quantized_recall() -> str:
 
 def _recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
     """Shared recall@k comparison over two (query_id, vec_id) result
-    sets (see q_ann_recall for the semantics and scale notes)."""
-    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
-    n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
-    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_eff"))
+    sets (see q_ann_recall for the semantics and scale notes).
+
+    ONE left join + ONE aggregate (r20): both result sets are unique
+    on (query_id, vec_id) by construction (rank ≤ k from a row_number
+    window), so the join is 1:1-at-most and per-query k_eff = row
+    count, n_hits = matched-row count — the same numbers the previous
+    semi-join + two aggregates + re-join produced. The old shape
+    consumed `exact` TWICE with no materialization, so the expensive
+    exact brute-force tier (broadcast-cross + window over the corpus)
+    executed twice per recall query."""
+    hits = exact.join(
+        approx.select("query_id", "vec_id", F.lit(1).alias("__hit")),
+        ["query_id", "vec_id"],
+        "left",
+    )
     return (
-        base.join(n_hits, "query_id", "left")
-        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.count("__hit").alias("n_hits"),
+        )
         .select(
             "query_id",
             "k_eff",

@@ -103,9 +103,12 @@ def _exploded_shingles(
     )
 
 
-#: Persisted shingle explosions from minhash_pairs / ngram_jaccard_pairs.
-#: The persist is load-bearing (three stages reuse the explode), but a
-#: long-lived session accumulating cached partitions across many
+#: Persisted per-invocation scratch frames: shingle/line/token explodes
+#: and tf aggregates that feed two or more consumers whose canonical
+#: subplans differ (so exchange reuse cannot dedupe them — r20 verified
+#: this never fires across column-pruned branches under AQE). The
+#: persist is load-bearing (each registered frame has 2-3 consumers),
+#: but a long-lived session accumulating cached partitions across many
 #: invocations would exhaust executor storage — callers that loop over
 #: corpora call release_shingle_cache() between actions (bench does).
 _SHINGLE_CACHE: list[DataFrame] = []
@@ -950,10 +953,18 @@ def line_dedup(
     """
     from energydatalake_spark.text.stats import _hex15_to_long
 
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
-    ).withColumn("lh", _hex15_to_long(F.md5(F.col("line"))))
+    # Persisted (minhash precedent, released via release_caches): the
+    # line explode feeds TWO consumers — the doc-frequency aggregate
+    # and the keep-join stream side — and the broadcast drop-set join
+    # leaves no exchange for reuse to latch onto, so without the cache
+    # the split+explode+md5 chain (and any caller-side line-structuring
+    # expression upstream of it) runs twice (r20 plan audit).
+    lines = _persist_shingles(
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        ).withColumn("lh", _hex15_to_long(F.md5(F.col("line"))))
+    )
     dfreq = (
         lines.select("lh", id_col)
         .distinct()

@@ -47,12 +47,16 @@ def tfidf_topk(
     """Top-``k`` terms per document by tf-idf (idf = ln(N/df); ties
     break on the rounded score then lexicographic term).
 
-    Plan: ONE token explode feeds both the (doc, term) tf aggregate
-    and, through it, the vocab-sized df aggregate — Spark reuses the
-    tf exchange for both branches (ReusedExchange), so the corpus is
-    scanned and shuffled once. N rides in as a broadcast one-row
-    aggregate, never a driver round-trip. The final top-k is a
-    per-doc window over the (already doc-partitioned) tf frame.
+    Plan: ONE token explode feeds the (doc, term) tf aggregate; the
+    vocab-sized df aggregate and the scoring join each re-derive that
+    subtree (column pruning gives them different canonical subplans,
+    so exchange reuse does not fire — r20 verified). An r20 A/B of
+    persisting tf measured the cache barrier COSTLIER than the second
+    cheap token explode at sf0.1 (0.86 -> 1.01 s), so the recompute
+    stays — unlike the md5-heavy shingle/line explodes, which persist.
+    N rides in as a broadcast one-row aggregate, never a driver
+    round-trip. The final top-k is a per-doc window over the (already
+    doc-partitioned) tf frame.
     """
     tf = (
         docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
@@ -199,6 +203,9 @@ def hashed_tfidf(
     """
     from energydatalake_spark.text.stats import _hex15_to_long
 
+    # tf re-derives for the df branch and the scoring join (no
+    # exchange reuse across pruned branches); an r20 persist A/B
+    # regressed (1.33 -> 1.48 s at sf0.1) — see tfidf_topk.
     tf = (
         docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .groupBy(id_col, "term")
