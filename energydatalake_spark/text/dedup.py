@@ -1071,6 +1071,12 @@ def substring_dedup(
     gram = F.concat_ws(
         " ", F.col("tok"), *[F.lead("tok", j).over(w) for j in range(1, k)]
     )
+    # The gram frame feeds the df aggregate and the dup-join stream
+    # side; the WindowExec above the (exchange-reused) repartition
+    # re-executes per consumer. An r20 persist A/B over 3 alternating
+    # pairs measured no reliable win (raw medians 1.21 vs 1.25 s at
+    # sf0.1; worse after noise-marker normalization — the cache
+    # barrier cancels the saved window pass), so the recompute stays.
     grams = toks.select(
         id_col,
         "pos",
