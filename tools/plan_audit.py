@@ -100,6 +100,8 @@ def main() -> None:
     # still audits its production BUCKETED grid.
     spark.conf.set("spark.graft.asof.autoBucketMaxKeys", "8")
     spark.conf.set("spark.graft.band.autoBucketMaxKeys", "8")
+    from energydatalake_spark import release_caches
+
     rows = []
     # FROZEN order (registry.BENCH_ORDER, r18): explain output is
     # session-state-dependent — a shared sub-frame audits as
@@ -108,11 +110,18 @@ def main() -> None:
     # ngram_jaccard 2-vs-0 codegen flip, reproduced by replaying the
     # r16 audit prefix) — so rows are only comparable round-over-round
     # if every query keeps its audit position across window rotations.
+    # r20: ALSO release the engine's scratch caches between builds —
+    # the bench does (release_caches per query), and without it the
+    # CacheManager substitutes an EARLIER query's persisted frame into
+    # a later query's audited plan wherever the subtrees match, so a
+    # new persist in query A silently rewrote query B's audit row.
+    # With the release, each row audits the query as the bench runs it.
     for name in bench_order():
         q = QUERIES[name]
         if name in STREAMING:
             rows.append((name, None))
             continue
+        release_caches()
         df = q.build(spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
